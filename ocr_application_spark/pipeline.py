@@ -1,0 +1,83 @@
+"""End-to-end extraction pipeline — the engine's flagship path.
+
+``read pages -> bucket by url-hash -> [resume anti-join] -> extract
+(fused mapInPandas kernel) -> classify -> write per-bucket parquet +
+lineage rows`` — the Spark realization of the reference's
+recognize→classify→extract Kafka chain (OrchesttrationScript.py:33-39),
+with the broker hops replaced by narrow stages Catalyst fuses into one
+WholeStageCodegen+ArrowEval span per bucket.
+
+Scale notes (100 TB / 10^12 rows):
+* the only wide operation before the sink is the optional
+  ``repartition('bucket')`` write clustering; extraction itself is
+  narrow — throughput scales linearly with executors (evidenced at two
+  local parallelism levels in BENCH/BASELINE.md).
+* skewed hosts don't skew this job because bucketing hashes the full
+  url (host+path); host-level analytics downstream use the salted
+  repartition helper in operators/skew.py.
+* lineage rows commit after each bucket's data lands — rerunning the
+  job anti-joins finished buckets (lineage.resume_filter), the batch
+  analog of the reference's commit-offset-on-success.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ocr_application_spark.kernels.classify import classify
+from ocr_application_spark.kernels.extract import extract, quarantine_split
+from ocr_application_spark.lineage import bucket_lineage, resume_filter, write_lineage
+from ocr_application_spark.sources.webpages import with_bucket
+
+
+def extract_pages(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Bucket + extract + classify; lazy, no action triggered."""
+    bucketed = with_bucket(pages, n_buckets)
+    return classify(extract(bucketed))
+
+
+def run_to_table(
+    pages: DataFrame,
+    spark: SparkSession,
+    out_path: str,
+    lineage_path: str,
+    n_buckets: int = 64,
+    resume: bool = True,
+) -> DataFrame:
+    """Materialize the pipeline with per-bucket lineage + resume.
+
+    Returns the lineage DataFrame of the buckets processed this run.
+    """
+    bucketed = with_bucket(pages, n_buckets)
+    if resume:
+        bucketed = resume_filter(bucketed, spark, lineage_path)
+    extracted = classify(extract(bucketed))
+    ok, bad = quarantine_split(extracted)
+    (
+        ok.drop("batch_wall_ms")
+        .repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(out_path)
+    )
+    if bad.limit(1).count() > 0:  # quarantine table — no data loss
+        bad.write.mode("append").parquet(out_path + "_quarantine")
+    lin = bucket_lineage(extracted)
+    write_lineage(lin, lineage_path)
+    return lin
+
+
+def verify_digests(extracted: DataFrame, reference: DataFrame) -> DataFrame:
+    """Equi-join extracted vs reference digests per url; returns mismatches.
+
+    The only hash join in the flagship path — at 10^12 rows both sides are
+    bucket-partitioned on url so this is a co-located sort-merge join.
+    """
+    e = extracted.select("url", "digest")
+    r = reference.select("url", "ref_digest")
+    joined = e.join(r, "url", "full_outer")
+    return joined.filter(
+        (joined.digest.isNull())
+        | (joined.ref_digest.isNull())
+        | (joined.digest != joined.ref_digest)
+    )

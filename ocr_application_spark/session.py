@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for the extraction workload.
+
+The reference runs one document at a time through single-partition Kafka
+topics (classification_service/app/Kafka/topic_manager.py:22-23 — its
+throughput ceiling). We instead size shuffle parallelism to the cluster,
+enable AQE (runtime coalescing + skew-join splitting for skewed hosts),
+and pin the session timezone to UTC so results are comparable against the
+DuckDB oracle (naive timestamps).
+
+At 100 TB these same settings hold: AQE re-plans per-stage, Arrow batch
+size bounds Python-worker memory, and ``spark.sql.files.maxPartitionBytes``
+keeps scan partitions executor-sized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ocr_application_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession.
+
+    ``cores=None`` uses ``$SPARK_GRAFT_CPUS`` (default: all).  On a real
+    cluster the master/memory settings come from spark-submit instead; only
+    the ``spark.sql.*`` tuning below travels with the app.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        n = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # shuffle parallelism ~ cores locally; AQE coalesces small partitions
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batch size: the unit of work for mapInPandas kernels
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # 128m scan splits: good balance for wide binary 'html' columns
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,67 @@
+"""The byte-identity gate (BASELINE.json north_rule).
+
+Oracle: gen_page + extract_document run eagerly in this process.
+Engine: the same ids through synth_pages -> extract_pages on Spark.
+Per-url SHA-256 digests must match exactly, under any parallelism.
+"""
+
+import hashlib
+
+from ocr_application_spark.core.extraction_core import extract_document
+from ocr_application_spark.datagen.webgen import gen_page
+from ocr_application_spark.pipeline import extract_pages, verify_digests
+from ocr_application_spark.sources.webpages import synth_pages
+
+N = 400
+
+
+def _oracle_digests(n):
+    out = {}
+    for i in range(n):
+        page = gen_page(i)
+        rec = extract_document(page["html"], page["text"])
+        out[page["url"]] = rec["digest"]
+    return out
+
+
+def test_byte_identity_per_url(spark):
+    oracle = _oracle_digests(N)
+    result = extract_pages(synth_pages(spark, N)).select("url", "digest", "extracted_text").collect()
+    assert len(result) == N
+    mismatches = [r.url for r in result if oracle[r.url] != r.digest]
+    assert mismatches == []
+    # digest really is sha256 of the text bytes
+    r0 = result[0]
+    assert hashlib.sha256(r0.extracted_text.encode()).hexdigest() == r0.digest
+
+
+def test_verify_digests_join_flags_mismatch(spark):
+    ex = extract_pages(synth_pages(spark, 50)).select("url", "digest")
+    ref_rows = [(u, d) for u, d in _oracle_digests(50).items()]
+    ref = spark.createDataFrame(ref_rows, "url string, ref_digest string")
+    assert verify_digests(ex, ref).count() == 0
+    # poison one reference digest -> exactly one mismatch
+    bad = spark.createDataFrame(
+        [(u, ("0" * 64 if i == 0 else d)) for i, (u, d) in enumerate(ref_rows)],
+        "url string, ref_digest string",
+    )
+    assert verify_digests(ex, bad).count() == 1
+
+
+def test_all_branches_covered(spark):
+    methods = {
+        r.method
+        for r in extract_pages(synth_pages(spark, 600)).select("method").distinct().collect()
+    }
+    assert {"html", "pdf", "passthrough"} <= methods
+
+
+def test_classifier_accuracy(spark):
+    labeled = synth_pages(spark, 600, with_label=True)
+    pred = extract_pages(labeled.drop("true_class")).select("url", "doc_class")
+    truth = labeled.select("url", "true_class")
+    rows = pred.join(truth, "url").collect()
+    acc = sum(r.doc_class == r.true_class for r in rows) / len(rows)
+    # reference reports 95.0% (README.md:80-83); our deterministic stand-in
+    # must be clearly better than chance on the same 4-way task
+    assert acc >= 0.80, f"classifier accuracy {acc:.3f}"
