@@ -32,10 +32,12 @@ def bucket_lineage(extracted: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("rows_in"),
             F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias("rows_out"),
-            # order-insensitive 64-bit fold of per-row sha256 prefixes
+            # order-insensitive 60-bit XOR fold of per-row sha256 prefixes
+            # (xor: scheduling-independent and can never overflow, unlike a
+            # sum, which trips ANSI-mode ARITHMETIC_OVERFLOW at scale)
             F.format_string(
                 "%016x",
-                F.sum(F.conv(F.substring("digest", 1, 15), 16, 10).cast("long")),
+                F.expr("bit_xor(cast(conv(substring(digest, 1, 15), 16, 10) as long))"),
             ).alias("digest"),
             F.max("batch_wall_ms").alias("wall_ms"),
         )
@@ -54,13 +56,19 @@ def finished_buckets(spark: SparkSession, lineage_path: str) -> DataFrame:
 
 
 def resume_filter(pages_with_bucket: DataFrame, spark: SparkSession, lineage_path: str) -> DataFrame:
-    """Anti-join away already-finished buckets (checkpoint-resume).
+    """Skip already-finished buckets (checkpoint-resume).
 
-    The finished set is tiny (one row per bucket) → broadcast anti-join,
-    no shuffle of the big side.
+    The finished set is bounded by n_buckets (one row each), so it is
+    collected and applied as a NOT IN *filter* rather than an anti-join:
+    a static predicate lets the parquet scan partition-prune finished
+    ``bucket=`` directories entirely — a resume over a mostly-done
+    10^12-row table then reads only the unfinished slice instead of
+    rescanning everything.
     """
-    done = finished_buckets(spark, lineage_path)
-    return pages_with_bucket.join(F.broadcast(done), "bucket", "left_anti")
+    done = [r.bucket for r in finished_buckets(spark, lineage_path).collect()]
+    if not done:
+        return pages_with_bucket
+    return pages_with_bucket.filter(~F.col("bucket").isin(done))
 
 
 def _exists(path: str) -> bool:

@@ -1,0 +1,51 @@
+"""Checkpoint-resume invariance (north_rule): kill after k buckets →
+rerun → identical output, no bucket processed twice."""
+
+from pyspark.sql import functions as F
+
+from ocr_application_spark.pipeline import run_to_table
+from ocr_application_spark.sources.webpages import synth_pages, with_bucket
+
+N = 600
+NB = 8
+
+
+def test_partial_then_resume_completes(spark, tmpdir_scratch):
+    out, lin = tmpdir_scratch + "/out", tmpdir_scratch + "/lineage"
+    pages = synth_pages(spark, N)
+
+    # simulate a crash after half the buckets committed
+    half = with_bucket(pages, NB).filter(F.col("bucket") < NB // 2).drop("bucket")
+    run_to_table(half, spark, out, lin, n_buckets=NB)
+    n_half = spark.read.parquet(out).count()
+    assert 0 < n_half < N
+
+    # resume over the full input: only unfinished buckets run
+    lin2 = run_to_table(pages, spark, out, lin, n_buckets=NB)
+    done_now = {r.bucket for r in lin2.select("bucket").collect()}
+    assert done_now == set(range(NB // 2, NB))
+
+    full = spark.read.parquet(out)
+    assert full.count() == N
+    assert full.select("url").distinct().count() == N  # no bucket ran twice
+
+    # idempotent: a third run processes nothing
+    lin3 = run_to_table(pages, spark, out, lin, n_buckets=NB)
+    assert lin3.count() == 0
+    assert spark.read.parquet(out).count() == N
+
+
+def test_resume_digests_match_single_run(spark, tmpdir_scratch):
+    out, lin = tmpdir_scratch + "/out", tmpdir_scratch + "/lineage"
+    out2 = tmpdir_scratch + "/out_single"
+    pages = synth_pages(spark, 300)
+
+    half = with_bucket(pages, NB).filter(F.col("bucket") < 3).drop("bucket")
+    run_to_table(half, spark, out, lin, n_buckets=NB)
+    run_to_table(pages, spark, out, lin, n_buckets=NB)
+
+    run_to_table(pages, spark, out2, tmpdir_scratch + "/lin2", n_buckets=NB, resume=False)
+
+    a = {(r.url, r.digest) for r in spark.read.parquet(out).select("url", "digest").collect()}
+    b = {(r.url, r.digest) for r in spark.read.parquet(out2).select("url", "digest").collect()}
+    assert a == b
