@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline over sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+training-data-pipeline ops); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only
+for kernel ops whose semantics aren't SQL-expressible; those get the
+driver's rows-only check).
 """
 
 from __future__ import annotations
@@ -15,24 +16,40 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: wrap the sf0.001 documents table into web pages, run the
+    full extraction pipeline (bucket -> mapInPandas extract -> classify),
+    return (url, doc_class, method, status, n_chars, digest)."""
+    from ocr_application_spark.datagen.docwrap import documents_as_pages
+    from ocr_application_spark.pipeline import extract_pages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = extract_pages(documents_as_pages(docs))
+    return out.select("url", "doc_class", "method", "status", "n_chars", "digest")
+
+
+def _modules():
+    from ocr_application_spark.operators import (
+        dedup,
+        forecast,
+        kernels_entry,
+        reference_ops,
+        similarity,
+        textfns,
+        tpch,
+    )
+
+    return [tpch, reference_ops, dedup, textfns, similarity, forecast, kernels_entry]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for m in _modules():
+        out.update(m.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for m in _modules():
+        out.update(m.ORACLES)
+    return out

@@ -1,0 +1,253 @@
+"""Deduplication suite over the ``documents`` table.
+
+Training-data-pipeline operators (first-class per the build brief):
+exact hash dedup, n-gram Jaccard, MinHash+LSH, SimHash. All are pure
+built-in-function DataFrame plans (no UDFs): hashing via md5, shingling
+via sequence/transform/explode — so every one has an exact DuckDB oracle
+and whole-stage codegen end-to-end.
+
+Scale notes: shingle explosion is the dominant cost — it is narrow
+(flatMap-shaped), the only shuffles are the groupBy(doc) signature
+aggregation and the bucket self-join, which is banded so the join key
+(band, bucket) is selective. At 100 TB you'd salt mega-buckets (boiler-
+plate shingles) before the pair join; here bucket sizes are bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- exact dedup -------------------------------------------------------------
+@_q(
+    "dedup_exact",
+    """
+    select md5(text) as fingerprint,
+           min(doc_id) as keeper_doc_id,
+           count(*) as n_copies
+    from documents
+    group by md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep lowest doc_id.
+    Map-side partial agg makes the shuffle O(distinct fingerprints)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --- shared shingling (word 3-grams) ------------------------------------------
+def _shingles(d: DataFrame) -> DataFrame:
+    """doc_id, shingle (distinct word-3-grams). Pure array ops."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+_SHINGLES_CTE = """
+shingles as (
+  select doc_id, unnest(list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                || ' ' || string_split(text, ' ')[i+2]))) as shingle
+  from documents
+  where len(string_split(text, ' ')) >= 3
+)
+"""
+
+
+# --- n-gram Jaccard near-dup ----------------------------------------------------
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    with {_SHINGLES_CTE},
+    sizes as (select doc_id, count(*) as n_sh from shingles group by doc_id),
+    inter as (
+      select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
+      from shingles a join shingles b
+        on a.shingle = b.shingle and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    )
+    select doc_a, doc_b,
+           cast(n_inter as double) / (sa.n_sh + sb.n_sh - n_inter) as jaccard
+    from inter
+      join sizes sa on sa.doc_id = doc_a
+      join sizes sb on sb.doc_id = doc_b
+    where cast(n_inter as double) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: shingle -> inverted-index self-join ->
+    |A∩B| / (|A|+|B|-|A∩B|) >= 0.2. The equi-join on shingle is the
+    inverted index — no pairwise cartesian ever materializes."""
+    sh = _shingles(_docs(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = F.col("n_inter").cast("double") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(j >= 0.2)
+        .select("doc_a", "doc_b", j.alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------------
+_N_HASH = 8
+_BAND = 2  # 4 bands of 2 -> candidate if any band collides
+
+
+def _minhash_aggs():
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"sig{k}")
+        for k in range(_N_HASH)
+    ]
+
+
+_MINHASH_SIGS_SQL = ",\n           ".join(
+    f"min(md5('{k}:' || shingle)) as sig{k}" for k in range(_N_HASH)
+)
+_BANDS_SQL = ", ".join(
+    f"md5(sig{2 * b} || sig{2 * b + 1}) as band{b}" for b in range(_N_HASH // _BAND)
+)
+_BAND_UNION_SQL = " union all ".join(
+    f"select doc_id, {b} as band_id, band{b} as bucket from bands" for b in range(_N_HASH // _BAND)
+)
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    with {_SHINGLES_CTE},
+    sigs as (
+      select doc_id,
+           {_MINHASH_SIGS_SQL}
+      from shingles group by doc_id
+    ),
+    bands as (select doc_id, {_BANDS_SQL} from sigs),
+    buckets as ({_BAND_UNION_SQL})
+    select distinct a.doc_id as doc_a, b.doc_id as doc_b
+    from buckets a join buckets b
+      on a.band_id = b.band_id and a.bucket = b.bucket and a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle -> 8 md5-min signatures ->
+    4 bands of 2 -> bucket equi-join. One shuffle to aggregate
+    signatures, one selective equi-join on (band_id, bucket) — the
+    standard sub-quadratic near-dup plan at corpus scale."""
+    sh = _shingles(_docs(spark, sf_dir))
+    sigs = sh.groupBy("doc_id").agg(*_minhash_aggs())
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}"))).alias(f"band{b}")
+            for b in range(_N_HASH // _BAND)
+        ],
+    )
+    buckets = None
+    for b in range(_N_HASH // _BAND):
+        part = bands.select(
+            "doc_id", F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bucket")
+        )
+        buckets = part if buckets is None else buckets.unionByName(part)
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --- SimHash ---------------------------------------------------------------------
+_SIMHASH_BITS = 16
+
+_SIMHASH_SUMS_SQL = ",\n           ".join(
+    f"sum(case when substr(md5(token), {j + 1}, 1) >= '8' then 1 else -1 end) as s{j}"
+    for j in range(_SIMHASH_BITS)
+)
+_SIMHASH_COMBINE_SQL = " + ".join(
+    f"(case when s{j} > 0 then {1 << j} else 0 end)" for j in range(_SIMHASH_BITS)
+)
+
+
+@_q(
+    "dedup_simhash",
+    f"""
+    with tokens as (
+      select doc_id, unnest(list_distinct(string_split(text, ' '))) as token
+      from documents
+    ),
+    sums as (
+      select doc_id,
+           {_SIMHASH_SUMS_SQL}
+      from tokens group by doc_id
+    )
+    select doc_id, {_SIMHASH_COMBINE_SQL} as simhash
+    from sums
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit): per distinct token, each bit j votes +1/-1 by
+    the j-th md5 nibble; bit set when the vote sum is positive. Hamming-
+    close simhashes => near-dup docs. All JVM-side hash/array ops."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(F.md5("token"), j + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    combine = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        combine = term if combine is None else combine + term
+    return sums.select("doc_id", combine.alias("simhash"))

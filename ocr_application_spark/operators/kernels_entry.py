@@ -1,0 +1,123 @@
+"""Kernel-stage queries for the driver contract.
+
+``pipeline_extract_digest`` runs the REAL extraction engine (HTML wrap ->
+mapInPandas Readability kernel -> sha256 digest) and is still fully
+oracle-checked: because the docwrap templating is deterministic, DuckDB
+can reconstruct the expected extracted text (title block + 25-word
+paragraph chunks) and hash it with sha256 — a value-level cross-engine
+check of the entire kernel path, not just a row count.
+
+``classify_distribution`` and ``multimodal_features`` exercise the
+classifier and the binary-payload plumbing; their semantics live in
+Python kernels (model weights / payload decode), so they get the
+driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "pipeline_extract_digest",
+    """
+    with toks as (
+      select doc_id, string_split(text, ' ') as t from documents
+    ),
+    rebuilt as (
+      select doc_id,
+             'document ' || cast(doc_id as varchar) || chr(10) ||
+             array_to_string(
+               list_transform(
+                 range(0, cast(ceil(len(t) / 25.0) as int)),
+                 j -> array_to_string(t[j*25+1 : least((j+1)*25, len(t))], ' ')),
+               chr(10)) as etext
+      from toks
+    )
+    select 'https://docs.example/' || lpad(cast(doc_id as varchar), 8, '0') as url,
+           length(etext) as n_chars,
+           sha256(etext) as digest
+    from rebuilt
+    """,
+)
+def pipeline_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship kernel path, value-checked end-to-end: documents ->
+    deterministic HTML wrap -> Arrow-batched extraction kernel ->
+    (url, n_chars, sha256 digest). The oracle rebuilds the expected
+    main-content text in SQL and must hash identically — the DuckDB
+    twin of the pytest byte-identity gate."""
+    from ocr_application_spark.datagen.docwrap import documents_as_pages
+    from ocr_application_spark.kernels.extract import extract
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = extract(documents_as_pages(docs))
+    return out.select("url", "n_chars", "digest")
+
+
+def classify_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-routing counts from the broadcast-weights classifier
+    (K1 analog) — rows-only (model semantics live in the kernel)."""
+    from ocr_application_spark.datagen.docwrap import documents_as_pages
+    from ocr_application_spark.pipeline import extract_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = extract_pages(documents_as_pages(docs))
+    return out.groupBy("doc_class").agg(F.count("*").alias("n_docs"))
+
+
+QUERIES["classify_distribution"] = classify_distribution
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat document bytes as an opaque binary
+    payload column and run a feature-extraction kernel over mapInPandas
+    (batch shape, schema, partitioning are real; the decode itself is a
+    deterministic stand-in since no image libs ship in this container —
+    marked STUB). Rows-only check."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), F.lit("text/plain").alias("mime")
+    )
+
+    schema = "doc_id long, n_bytes int, width int, height int, checksum string"
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payload = pdf["payload"]
+            # STUB decode: deterministic fake dimensions derived from size;
+            # a real deployment drops in PIL/cv2 decode here — the Spark
+            # plumbing (Arrow batches, schema, partitioning) is unchanged.
+            n = payload.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "width": (n % 640).astype("int32"),
+                    "height": (n % 480).astype("int32"),
+                    "checksum": [hashlib.sha256(b).hexdigest()[:16] for b in payload],
+                }
+            )
+
+    return payloads.mapInPandas(feats, schema=schema)
+
+
+QUERIES["multimodal_features"] = multimodal_features

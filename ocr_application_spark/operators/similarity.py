@@ -1,0 +1,228 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Brute-force cosine top-k as the exactness baseline and sign-LSH
+bucketing as the scale path. Cross-engine exactness trick: embeddings
+are quantized to integers (round(x*1000)) first, so dot products and
+norms are exact integer arithmetic in both engines; the only float op is
+one final division+sqrt on identical inputs -> bit-identical cosines,
+stable top-k order.
+
+Scale: brute force is O(Q*N) — fine for a broadcast query set (Q small);
+the LSH variant buckets candidates so the join is sub-quadratic for
+N*N near-dup mining. At 100 TB you'd go IVF: k-means coarse centroids
+(pyspark.ml), probe nearest cells only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+DIM = 64
+_K = 5
+_QMOD = 100  # vec_id % _QMOD == 0 -> query vector
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _quant(col):
+    """array<float> -> array<bigint>, q = round(x*1000) (exact both engines)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000.0, 0).cast("bigint"))
+
+
+_QUANT_SQL = "list_transform({c}, x -> cast(round(cast(x as double) * 1000.0, 0) as bigint))"
+
+
+def _dot(a, b):
+    prods = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: F.element_at(a, i) * F.element_at(b, i),
+    )
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"cast(list_aggregate(list_transform(range(1, {DIM + 1}), "
+        f"i -> {a}[i] * {b}[i]), 'sum') as bigint)"
+    )
+
+
+# --- brute-force cosine top-k -------------------------------------------------
+@_q(
+    "ann_cosine_topk",
+    f"""
+    with q as (
+      select vec_id as q_id, {_QUANT_SQL.format(c='embedding')} as qv
+      from embeddings where vec_id % {_QMOD} = 0
+    ),
+    c as (
+      select vec_id as cand_id, {_QUANT_SQL.format(c='embedding')} as cv
+      from embeddings
+    ),
+    scored as (
+      select q_id, cand_id,
+             cast({_dot_sql('qv', 'cv')} as double)
+               / sqrt(cast({_dot_sql('qv', 'qv')} as double)
+                      * cast({_dot_sql('cv', 'cv')} as double)) as cos
+      from q cross join c
+      where q_id != cand_id
+    )
+    select q_id, cand_id, rank, cos as cos_sim from (
+      select q_id, cand_id, cos,
+             row_number() over (partition by q_id order by cos desc, cand_id) as rank
+      from scored) t
+    where rank <= {_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    all candidates — a broadcast nested-loop join, no shuffle of the big
+    side; top-k per query via WindowGroupLimit. Dot products via
+    zip-multiply + fold, all JVM-side array ops."""
+    e = _emb(spark, sf_dir)
+    q = (
+        e.filter(F.col("vec_id") % _QMOD == 0)
+        .select(F.col("vec_id").alias("q_id"), _quant(F.col("embedding")).alias("qv"))
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), _quant(F.col("embedding")).alias("cv"))
+    cos = _dot(F.col("qv"), F.col("cv")).cast("double") / F.sqrt(
+        _dot(F.col("qv"), F.col("qv")).cast("double")
+        * _dot(F.col("cv"), F.col("cv")).cast("double")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select("q_id", "cand_id", "rank", F.col("cos").alias("cos_sim"))
+    )
+
+
+# --- sign-LSH bucketing ---------------------------------------------------------
+_N_PLANES = 8
+
+
+def _plane_coef(k: int, i: int) -> int:
+    # deterministic integer hyperplanes: coef in [-6, 6]
+    return ((k * 67 + i * 31) % 13) - 6
+
+
+def _lsh_bit(vcol, k: int):
+    prods = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: F.element_at(vcol, i)
+        * F.element_at(F.lit([_plane_coef(k, i) for i in range(1, DIM + 1)]), i),
+    )
+    s = F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return F.when(s > 0, F.lit(1 << k)).otherwise(F.lit(0))
+
+
+def _lsh_bit_sql(k: int) -> str:
+    coefs = "[" + ", ".join(str(_plane_coef(k, i)) for i in range(1, DIM + 1)) + "]"
+    s = (
+        f"cast(list_aggregate(list_transform(range(1, {DIM + 1}), "
+        f"i -> qv[i] * ({coefs})[i]), 'sum') as bigint)"
+    )
+    return f"(case when {s} > 0 then {1 << k} else 0 end)"
+
+
+@_q(
+    "ann_lsh_buckets",
+    f"""
+    with q as (
+      select vec_id, {_QUANT_SQL.format(c='embedding')} as qv from embeddings
+    )
+    select vec_id, {" + ".join(_lsh_bit_sql(k) for k in range(_N_PLANES))} as bucket
+    from q
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH: 8 deterministic integer hyperplanes -> 8 sign bits ->
+    256 buckets. Candidate generation for near-dup joins becomes an
+    equi-join on bucket (plus neighboring-bucket probes for recall) —
+    the sub-quadratic path at corpus scale."""
+    e = _emb(spark, sf_dir)
+    q = e.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    bucket = None
+    for k in range(_N_PLANES):
+        term = _lsh_bit(F.col("qv"), k)
+        bucket = term if bucket is None else bucket + term
+    return q.select("vec_id", bucket.alias("bucket"))
+
+
+# --- LSH-bucketed near-dup pairs ---------------------------------------------------
+_NEARDUP_TAU = 0.30  # corpus is random -> low tau so the check exercises rows
+
+
+@_q(
+    "emb_neardup_pairs",
+    f"""
+    with q as (
+      select vec_id, {_QUANT_SQL.format(c='embedding')} as qv from embeddings
+    ),
+    b as (
+      select vec_id, qv,
+             {" + ".join(_lsh_bit_sql(k) for k in range(_N_PLANES))} as bucket
+      from q
+    ),
+    pairs as (
+      select a.vec_id as vec_a, b2.vec_id as vec_b,
+             cast({_dot_sql('a.qv', 'b2.qv')} as double)
+               / sqrt(cast({_dot_sql('a.qv', 'a.qv')} as double)
+                      * cast({_dot_sql('b2.qv', 'b2.qv')} as double)) as cos
+      from b a join b b2 on a.bucket = b2.bucket and a.vec_id < b2.vec_id
+    )
+    select vec_a, vec_b, cos as cos_sim
+    from pairs where cos >= {_NEARDUP_TAU}
+    """,
+)
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup mining: LSH-bucket equi-join (sub-quadratic
+    candidates) -> exact quantized cosine -> threshold. Same-bucket
+    restriction = the LSH recall/cost tradeoff."""
+    e = _emb(spark, sf_dir)
+    q = e.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    bucket = None
+    for k in range(_N_PLANES):
+        term = _lsh_bit(F.col("qv"), k)
+        bucket = term if bucket is None else bucket + term
+    b = q.withColumn("bucket", bucket)
+    a = b.alias("a")
+    b2 = b.alias("b2")
+    cos = _dot(F.col("a.qv"), F.col("b2.qv")).cast("double") / F.sqrt(
+        _dot(F.col("a.qv"), F.col("a.qv")).cast("double")
+        * _dot(F.col("b2.qv"), F.col("b2.qv")).cast("double")
+    )
+    return (
+        a.join(
+            b2,
+            (F.col("a.bucket") == F.col("b2.bucket")) & (F.col("a.vec_id") < F.col("b2.vec_id")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _NEARDUP_TAU)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b2.vec_id").alias("vec_b"),
+            F.col("cos").alias("cos_sim"),
+        )
+    )

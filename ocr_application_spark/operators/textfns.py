@@ -1,0 +1,155 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language-ID heuristic, quality scoring, token counting, and document
+fingerprinting — the per-document scalar layer a training-data pipeline
+runs before filtering/dedup. All pure built-in column expressions
+(codegen'd, no UDF), each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# token count via length arithmetic — dialect-portable, exact
+_TOKENS_SQL = "(length(text) - length(replace(text, ' ', '')) + 1)"
+
+
+def _tokens_col():
+    return F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+
+
+# --- token counting ------------------------------------------------------------
+@_q(
+    "text_token_stats",
+    f"""
+    select doc_id,
+           {_TOKENS_SQL} as n_tokens,
+           length(text) as n_chars_measured,
+           cast(length(replace(text, ' ', '')) as double)
+                 / {_TOKENS_SQL} as avg_token_len
+    from documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + mean token length, pure arithmetic."""
+    d = _docs(spark, sf_dir)
+    nt = _tokens_col()
+    nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return d.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        (nonspace.cast("double") / nt).alias("avg_token_len"),
+    )
+
+
+# --- language-ID heuristic --------------------------------------------------------
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+@_q(
+    "text_langid_heuristic",
+    f"""
+    with toks as (
+      select doc_id, unnest(string_split(text, ' ')) as token from documents
+    ),
+    ratios as (
+      select doc_id,
+             cast(sum(case when token in {_STOPWORDS} then 1 else 0 end) as double)
+                   / count(*) as stopword_ratio
+      from toks group by doc_id
+    )
+    select doc_id, stopword_ratio,
+           case when stopword_ratio >= 0.08 then 'en-like' else 'other' end as pred_lang
+    from ratios
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic: English-function-word ratio
+    per document -> coarse label. (The reference's Arabic-script regex
+    F3 is the same family of heuristic; see reference_ops.f_record_filters.)"""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    ratios = toks.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("stopword_ratio")
+    )
+    return ratios.select(
+        "doc_id",
+        "stopword_ratio",
+        F.when(F.col("stopword_ratio") >= 0.08, F.lit("en-like"))
+        .otherwise(F.lit("other"))
+        .alias("pred_lang"),
+    )
+
+
+# --- quality scoring ----------------------------------------------------------------
+@_q(
+    "text_quality_score",
+    f"""
+    select doc_id,
+           {_TOKENS_SQL} as n_tokens,
+           least(cast({_TOKENS_SQL} as double) / 100.0, 1.0) * 0.5
+             + least(cast(length(replace(text, ' ', '')) as double)
+                     / {_TOKENS_SQL} / 8.0, 1.0) * 0.3
+             + case when length(text) between 100 and 20000 then 0.2 else 0.0 end
+             as quality
+    from documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score in [0,1]: token-count saturation (0.5) + mean-token-
+    length saturation (0.3) + length-window bonus (0.2) — the
+    length/ratio family of heuristics used for corpus filtering."""
+    d = _docs(spark, sf_dir)
+    nt = _tokens_col()
+    nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    quality = (
+        F.least(nt.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + F.least(nonspace.cast("double") / nt / 8.0, F.lit(1.0)) * 0.3
+        + F.when(F.length("text").between(100, 20000), 0.2).otherwise(0.0)
+    )
+    return d.select("doc_id", nt.alias("n_tokens"), quality.alias("quality"))
+
+
+# --- document fingerprinting -----------------------------------------------------------
+@_q(
+    "text_fingerprint",
+    """
+    select doc_id,
+           md5(lower(text)) as fingerprint,
+           substr(sha256(lower(text)), 1, 16) as fingerprint64
+    from documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints (md5 + truncated sha256 of normalized text)
+    — join keys for cross-snapshot dedup and the digest the lineage
+    table folds (cf. pipeline digest contract)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("fingerprint"),
+        F.substring(F.sha2(F.lower(F.col("text")), 256), 1, 16).alias("fingerprint64"),
+    )

@@ -1,0 +1,186 @@
+"""Relational engine demonstrators over the driver's TPC-H-ish tables.
+
+The reference has no relational queries at all (SURVEY §2.3: records
+never meet except via similarity/spatial joins) — these queries exist to
+prove the engine's scan/agg/join/window machinery and its physical
+plans: decimal-exact aggregation, broadcast dimension joins, AQE-sized
+shuffles, top-k windows. Plan notes per query state the 100 TB strategy.
+
+Cross-engine exactness: money sums go through DECIMAL (order-independent
+exact arithmetic) and are cast to double only at the end, so Spark and
+DuckDB produce bit-identical doubles regardless of partition/summation
+order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_DEC = "decimal(18,2)"
+
+
+# --- TPC-H Q1 style pricing summary ---------------------------------------
+@_q(
+    "q1_pricing_summary",
+    """
+    select l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+           cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) as sum_disc_price,
+           count(*) as count_order
+    from lineitem
+    where l_shipdate <= timestamp '1998-09-02 00:00:00'
+    group by l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan: single scan -> partial hash agg (map-side combine) -> one
+    # shuffle on the 2-col grouping key (6 groups). At 100 TB the partial
+    # agg reduces the shuffle to O(partitions * groups) rows.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount").cast(_DEC))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- Q3 style shipping priority --------------------------------------------
+@_q(
+    "q3_shipping_priority",
+    """
+    select l.l_orderkey,
+           cast(sum(cast(l.l_extendedprice as decimal(18,2)) * (1 - cast(l.l_discount as decimal(18,2)))) as double) as revenue,
+           o.o_orderdate
+    from customer c join orders o on c.c_custkey = o.o_custkey
+         join lineitem l on l.l_orderkey = o.o_orderkey
+    where c.c_mktsegment = 'BUILDING'
+      and o.o_orderdate < timestamp '1995-03-15 00:00:00'
+      and l.l_shipdate > timestamp '1995-03-15 00:00:00'
+    group by l.l_orderkey, o.o_orderdate
+    order by revenue desc, l_orderkey
+    limit 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan: customer (small, filtered) broadcasts into orders; the
+    # orders->lineitem join shuffles on orderkey (both huge at scale —
+    # bucketing both tables on orderkey makes it co-located). Top-10 via
+    # TakeOrderedAndProject, no global sort materialization.
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey), l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount").cast(_DEC))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- Q5 style region revenue ------------------------------------------------
+@_q(
+    "q5_region_revenue",
+    """
+    select n.n_name,
+           cast(sum(cast(l.l_extendedprice as decimal(18,2)) * (1 - cast(l.l_discount as decimal(18,2)))) as double) as revenue
+    from region r
+      join nation n on n.n_regionkey = r.r_regionkey
+      join customer c on c.c_nationkey = n.n_nationkey
+      join orders o on o.o_custkey = c.c_custkey
+      join lineitem l on l.l_orderkey = o.o_orderkey
+    where r.r_name = 'ASIA'
+    group by n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan: region/nation/customer are dimensions -> broadcast all three
+    # (no shuffle); the only wide op is orders<->lineitem on orderkey +
+    # final 5-group agg. The reference's medicine-catalog broadcast (J1,
+    # tarification_pipeline.py:153-155) is the same shape.
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        c.join(n.join(r, n.n_regionkey == r.r_regionkey), c.c_nationkey == n.n_nationkey).select(
+            "c_custkey", "n_name"
+        )
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount").cast(_DEC))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --- top-k per group window --------------------------------------------------
+@_q(
+    "topk_orders_per_customer",
+    """
+    select o_custkey, o_orderkey, o_totalprice, rn from (
+      select o_custkey, o_orderkey, o_totalprice,
+             row_number() over (partition by o_custkey
+                                order by o_totalprice desc, o_orderkey) as rn
+      from orders) t
+    where rn <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan: one shuffle on custkey; rank pushdown (WindowGroupLimit) keeps
+    # only 3 rows per key before the final sort at scale.
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )

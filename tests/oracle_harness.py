@@ -1,0 +1,84 @@
+"""Local emulation of the driver's DuckDB-oracle comparison.
+
+For each queries() entry with an oracle_sql() twin: run both at a given
+sf_dir, compare row count, sorted column names, and order-insensitive
+values (exact for non-floats; floats must agree to 1e-9 relative — we
+report the max observed delta so drift is visible before it flips a
+hash).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def duck_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _rows_to_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_norm_cell(r[i]) for i in order))
+    return sorted(out, key=repr)
+
+
+def compare(spark_df, con, sql: str, name: str, float_rtol: float = 1e-9):
+    sdf = spark_df.toPandas()
+    ddf = con.sql(sql).df()
+    errs = []
+    if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, ddf.columns)):
+        errs.append(f"columns: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+        return errs, 0.0
+    if len(sdf) != len(ddf):
+        errs.append(f"rowcount: spark={len(sdf)} duck={len(ddf)}")
+        return errs, 0.0
+    s_rows = _rows_to_key(sdf.itertuples(index=False, name=None), list(sdf.columns))
+    d_rows = _rows_to_key(ddf.itertuples(index=False, name=None), list(ddf.columns))
+    max_delta = 0.0
+    n_mismatch = 0
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        for x, y in zip(a, b):
+            if isinstance(x, float) and isinstance(y, float):
+                if x == y:
+                    continue
+                denom = max(abs(x), abs(y), 1e-300)
+                delta = abs(x - y) / denom
+                max_delta = max(max_delta, delta)
+                if delta > float_rtol:
+                    n_mismatch += 1
+                    if n_mismatch <= 3:
+                        errs.append(f"row {i}: float {x!r} != {y!r} (rel {delta:.2e})")
+            elif x != y:
+                n_mismatch += 1
+                if n_mismatch <= 3:
+                    errs.append(f"row {i}: {x!r} != {y!r}")
+    if n_mismatch > 3:
+        errs.append(f"... {n_mismatch} mismatched cells total")
+    return errs, max_delta
