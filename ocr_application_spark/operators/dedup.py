@@ -175,19 +175,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard sub-quadratic near-dup plan at corpus scale."""
     sh = _shingles(_docs(spark, sf_dir))
     sigs = sh.groupBy("doc_id").agg(*_minhash_aggs())
-    bands = sigs.select(
-        "doc_id",
+    # explode bands from one row instead of a 4-way union — a union of N
+    # selects over the same subtree would recompute shingles+signatures N
+    # times; explode keeps it a single pass
+    band_structs = F.array(
         *[
-            F.md5(F.concat(F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}"))).alias(f"band{b}")
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat(F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}"))).alias("bucket"),
+            )
             for b in range(_N_HASH // _BAND)
-        ],
+        ]
     )
-    buckets = None
-    for b in range(_N_HASH // _BAND):
-        part = bands.select(
-            "doc_id", F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bucket")
-        )
-        buckets = part if buckets is None else buckets.unionByName(part)
+    buckets = sigs.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket"))
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     return (
