@@ -34,11 +34,12 @@ def _modules():
         kernels_entry,
         reference_ops,
         similarity,
+        skew,
         textfns,
         tpch,
     )
 
-    return [tpch, reference_ops, dedup, textfns, similarity, forecast, kernels_entry]
+    return [tpch, reference_ops, dedup, textfns, similarity, forecast, skew, kernels_entry]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

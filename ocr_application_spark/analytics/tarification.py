@@ -1,0 +1,113 @@
+"""Tarification analytics — the reference's /Tarification chain, Spark-first.
+
+Reference flow (Tarification_service isoler/app/main.py:40-123):
+OCR -> structure -> fuzzy-match meds catalog -> totals -> reserve ->
+forecasts, with files on disk as the IR between steps. Here it is one
+lazy DataFrame composition:
+
+  invoice_lines ⋈(fuzzy) catalog -> enrich -> aggregate -> forecast
+
+Catalog parsing replicates the comma-decimal handling of
+tarification_pipeline.py:170-173 ("6,01" -> 6.01); the fuzzy join is J1
+(broadcast + levenshtein top-1, accept >= 90 else null-extend, threshold
+tarification_pipeline.py:168); quantite defaults to 1 when null
+(:161); totals/taux per :205-207; reserve = mean(nonzero) * 1.1 (:229,
+reserve factor :263).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MATCH_THRESHOLD = 90.0  # tarification_pipeline.py:168
+_DEC = "decimal(18,5)"
+
+
+def parse_catalog(raw: DataFrame) -> DataFrame:
+    """catalog(name, price, remboursement) with comma-decimal strings ->
+    typed columns (S9: strip/lower normalize + parse)."""
+    num = lambda c: F.regexp_replace(F.trim(F.col(c)), ",", ".").cast("double")
+    return raw.select(
+        F.lower(F.trim(F.col("name"))).alias("cat_name"),
+        num("price").alias("cat_price"),
+        num("remboursement").alias("cat_remboursement"),
+    )
+
+
+def fuzzy_match_catalog(lines: DataFrame, catalog: DataFrame) -> DataFrame:
+    """J1 at the reference threshold: broadcast the catalog, levenshtein
+    similarity ratio, top-1 per line, accept >= 90 else null-extend."""
+    probe = lines.withColumn("_nom_norm", F.lower(F.trim(F.col("nom"))))
+    lev = F.levenshtein(F.col("_nom_norm"), F.col("cat_name"))
+    score = 100.0 * (
+        1.0 - lev.cast("double") / F.greatest(F.length("_nom_norm"), F.length("cat_name"))
+    )
+    w = Window.partitionBy("url", "line_id").orderBy(lev, F.col("cat_name"))
+    scored = (
+        probe.crossJoin(F.broadcast(catalog))
+        .withColumn("match_score", score)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_nom_norm")
+    )
+    matched = F.col("match_score") >= MATCH_THRESHOLD
+    return scored.select(
+        *lines.columns,
+        F.when(matched, F.col("cat_name")).alias("matched_name"),
+        F.when(matched, F.col("match_score")).alias("score"),
+        F.when(matched, F.col("cat_price")).alias("prix_catalogue"),
+        F.when(matched, F.col("cat_remboursement")).alias("remboursement_unitaire"),
+    )
+
+
+def tarify(lines: DataFrame, catalog: DataFrame) -> DataFrame:
+    """Per-line tarification: match + remboursement_total =
+    quantite(default 1) * remboursement_unitaire (null when unmatched,
+    like the reference's null-extension)."""
+    m = fuzzy_match_catalog(lines, catalog)
+    qty = F.coalesce(F.col("quantite"), F.lit(1))  # default qty=1 (:161)
+    return m.withColumn(
+        "remboursement_total",
+        (qty.cast(_DEC) * F.col("remboursement_unitaire").cast(_DEC)).cast("double"),
+    )
+
+
+def summarize(tarified: DataFrame) -> DataFrame:
+    """A1+A2: totals + coverage ratio with zero guard (:205-207)."""
+    f_sum = F.sum(F.col("prix_total").cast(_DEC))
+    r_sum = F.sum(F.col("remboursement_total").cast(_DEC))
+    return tarified.agg(
+        f_sum.cast("double").alias("total_facture"),
+        r_sum.cast("double").alias("total_rembourse"),
+        F.when(f_sum > 0, F.round(100.0 * r_sum.cast("double") / f_sum.cast("double"), 2))
+        .alias("taux_couverture"),
+        F.count("*").alias("n_lignes"),
+        F.count("matched_name").alias("n_matched"),
+    )
+
+
+def reserve_estimate(tarified: DataFrame, factor: float = 1.1) -> DataFrame:
+    """A3 + reserve: mean of nonzero remboursements * count * factor
+    (simple reserve of tarification_pipeline.py:229,263)."""
+    nz = F.when(
+        F.col("remboursement_total").isNotNull() & (F.col("remboursement_total") != 0),
+        F.col("remboursement_total"),
+    )
+    return tarified.agg(
+        F.avg(nz).alias("mean_remboursement"),
+        (F.avg(nz) * F.count(nz) * factor).alias("reserve_simple"),
+    )
+
+
+def monthly_series(tarified: DataFrame) -> DataFrame:
+    """A4: month rollup of remboursements; date_facture is DD/MM/YYYY
+    (dayfirst parse, tarification_pipeline.py:244-248)."""
+    d = F.to_date(F.col("date_facture"), "dd/MM/yyyy")
+    return (
+        tarified.filter(F.col("remboursement_total").isNotNull())
+        .groupBy(F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("mois"))
+        .agg(F.sum(F.col("remboursement_total").cast(_DEC)).cast("double").alias("total_mois"))
+        .orderBy("mois")
+    )

