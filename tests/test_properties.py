@@ -1,0 +1,117 @@
+"""Property tests for the pure extraction spec (SURVEY §5).
+
+These pin the invariants that make parallel execution safe: total
+determinism, partition-into-lines, tolerance bounds, and robustness to
+arbitrary bytes (error envelopes, never crashes).
+"""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_application_spark.core.extraction_core import (
+    LINE_TOL,
+    extract_document,
+    group_lines,
+    span_passes_filters,
+)
+from ocr_application_spark.datagen.webgen import gen_page
+
+spans_strategy = st.lists(
+    st.builds(
+        lambda page, x0, y0, w, h, text: {
+            "page": page,
+            "x0": float(x0),
+            "y0": float(y0),
+            "x1": float(x0 + w),
+            "y1": float(y0 + h),
+            "conf": 1.0,
+            "text": text,
+        },
+        page=st.integers(0, 2),
+        x0=st.integers(0, 900),
+        y0=st.integers(0, 1200),
+        w=st.integers(15, 120),
+        h=st.integers(10, 30),
+        text=st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=2, max_size=8
+        ),
+    ),
+    max_size=40,
+)
+
+
+@given(spans_strategy)
+@settings(max_examples=60, deadline=None)
+def test_group_lines_partitions_spans(spans):
+    lines = group_lines(spans, 1000.0)
+    flat = [id(s) for grp in lines for s in grp]
+    assert sorted(flat) == sorted(id(s) for s in spans)  # exactly-one-line
+    for grp in lines:
+        pages = {int(s.get("page", 0)) for s in grp}
+        assert len(pages) == 1  # never merge across pages
+        xs = [s["x0"] for s in grp]
+        assert xs == sorted(xs)  # left-to-right within a group
+
+
+@given(spans_strategy)
+@settings(max_examples=60, deadline=None)
+def test_group_lines_gap_bound(spans):
+    # consecutive members of one group are chained within tolerance in
+    # center-y (gap-sessionization invariant, layout_detector config.py:22)
+    lines = group_lines(spans, 1000.0)
+    for grp in lines:
+        cys = sorted((s["y0"] + s["y1"]) / 2.0 for s in grp)
+        ref = cys[0]
+        for cy in cys[1:]:
+            assert cy - ref <= LINE_TOL + 1e-9
+
+
+@given(st.binary(max_size=400), st.one_of(st.none(), st.text(max_size=200)))
+@settings(max_examples=100, deadline=None)
+def test_extract_document_total(raw, text):
+    rec = extract_document(raw, text)
+    assert isinstance(rec["extracted_text"], str)
+    assert len(rec["digest"]) == 64
+    assert rec["status"] in ("success", "error") or rec["status"].startswith("error")
+
+
+@given(st.integers(0, 200000))
+@settings(max_examples=40, deadline=None)
+def test_gen_and_extract_deterministic(doc_id):
+    p1, p2 = gen_page(doc_id), gen_page(doc_id)
+    assert p1 == p2  # datagen is a pure function of doc_id
+    r1 = extract_document(p1["html"], p1["text"])
+    r2 = extract_document(p2["html"], p2["text"])
+    assert r1["digest"] == r2["digest"]
+
+
+@given(
+    st.builds(
+        lambda x0, y0, w, h, conf, text: {
+            "x0": x0, "y0": y0, "x1": x0 + w, "y1": y0 + h, "conf": conf, "text": text,
+        },
+        x0=st.floats(0, 1000), y0=st.floats(0, 1000),
+        w=st.floats(0, 200), h=st.floats(0, 200),
+        conf=st.floats(0, 1), text=st.text(max_size=10),
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_span_filter_thresholds(s):
+    keep = span_passes_filters(s)
+    w, h = s["x1"] - s["x0"], s["y1"] - s["y0"]
+    manual = (
+        s["conf"] >= 0.7
+        and len(s["text"].strip()) >= 2
+        and not any("؀" <= c <= "ۿ" for c in s["text"])
+        and w >= 15 and h >= 10 and w * h >= 150
+    )
+    assert keep == manual
+
+
+def test_pdf_payload_fuzz_never_crashes():
+    for raw in [b"%FPDF", b"%FPDF1\n", b"%FPDF1 nan\n{}", b"%FPDF1 100\n" + b"\xff" * 50,
+                ("%FPDF1 100\n" + json.dumps({"x0": 1}) + "\n").encode()]:
+        rec = extract_document(raw, None)
+        assert rec["status"] == "success" or rec["status"].startswith("error")
