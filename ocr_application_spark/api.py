@@ -1,0 +1,44 @@
+"""Engine facade — the public surface of SURVEY §2.8.
+
+One import gives a user of the reference every stage it had, as lazy
+DataFrame transforms::
+
+    from ocr_application_spark import api
+
+    pages      = api.read_pages(spark, path)        # S1/S7
+    extracted  = api.extract(pages)                 # K2+K6+K7+K8 fused
+    classified = api.recognize(extracted)           # K1
+    spans      = api.segment(pages)                 # K7 span records
+    fields     = api.structure(spans)               # K9 (deterministic)
+    tarifs     = api.tarify(lines, catalog)         # J1+A1-A4
+    fc         = api.forecast_linear(spark, sf_dir) # A7
+    lin        = api.lineage(extracted)             # A5
+    bad        = api.verify(extracted, reference)   # digest equi-join
+"""
+
+from __future__ import annotations
+
+from ocr_application_spark.analytics.tarification import (  # noqa: F401
+    monthly_series,
+    parse_catalog,
+    reserve_estimate,
+    summarize,
+    tarify,
+)
+from ocr_application_spark.kernels.classify import classify as recognize  # noqa: F401
+from ocr_application_spark.kernels.extract import extract, quarantine_split  # noqa: F401
+from ocr_application_spark.kernels.segment import segment  # noqa: F401
+from ocr_application_spark.lineage import bucket_lineage as lineage  # noqa: F401
+from ocr_application_spark.operators.forecast import forecast_ar1, forecast_linear  # noqa: F401
+from ocr_application_spark.pipeline import (  # noqa: F401
+    extract_pages,
+    run_to_table,
+    verify_digests as verify,
+)
+from ocr_application_spark.sources.webpages import (  # noqa: F401
+    read_pages,
+    synth_pages,
+    with_bucket,
+    write_pages,
+)
+from ocr_application_spark.structure import structure  # noqa: F401
