@@ -35,11 +35,22 @@ def _modules():
         reference_ops,
         similarity,
         skew,
+        sweep_merge,
         textfns,
         tpch,
     )
 
-    return [tpch, reference_ops, dedup, textfns, similarity, forecast, skew, kernels_entry]
+    return [
+        tpch,
+        reference_ops,
+        dedup,
+        textfns,
+        similarity,
+        forecast,
+        skew,
+        sweep_merge,
+        kernels_entry,
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,66 @@
+"""W5: sorted sweep merge of overlapping boxes (grouped-map kernel).
+
+The reference's merge_overlapping_boxes (extraction_service/app/ocr/
+utils.py:25-45) sorts boxes by x and folds: if IoU(current, next) > 0.5
+the boxes merge into their union. A sequential fold is not expressible
+as a window function (each step depends on the merged result), so it
+runs per document in ``applyInPandas`` — the sanctioned grouped-map
+escape hatch; work stays per-document, one shuffle on doc_id. (Dead code
+in the reference — never called — but part of the API surface per
+SURVEY §2.5.)
+
+Rows-only driver check (sequential-fold semantics, not SQL-expressible)
++ deterministic unit tests.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ocr_application_spark.operators.fixtures import regions
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+IOU_MERGE = 0.5
+
+
+def merge_sweep(boxes: list[tuple[float, float, float, float]]) -> list[tuple[float, float, float, float]]:
+    """Pure fold: sort by (x0, y0, x1, y1); merge successive on IoU>0.5."""
+    if not boxes:
+        return []
+    out: list[list[float]] = []
+    for b in sorted(boxes):
+        if out:
+            c = out[-1]
+            iw = max(0.0, min(c[2], b[2]) - max(c[0], b[0]))
+            ih = max(0.0, min(c[3], b[3]) - max(c[1], b[1]))
+            inter = iw * ih
+            union = (c[2] - c[0]) * (c[3] - c[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+            if union > 0 and inter / union > IOU_MERGE:
+                c[0], c[1] = min(c[0], b[0]), min(c[1], b[1])
+                c[2], c[3] = max(c[2], b[2]), max(c[3], b[3])
+                continue
+        out.append(list(b))
+    return [tuple(b) for b in out]
+
+
+def w5_sweep_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged boxes per document over the regions fixture."""
+    r = regions(spark, sf_dir).select("doc_id", "x0", "y0", "x1", "y1")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc = pdf["doc_id"].iloc[0]
+        merged = merge_sweep(list(zip(pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"])))
+        return pd.DataFrame(
+            [(doc, i, *b) for i, b in enumerate(merged)],
+            columns=["doc_id", "box_id", "x0", "y0", "x1", "y1"],
+        )
+
+    return r.groupBy("doc_id").applyInPandas(
+        fold, schema="doc_id long, box_id int, x0 double, y0 double, x1 double, y1 double"
+    )
+
+
+QUERIES["w5_sweep_merge"] = w5_sweep_merge

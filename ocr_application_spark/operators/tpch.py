@@ -184,3 +184,100 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
+
+
+# --- Q6 style selective filter-aggregate --------------------------------------
+@_q(
+    "q6_revenue_change",
+    """
+    select cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(18,2))) as double) as revenue,
+           count(*) as n_rows
+    from lineitem
+    where l_shipdate >= timestamp '1994-01-01 00:00:00'
+      and l_shipdate < timestamp '1995-01-01 00:00:00'
+      and l_discount between 0.05 and 0.07
+      and l_quantity < 24
+    """,
+)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan: every predicate pushes to the parquet scan (PushedFilters);
+    # the agg is a 1-group partial+final — the canonical scan-bound query.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --- event sessionization (the W2 pattern on a real event stream) -------------
+@_q(
+    "events_sessionize",
+    """
+    with gaps as (
+      select event_id, user_id, ts,
+             case when lag(ts) over w is null then 1
+                  when epoch(ts) - epoch(lag(ts) over w) > 1800 then 1
+                  else 0 end as new_session
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    )
+    select user_id, event_id,
+           sum(new_session) over (partition by user_id
+                                  order by ts, event_id
+                                  rows unbounded preceding) as session_id
+    from gaps
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 30-minute-gap sessionization — the same lag+cumsum shape as W2,
+    # exercised on the events table; one shuffle on user_id reused by
+    # both window passes.
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800, 1)
+        .otherwise(0),
+    )
+    w2 = w.rowsBetween(W.unboundedPreceding, 0)
+    return gaps.select(
+        "user_id", "event_id", F.sum("new_session").over(w2).alias("session_id")
+    )
+
+
+# --- pivot: language distribution per source -----------------------------------
+@_q(
+    "pivot_lang_by_source",
+    """
+    select source,
+           count(case when lang = 'en' then 1 end) as en,
+           count(case when lang = 'fr' then 1 end) as fr,
+           count(case when lang = 'de' then 1 end) as de,
+           count(case when lang = 'es' then 1 end) as es,
+           count(case when lang = 'zh' then 1 end) as zh
+    from documents group by source
+    """,
+)
+def pivot_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # .pivot with an explicit value list: no extra pass to discover
+    # values, single shuffle — the S4 class-routing shape as a query.
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .pivot("lang", ["en", "fr", "de", "es", "zh"])
+        .count()
+        .na.fill(0)
+    )
