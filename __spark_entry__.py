@@ -29,6 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _modules():
     from ocr_application_spark.operators import (
+        ann_ivf,
         dedup,
         forecast,
         kernels_entry,
@@ -49,6 +50,7 @@ def _modules():
         forecast,
         skew,
         sweep_merge,
+        ann_ivf,
         kernels_entry,
     ]
 

@@ -1,0 +1,119 @@
+"""IVF approximate-nearest-neighbor — the 100 TB similarity-search path.
+
+Brute-force cosine (similarity.ann_cosine_topk) is O(Q*N); sign-LSH
+buckets trade recall for cost. IVF is the standard scale design: train a
+small coarse codebook (k-means), partition vectors by nearest centroid
+(the inverted file), and probe only the closest cells at query time —
+candidate count drops from N to N * nprobe / k.
+
+Spark realization: the codebook is trained on a deterministic sample
+with driver-side numpy (a few KB — exactly the broadcast-dimension
+pattern, like the classifier weights), then broadcast; cell assignment
+and probing run as vectorized pandas UDF batches. Rows-only driver
+check; pytest asserts recall against the exact brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+K_CELLS = 16
+N_PROBE = 4
+_TRAIN_MOD = 7  # vec_id % 7 == 0 -> training sample
+_K_TOP = 5
+_QMOD = 100
+
+
+def train_codebook(spark: SparkSession, sf_dir: str, k: int = K_CELLS) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a fixed sample (vec_id % 7 == 0).
+
+    The sample is tiny relative to the corpus (the whole point of IVF);
+    numpy fit on the driver, init = first k sample rows by vec_id.
+    """
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % _TRAIN_MOD == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[:k].copy()
+    for _ in range(8):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: assign all vectors to cells, probe the query's N_PROBE
+    nearest cells, exact cosine within candidates, top-k per query."""
+    cent = train_codebook(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(cent.tobytes())
+    k_cells, dim = cent.shape
+
+    def _cents() -> np.ndarray:
+        return np.frombuffer(bc.value, dtype=np.float64).reshape(k_cells, dim)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(emb: pd.Series) -> pd.Series:
+        c = _cents()
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x @ c.T).argmax(axis=1).astype("int32"))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(emb: pd.Series) -> pd.Series:
+        c = _cents()
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(x @ c.T), axis=1)[:, :N_PROBE].astype("int32")
+        return pd.Series(list(order))
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    indexed = e.select("vec_id", "embedding", cell_of("embedding").alias("cell"))
+    queries = (
+        e.filter(F.col("vec_id") % _QMOD == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probe_cells("embedding")).alias("cell"),
+        )
+    )
+    # candidates: equi-join on cell (the inverted file); at scale `indexed`
+    # is written partitioned by cell so this probes nprobe/k of the data
+    cand = queries.join(indexed, "cell").filter(F.col("q_id") != F.col("vec_id"))
+
+    @F.pandas_udf(T.DoubleType())
+    def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        x = np.stack(a.to_numpy()).astype(np.float64)
+        y = np.stack(b.to_numpy()).astype(np.float64)
+        num = (x * y).sum(axis=1)
+        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-12))
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        cand.withColumn("cos", cosine("q_emb", "embedding"))
+        .select("q_id", F.col("vec_id").alias("cand_id"), "cos")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K_TOP)
+        .select("q_id", "cand_id", "rank", F.col("cos").alias("cos_sim"))
+    )
+
+
+QUERIES["ann_ivf_topk"] = ann_ivf_topk  # rows-only: approximate by design

@@ -556,3 +556,24 @@ def j2_label_value_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_text",
         )
     )
+
+
+# --- F7: table-size filter --------------------------------------------------------
+@_q(
+    "f7_table_size_filter",
+    f"""
+    with {TABLES_CTE}
+    select doc_id, tx0, ty0, tx1, ty1
+    from tables
+    where cast((tx1 - tx0) * (ty1 - ty0) as double) / (1000.0 * 800.0) < 0.9
+    """,
+)
+def f7_table_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: drop detected 'tables' covering >= 90% of the page area
+    (layout_detector.py:474-483) — a false-positive full-page grid is not
+    a table. Pure column arithmetic against the page dimensions."""
+    t = tables(spark, sf_dir)
+    area_ratio = ((F.col("tx1") - F.col("tx0")) * (F.col("ty1") - F.col("ty0"))).cast(
+        "double"
+    ) / (1000.0 * 800.0)
+    return t.filter(area_ratio < 0.9).select("doc_id", "tx0", "ty0", "tx1", "ty1")
