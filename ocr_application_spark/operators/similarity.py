@@ -51,11 +51,13 @@ _QUANT_SQL = "list_transform({c}, x -> cast(round(cast(x as double) * 1000.0, 0)
 
 
 def _dot(a, b):
-    prods = F.transform(
-        F.sequence(F.lit(1), F.lit(DIM)),
-        lambda i: F.element_at(a, i) * F.element_at(b, i),
+    # zip_with binds a/b as lambda-free arguments evaluated once per row;
+    # the element_at(a, i)-over-sequence form re-evaluates the captured
+    # column per element under interpreted HOF eval (O(DIM²) when `a` is
+    # itself an inlined transform, e.g. the quantization)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, x: acc + x
     )
-    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -128,12 +130,12 @@ def _plane_coef(k: int, i: int) -> int:
 
 
 def _lsh_bit(vcol, k: int):
-    prods = F.transform(
-        F.sequence(F.lit(1), F.lit(DIM)),
-        lambda i: F.element_at(vcol, i)
-        * F.element_at(F.lit([_plane_coef(k, i) for i in range(1, DIM + 1)]), i),
+    coefs = F.lit([_plane_coef(k, i) for i in range(1, DIM + 1)])
+    s = F.aggregate(
+        F.zip_with(vcol, coefs, lambda x, c: x * c.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )
-    s = F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
     return F.when(s > 0, F.lit(1 << k)).otherwise(F.lit(0))
 
 
