@@ -410,6 +410,52 @@ def a3_mean_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F11: JSON-block regex extraction --------------------------------------------
+@_q(
+    "f11_json_block_extract",
+    r"""
+    with raw as (
+      select l_orderkey as doc_id, l_linenumber as line_id,
+             'model says: ```json {"mont": ' || cast(l_partkey as varchar)
+               || ', "qte": ' || cast(cast(l_quantity as int) as varchar)
+               || '} ``` end' as reply
+      from lineitem
+    ),
+    blk as (
+      select doc_id, line_id,
+             regexp_extract(reply, '```json\s*(\{.*?\})\s*```', 1) as block
+      from raw
+    )
+    select doc_id, line_id,
+           cast(json_extract(block, '$.mont') as bigint) as montant,
+           cast(json_extract(block, '$.qte') as int) as quantite
+    from blk
+    """,
+)
+def f11_json_block_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: pull the ```json {...}``` block out of freeform model output
+    with a regex, then parse it against a fixed schema
+    (tarification_pipeline.py:138-142) — regexp_extract + from_json,
+    both codegen'd built-ins; the fixture reply string is rebuilt
+    identically in both engines from lineitem columns."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    reply = F.concat(
+        F.lit('model says: ```json {"mont": '),
+        F.col("l_partkey").cast("string"),
+        F.lit(', "qte": '),
+        F.col("l_quantity").cast("int").cast("string"),
+        F.lit("} ``` end"),
+    )
+    block = F.regexp_extract(reply, r"```json\s*(\{.*?\})\s*```", 1)
+    parsed = F.from_json(block, "mont bigint, qte int")
+    return li.select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.col("l_linenumber").alias("line_id"),
+        parsed["mont"].alias("montant"),
+        parsed["qte"].alias("quantite"),
+    )
+
+
 # --- A4: monthly group-by sum ----------------------------------------------------
 @_q(
     "a4_monthly_sums",
