@@ -89,6 +89,11 @@ def main() -> None:
         "skew_salted_host_stats",
         "pipeline_extract_digest",
         "forecast_linear",
+        "q6_revenue_change",
+        "events_sessionize",
+        "emb_neardup_pairs",
+        "text_fingerprint",
+        "f11_json_block_extract",
     ]
 
     def run(name: str) -> None:

