@@ -62,6 +62,43 @@ def stream_metrics(extracted: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+def stateful_host_progress(extracted: DataFrame) -> DataFrame:
+    """Custom stateful operator: cumulative per-host crawl progress.
+
+    ``applyInPandasWithState`` keeps (n_docs, n_chars) per host across
+    micro-batches and emits the running total each time the host appears
+    — the stateful analog of the reference's per-topic offset/commit
+    bookkeeping (extraction_service/app/kafka/consumer.py:44-46), which
+    tracked progress implicitly in Kafka offsets. Update output mode;
+    state is tiny (two longs per host) so it shards by host across
+    executors with no skew concern — heavy hosts mean more *input* rows
+    per key, not more state.
+    """
+    import pandas as pd  # local: keep module import-light for spark-submit
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)/", 1)
+    keyed = extracted.select(host.alias("host"), "n_chars")
+
+    def track(key, pdfs, state: GroupState):
+        n_docs, n_chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            n_chars += int(pdf["n_chars"].sum())
+        state.update((n_docs, n_chars))
+        yield pd.DataFrame(
+            {"host": [key[0]], "n_docs": [n_docs], "n_chars": [n_chars]}
+        )
+
+    return keyed.groupBy("host").applyInPandasWithState(
+        track,
+        outputStructType="host string, n_docs long, n_chars long",
+        stateStructType="n_docs long, n_chars long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_table(
     spark: SparkSession,
     input_path: str,

@@ -47,3 +47,43 @@ def test_stream_metrics_windowing(spark, tmpdir_scratch):
     # micro-batch the tail windows stay open, so check totals bounds
     assert sum(r.n_docs for r in rows) <= N
     assert all(r.method in ("html", "pdf", "passthrough", "empty") for r in rows)
+
+
+def test_stateful_host_progress(spark, tmpdir_scratch):
+    from pyspark.sql import functions as F
+
+    from ocr_application_spark.streaming.stream import stateful_host_progress
+
+    inp = tmpdir_scratch + "/in"
+    # 8 files -> 4 micro-batches at maxFilesPerTrigger=2: state must
+    # carry across batches, not just within one
+    synth_pages(spark, N).repartition(8).write.parquet(inp)
+
+    prog = stateful_host_progress(stream_extract(stream_pages(spark, inp, max_files=2)))
+    q = (
+        prog.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("host_prog")
+        .option("checkpointLocation", tmpdir_scratch + "/ckpt3")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # last emitted row per host == cumulative total == batch ground truth
+    emitted = spark.sql(
+        "select host, max(n_docs) as n_docs, max(n_chars) as n_chars "
+        "from host_prog group by host"
+    ).collect()
+    batch = (
+        extract_pages(synth_pages(spark, N))
+        .select(
+            F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host"), "n_chars"
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+        .collect()
+    )
+    want = {(r.host, r.n_docs, r.n_chars) for r in batch}
+    got = {(r.host, r.n_docs, r.n_chars) for r in emitted}
+    assert got == want
