@@ -104,15 +104,26 @@ def _h60(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+# document-frequency cap on posting lists: a shingle shared by >64 docs is
+# boilerplate (no dedup signal) and its pair fan-out is quadratic — the
+# skew guard that keeps the pair explosion bounded per posting at corpus
+# scale. Applied identically in both engines (exact parity).
+_MAX_POSTING = 64
+
 @_q(
     "dedup_ngram_jaccard",
     f"""
     with {_SHINGLES_CTE},
     hsh as (select doc_id, {_H60_SQL_DUCK} as h from shingles),
     sizes as (select doc_id, count(*) as n_sh from hsh group by doc_id),
+    capped as (
+      select doc_id, h from hsh
+      where h in (select h from hsh group by h
+                  having count(*) between 2 and {_MAX_POSTING})
+    ),
     inter as (
       select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
-      from hsh a join hsh b
+      from capped a join capped b
         on a.h = b.h and a.doc_id < b.doc_id
       group by a.doc_id, b.doc_id
     )
@@ -132,8 +143,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Versus a shingle self-join this drops one full shuffle and the
     sort-merge of the two shingle tables — at corpus scale the posting-list
     groupBy is the only wide exchange over raw shingle volume. Mega-postings
-    (boilerplate shingles) are the skew risk at 100 TB: cap or salt
-    posting-list length before pair emission (here sizes are bounded)."""
+    (boilerplate shingles) are the skew hazard at 100 TB: the _MAX_POSTING
+    document-frequency cap drops them before pair emission (such shingles
+    carry no dedup signal; denominators n_sh stay uncapped)."""
     arr = _shingle_arr(_docs(spark, sf_dir))
     # carry n_sh THROUGH the posting list (struct<doc_id, n_sh>) so no
     # separate `sizes` relation exists — a sizes side-plan would recompute
@@ -145,7 +157,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = (
         sh.groupBy("h")
         .agg(F.array_sort(F.collect_list("d")).alias("docs"))
-        .filter(F.size("docs") > 1)
+        .filter(F.size("docs").between(2, _MAX_POSTING))
     )
     ds = F.col("docs")
     pair_structs = F.flatten(
