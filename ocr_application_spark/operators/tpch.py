@@ -219,6 +219,72 @@ def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q4 style exists semi-join -------------------------------------------------
+@_q(
+    "q4_priority_semijoin",
+    """
+    select o_orderpriority, count(*) as order_count
+    from orders o
+    where exists (select 1 from lineitem l
+                  where l.l_orderkey = o.o_orderkey and l.l_returnflag = 'R')
+    group by o_orderpriority
+    """,
+)
+def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan: LEFT SEMI hash join (exists -> semi, never a distinct+inner
+    # that would materialize duplicates), returnflag filter pushed to the
+    # lineitem scan, then a tiny group-by on priority.
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --- Q10 style returned-item customer ranking ----------------------------------
+@_q(
+    "q10_returned_customers",
+    """
+    select c_custkey, c_name, n_name,
+           cast(sum(cast(l_extendedprice as decimal(18,2))
+                    * (1 - cast(l_discount as decimal(18,2)))) as double) as revenue
+    from customer
+      join orders on c_custkey = o_custkey
+      join lineitem on l_orderkey = o_orderkey
+      join nation on c_nationkey = n_nationkey
+    where l_returnflag = 'R'
+    group by c_custkey, c_name, n_name
+    order by sum(cast(l_extendedprice as decimal(18,2))
+                 * (1 - cast(l_discount as decimal(18,2)))) desc, c_custkey
+    limit 20
+    """,
+)
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan: lineitem (big, filtered at scan) shuffles once onto orderkey;
+    # customer joins on custkey; nation broadcasts; TakeOrderedAndProject
+    # caps the result without a full sort. Ordering key is the exact
+    # decimal sum (identical in both engines), ties broken by custkey.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(
+        F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount").cast(_DEC))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("rev_dec"))
+        .orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", F.col("rev_dec").cast("double").alias("revenue"))
+    )
+
+
 # --- event sessionization (the W2 pattern on a real event stream) -------------
 @_q(
     "events_sessionize",

@@ -68,6 +68,18 @@ def test_j3_j4_are_not_cartesian(spark):
         assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), name
 
 
+def test_q4_uses_semi_join(spark):
+    plan = plan_of(spark, "q4_priority_semijoin")
+    assert "LeftSemi" in plan, plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_returnflag", plan), plan
+
+
+def test_q10_take_ordered_and_broadcast_nation(spark):
+    plan = plan_of(spark, "q10_returned_customers")
+    assert "TakeOrderedAndProject" in plan  # limit fused, no global sort
+    assert "BroadcastHashJoin" in plan  # nation dim ships, never shuffles
+
+
 def test_w3_topk_uses_window_group_limit(spark):
     plan = plan_of(spark, "w3_topk_area")
     assert "WindowGroupLimit" in plan
