@@ -86,6 +86,49 @@ def forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The estimator is closed-form (lag-1 autocovariance ratio), so even
+# though the Spark side is a grouped-map model-fit kernel, its VALUES
+# have an exact SQL twin: mu = avg(y); phi = Σ d_t·d_{t-1} / Σ d_{t-1}²
+# over lagged pairs; h-step forecast = mu + (y_last - mu)·phi^h.
+# Float sums may differ in association order across engines — the
+# harness's 1e-9 relative tolerance covers that.
+_AR1_ORACLE = """
+with monthly as (
+  select event_type, cast(date_trunc('month', ts) as date) as month,
+         sum(value) as y
+  from events group by 1, 2
+),
+mus as (
+  select event_type, avg(y) as mu, count(*) as n from monthly group by 1
+),
+lagged as (
+  select m.event_type, m.y, mu,
+         lag(m.y) over (partition by m.event_type order by m.month) as y_prev
+  from monthly m join mus using (event_type)
+),
+fit as (
+  -- no WHERE on y_prev: a single-month series must survive with
+  -- num = den = 0 (phi -> 0), matching the kernel's denom-guard branch
+  select event_type, any_value(mu) as mu,
+         coalesce(sum(case when y_prev is not null
+                           then (y - mu) * (y_prev - mu) end), 0.0) as num,
+         coalesce(sum(case when y_prev is not null
+                           then (y_prev - mu) * (y_prev - mu) end), 0.0) as den
+  from lagged group by event_type
+),
+lasts as (
+  select event_type, last(y order by month) as y_last from monthly group by 1
+)
+select f.event_type,
+       case when den > 0 then num / den else 0.0 end as phi,
+       mu as mean_y,
+       mu + (y_last - mu) * pow(case when den > 0 then num / den else 0.0 end, 1) as h1,
+       mu + (y_last - mu) * pow(case when den > 0 then num / den else 0.0 end, 2) as h2,
+       mu + (y_last - mu) * pow(case when den > 0 then num / den else 0.0 end, 3) as h3
+from fit f join lasts using (event_type)
+"""
+
+
 def forecast_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AR(1) per event_type over the monthly series, fit in a grouped-map
     pandas kernel (the reference's ARIMA analog): phi from lag-1
@@ -118,4 +161,5 @@ def forecast_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.groupBy("event_type").applyInPandas(fit, schema=schema)
 
 
-QUERIES["forecast_ar1"] = forecast_ar1  # rows-only: model fit, not SQL-expressible
+QUERIES["forecast_ar1"] = forecast_ar1
+ORACLES["forecast_ar1"] = _AR1_ORACLE  # closed-form estimator, SQL twin
