@@ -65,6 +65,14 @@ BLOCK_TAGS = frozenset(
 # Candidate main-content containers, scored against each other.
 CANDIDATE_TAGS = frozenset({"article", "main", "section", "div", "body"})
 
+def _digit_count(s: str) -> int:
+    """ASCII-digit count — ten C-level str.count passes, ~20x a per-char
+    isdigit genexpr. Deliberately ASCII-only (deterministic spec choice),
+    used by ALL THREE branches so the digit_ratio feature is consistent
+    html/pdf/passthrough."""
+    return sum(map(s.count, "0123456789"))
+
+
 def _norm_ws(s: str) -> str:
     """Collapse all whitespace runs to single spaces and strip.
 
@@ -115,7 +123,7 @@ _TAG_RE = re.compile(
     r"|!\[CDATA\[.*?\]\]>"
     r"|![^>]*>"
     r"|\?[^>]*>"
-    r"|(?P<close>/)?(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*)[^>]*?(?P<selfc>/)?\s*>"
+    r"|(?P<close>/\s*)?(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*)[^>]*?(?P<selfc>/)?\s*>"
     r")",
     re.S,
 )
@@ -301,10 +309,7 @@ def extract_html(raw: bytes) -> tuple[str, dict]:
         "link_density": float(
             (parser.candidates[0].link_chars / total_chars) if parser.candidates else 0.0
         ),
-        # ten C-level str.count passes beat a per-char isdigit genexpr ~20x
-        "digit_ratio": float(
-            sum(map(text.count, "0123456789")) / max(1, len(text))
-        ),
+        "digit_ratio": float(_digit_count(text) / max(1, len(text))),
     }
     return text, feats
 
@@ -413,7 +418,7 @@ def extract_pdf(raw: bytes) -> tuple[str, dict]:
         "n_inputs": 0.0,
         "text_len": float(len(text)),
         "link_density": 0.0,
-        "digit_ratio": float(sum(ch.isdigit() for ch in text) / max(1, len(text))),
+        "digit_ratio": float(_digit_count(text) / max(1, len(text))),
     }
     return text, feats
 
@@ -446,7 +451,7 @@ def extract_document(html: bytes | None, text: str | None) -> dict:
             out = repair_mojibake(_norm_ws(text))
             feats = dict.fromkeys(FEATURE_NAMES, 0.0)
             feats["text_len"] = float(len(out))
-            feats["digit_ratio"] = float(sum(c.isdigit() for c in out) / max(1, len(out)))
+            feats["digit_ratio"] = float(_digit_count(out) / max(1, len(out)))
             method = "passthrough"
         else:
             out, feats, method = "", dict.fromkeys(FEATURE_NAMES, 0.0), "empty"

@@ -8,7 +8,8 @@ remboursement series (tarification_pipeline.py:255-263,299-304). Here:
   (n, Σx, Σy, Σxy, Σx²), so it has an exact DuckDB oracle: the only
   float ops are final divisions on identical inputs.
 * ``forecast_ar1`` — per-series AR(1) via ``applyInPandas`` (grouped-map
-  kernel; model fitting is not a Catalyst op) — rows-only check.
+  kernel; model fitting is not a Catalyst op). The estimator is
+  closed-form, so it still gets an exact SQL oracle (below).
 """
 
 from __future__ import annotations
@@ -95,7 +96,7 @@ def forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AR1_ORACLE = """
 with monthly as (
   select event_type, cast(date_trunc('month', ts) as date) as month,
-         sum(value) as y
+         cast(sum(cast(value as decimal(18,2))) as double) as y
   from events group by 1, 2
 ),
 mus as (
@@ -138,7 +139,9 @@ def forecast_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(
             "event_type", F.date_trunc("month", "ts").cast("date").alias("month")
         )
-        .agg(F.sum("value").alias("y"))
+        # decimal sum -> double: bit-identical y in both engines, so the
+        # float estimator sees the same inputs (cf. forecast_linear)
+        .agg(F.sum(F.col("value").cast(_DEC)).cast("double").alias("y"))
     )
 
     schema = "event_type string, phi double, mean_y double, h1 double, h2 double, h3 double"

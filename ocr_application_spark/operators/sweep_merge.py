@@ -9,7 +9,7 @@ escape hatch; work stays per-document, one shuffle on doc_id. (Dead code
 in the reference — never called — but part of the API surface per
 SURVEY §2.5.)
 
-Rows-only driver check (sequential-fold semantics, not SQL-expressible)
+Oracle-checked via a recursive-CTE twin of the fold (bottom of file)
 + deterministic unit tests.
 """
 
@@ -18,7 +18,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ocr_application_spark.operators.fixtures import regions
+from ocr_application_spark.operators.fixtures import REGIONS_CTE, regions
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -83,8 +83,6 @@ def _iou_gt_half(last: str, nb: str) -> str:
 
 
 _LAST = "out[len(out)]"
-
-from ocr_application_spark.operators.fixtures import REGIONS_CTE  # noqa: E402
 
 ORACLES["w5_sweep_merge"] = f"""
 with recursive {REGIONS_CTE},

@@ -77,7 +77,9 @@ def stateful_host_progress(extracted: DataFrame) -> DataFrame:
     import pandas as pd  # local: keep module import-light for spark-submit
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)/", 1)
+    # parse_url handles path-less urls and case-insensitive schemes that
+    # a '://host/' regex misses (no trailing slash -> empty-host key)
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
     keyed = extracted.select(host.alias("host"), "n_chars")
 
     def track(key, pdfs, state: GroupState):

@@ -21,8 +21,6 @@ import contextlib
 import io
 import re
 
-import pytest
-
 import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"

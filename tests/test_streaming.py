@@ -78,7 +78,7 @@ def test_stateful_host_progress(spark, tmpdir_scratch):
     batch = (
         extract_pages(synth_pages(spark, N))
         .select(
-            F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host"), "n_chars"
+            F.parse_url("url", F.lit("HOST")).alias("host"), "n_chars"
         )
         .groupBy("host")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
