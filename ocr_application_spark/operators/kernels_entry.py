@@ -7,10 +7,11 @@ can reconstruct the expected extracted text (title block + 25-word
 paragraph chunks) and hash it with sha256 — a value-level cross-engine
 check of the entire kernel path, not just a row count.
 
-``classify_distribution`` and ``multimodal_features`` exercise the
-classifier and the binary-payload plumbing; their semantics live in
-Python kernels (model weights / payload decode), so they get the
-driver's rows-only check.
+``multimodal_features`` exercises the binary-payload plumbing with a
+deterministic stand-in decode, so it too is value-checked in SQL.
+``classify_distribution`` stays rows-only: the model's argmax sits on
+float log1p/softmax boundaries where a cross-engine ulp difference
+could flip a class, so an "exact" SQL twin would be a flaky oracle.
 """
 
 from __future__ import annotations
@@ -85,12 +86,26 @@ def classify_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["classify_distribution"] = classify_distribution
 
 
+@_q(
+    "multimodal_features",
+    """
+    select doc_id,
+           cast(octet_length(encode(text)) as int) as n_bytes,
+           cast(octet_length(encode(text)) % 640 as int) as width,
+           cast(octet_length(encode(text)) % 480 as int) as height,
+           substr(sha256(text), 1, 16) as checksum
+    from documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: treat document bytes as an opaque binary
     payload column and run a feature-extraction kernel over mapInPandas
     (batch shape, schema, partitioning are real; the decode itself is a
     deterministic stand-in since no image libs ship in this container —
-    marked STUB). Rows-only check."""
+    marked STUB). Because the stand-in is deterministic (sha256 +
+    size-derived dims), the whole binary-payload path is value-checked:
+    DuckDB's sha256(varchar) hashes the same utf-8 bytes the kernel
+    receives from encode(text)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     payloads = d.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), F.lit("text/plain").alias("mime")
@@ -118,6 +133,3 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(feats, schema=schema)
-
-
-QUERIES["multimodal_features"] = multimodal_features
