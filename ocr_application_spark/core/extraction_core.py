@@ -190,7 +190,9 @@ class _MainContentParser:
             self.link_depth = max(0, self.link_depth - 1)
         if tag in BLOCK_TAGS and self.block_stack:
             parts = self.block_stack.pop()
-            text = _norm_ws(" ".join(parts))
+            # parts are whitespace-free tokens (handle_data pre-splits),
+            # so the single join IS the normalized block text
+            text = " ".join(parts)
             if text:
                 for cand in self.cand_stack:
                     cand.blocks.append(text)
@@ -203,10 +205,13 @@ class _MainContentParser:
     def handle_data(self, data):
         if self.kill_depth or not data:
             return
-        if self.block_stack:
-            self.block_stack[-1].append(data)
         parts = data.split()
         if parts:
+            # blocks buffer tokens, not raw chunks: ws-normalization then
+            # happens once here instead of re-splitting the whole block
+            # text at the end tag (== _norm_ws(" ".join(raw_chunks)))
+            if self.block_stack:
+                self.block_stack[-1].extend(parts)
             # == len(_norm_ws(data)) without building the joined string
             n = sum(map(len, parts)) + len(parts) - 1
             for cand in self.cand_stack:
@@ -214,9 +219,15 @@ class _MainContentParser:
                 if self.link_depth:
                     cand.link_chars += n
 
-    # -- driver ------------------------------------------------------------
-    def run(self, html: str) -> None:
-        """One-pass regex tokenize + event dispatch (replaces feed/close)."""
+    # -- drivers -----------------------------------------------------------
+    def run_dispatch(self, html: str) -> None:
+        """Reference driver: one-pass regex tokenize + method dispatch.
+
+        Kept as the readable spec of the event semantics; ``run`` below
+        is the hot-path twin with the same events inlined as closures
+        over local state (method-call + self-attribute overhead was
+        ~20% of kernel CPU at ~75 events/doc). A differential pytest
+        (test_extraction_core.py) holds the two byte-identical."""
         pos = 0
         search = _TAG_RE.search
         unescape_needed = "&" in html
@@ -255,6 +266,147 @@ class _MainContentParser:
             if unescape_needed and "&" in data:
                 data = unescape(data)
             self.handle_data(data)
+
+    def run(self, html: str) -> None:
+        """Hot-path driver: same events as ``run_dispatch``, fully inlined
+        over pure locals (written back once at the end).
+
+        Two event identities let the inline version skip work the
+        dispatch version provably throws away:
+        * raw elements (script/style) are KILL_TAGS, so kill_depth >= 1
+          for their entire content — every ``handle_data`` inside is a
+          no-op; only the kill_depth decrement of the end tag survives;
+        * data arriving while kill_depth > 0 is dropped by handle_data,
+          so the slice + unescape preceding it can be skipped.
+        The differential property test pins run == run_dispatch."""
+        pos = 0
+        search = _TAG_RE.search
+        unescape_needed = "&" in html
+        kill_depth = self.kill_depth
+        link_depth = self.link_depth
+        block_stack = self.block_stack
+        cand_stack = self.cand_stack
+        candidates = self.candidates
+        n_links = self.n_links
+        n_tables = self.n_tables
+        n_inputs = self.n_inputs
+        order = self.order
+        kill_tags, block_tags, cand_tags = KILL_TAGS, BLOCK_TAGS, CANDIDATE_TAGS
+
+        while True:
+            m = search(html, pos)
+            if m is None:
+                break
+            start, end = m.span()
+            if start > pos and not kill_depth:
+                # == handle_data (between-tags site)
+                data = html[pos:start]
+                if unescape_needed and "&" in data:
+                    data = unescape(data)
+                parts = data.split()
+                if parts:
+                    if block_stack:
+                        block_stack[-1].extend(parts)
+                    nch = sum(map(len, parts)) + len(parts) - 1
+                    for cand in cand_stack:
+                        cand.text_chars += nch
+                        if link_depth:
+                            cand.link_chars += nch
+            pos = end
+            close, name, selfc = m.group(1, 2, 3)  # close / name / selfc
+            if name is None:  # comment / doctype / PI / CDATA
+                continue
+            name = name.lower()
+            if close:
+                # == handle_endtag
+                if name in kill_tags:
+                    if kill_depth > 0:
+                        kill_depth -= 1
+                elif not kill_depth:
+                    if name == "a":
+                        if link_depth > 0:
+                            link_depth -= 1
+                    if name in block_tags and block_stack:
+                        parts = block_stack.pop()
+                        text = " ".join(parts)  # tokens: join == normalize
+                        if text:
+                            is_p = name == "p"
+                            for cand in cand_stack:
+                                cand.blocks.append(text)
+                                if is_p:
+                                    cand.p_count += 1
+                    if name in cand_tags and cand_stack:
+                        cand_stack.pop()
+                continue
+            # == handle_starttag (structural counts are page-global)
+            if name == "a":
+                n_links += 1
+            elif name == "table":
+                n_tables += 1
+            elif name in ("input", "select", "textarea", "button"):
+                n_inputs += 1
+            if name in kill_tags:
+                kill_depth += 1
+                if selfc:  # self-closed kill tag: immediate end event
+                    kill_depth -= 1
+                elif name in _RAW_CLOSE:
+                    # raw content: kill_depth >= 1, so data events inside
+                    # are no-ops — just skip to the closer and pop kill
+                    closer = _RAW_CLOSE[name].search(html, pos)
+                    if closer is None:  # unterminated: rest is dropped CDATA
+                        kill_depth -= 1
+                        pos = len(html)
+                        break
+                    kill_depth -= 1
+                    pos = closer.end()
+                continue
+            if not kill_depth:
+                if name == "a":
+                    link_depth += 1
+                if name in cand_tags:
+                    order += 1
+                    cand = _Candidate(order=order)
+                    cand_stack.append(cand)
+                    candidates.append(cand)
+                if name in block_tags:
+                    block_stack.append([])
+            if selfc:
+                # == handle_endtag for the self-closed tag (not a kill tag)
+                if not kill_depth:
+                    if name == "a":
+                        if link_depth > 0:
+                            link_depth -= 1
+                    if name in block_tags and block_stack:
+                        parts = block_stack.pop()
+                        text = " ".join(parts)  # tokens: join == normalize
+                        if text:
+                            is_p = name == "p"
+                            for cand in cand_stack:
+                                cand.blocks.append(text)
+                                if is_p:
+                                    cand.p_count += 1
+                    if name in cand_tags and cand_stack:
+                        cand_stack.pop()
+        if pos < len(html) and not kill_depth:
+            # == handle_data (tail site)
+            data = html[pos:]
+            if unescape_needed and "&" in data:
+                data = unescape(data)
+            parts = data.split()
+            if parts:
+                if block_stack:
+                    block_stack[-1].extend(parts)
+                nch = sum(map(len, parts)) + len(parts) - 1
+                for cand in cand_stack:
+                    cand.text_chars += nch
+                    if link_depth:
+                        cand.link_chars += nch
+        self.kill_depth = kill_depth
+        self.link_depth = link_depth
+        self.n_links = n_links
+        self.n_tables = n_tables
+        self.n_inputs = n_inputs
+        self.order = order
 
 
 def sniff_charset(raw: bytes) -> str:

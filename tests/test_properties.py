@@ -115,3 +115,44 @@ def test_pdf_payload_fuzz_never_crashes():
                 ("%FPDF1 100\n" + json.dumps({"x0": 1}) + "\n").encode()]:
         rec = extract_document(raw, None)
         assert rec["status"] == "success" or rec["status"].startswith("error")
+
+
+# -- inlined hot-path driver == dispatch reference driver --------------------
+
+_HTML_CHUNK = st.one_of(
+    st.text(alphabet="ab <>&;/=\"'x1éأ\n\tp", max_size=12),
+    st.sampled_from(
+        [
+            "<p>", "</p>", "<div>", "</div>", "<article>", "</article>",
+            "<a href='/x'>", "</a>", "<nav>", "</nav>", "<script>", "</script>",
+            "<script>var a='</p>';</script>", "<br/>", "<input/>", "<table>",
+            "</table>", "<td>", "</td>", "<!-- c -->", "<![CDATA[z]]>",
+            "&amp;", "&lt;p&gt;", "text 42", "<style>p{}</style>", "<SCRIPT>",
+            "<p >", "</ p>", "<h2>", "</h2>", "<li>", "</li>", "<form>", "</form>",
+        ]
+    ),
+)
+
+
+@given(st.lists(_HTML_CHUNK, max_size=40).map("".join))
+@settings(max_examples=300, deadline=None)
+def test_run_matches_dispatch_reference(html):
+    """The locals-inlined `run` must produce the exact same parser state
+    as the readable `run_dispatch` spec on arbitrary tag soup."""
+    from ocr_application_spark.core.extraction_core import _MainContentParser
+
+    a, b = _MainContentParser(), _MainContentParser()
+    a.run(html)
+    b.run_dispatch(html)
+
+    def state(p):
+        return (
+            p.kill_depth, p.link_depth, p.n_links, p.n_tables, p.n_inputs,
+            p.order,
+            [(c.order, c.blocks, c.text_chars, c.link_chars, c.p_count)
+             for c in p.candidates],
+            [c.order for c in p.cand_stack],
+            p.block_stack,
+        )
+
+    assert state(a) == state(b)
