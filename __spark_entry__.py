@@ -39,6 +39,7 @@ def _modules():
         sweep_merge,
         textfns,
         tpch,
+        urlops,
     )
 
     return [
@@ -52,6 +53,7 @@ def _modules():
         sweep_merge,
         ann_ivf,
         kernels_entry,
+        urlops,
     ]
 
 

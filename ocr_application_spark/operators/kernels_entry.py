@@ -74,13 +74,28 @@ def pipeline_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def classify_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-routing counts from the broadcast-weights classifier
-    (K1 analog) — rows-only (model semantics live in the kernel)."""
+    (K1 analog) — rows-only (model semantics live in the kernel).
+
+    Input is the driver's documents table (uniform article-like prose,
+    which the model routes to one class) unioned with the deterministic
+    synthetic corpus whose invoice/form/link-farm page mix exercises all
+    four routes — so this query actually checks the 4-way routing, not a
+    single degenerate bucket."""
     from ocr_application_spark.datagen.docwrap import documents_as_pages
     from ocr_application_spark.pipeline import extract_pages
+    from ocr_application_spark.sources.webpages import synth_pages
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = extract_pages(documents_as_pages(docs))
-    return out.groupBy("doc_class").agg(F.count("*").alias("n_docs"))
+    pages = documents_as_pages(docs).unionByName(synth_pages(spark, 2000))
+    out = extract_pages(pages)
+    return (
+        out.groupBy("doc_class")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("confidence"), 4).alias("avg_conf"),
+        )
+        .orderBy("doc_class")
+    )
 
 
 QUERIES["classify_distribution"] = classify_distribution

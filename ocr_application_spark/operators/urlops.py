@@ -1,0 +1,179 @@
+"""URL canonicalization — the web-corpus identity operator.
+
+A Common-Crawl-scale pipeline dedups and joins on a *canonical* URL:
+scheme/host case, default ports, tracking params, param order, and
+fragments must not split one logical document into many keys (the
+reference keys its per-document artifacts by filename stem the same way
+— extraction_service/app/ocr/extractor.py builds one id per source doc;
+here url IS the document id per the input_hint, so canonicalization is
+the id-hygiene layer in front of dedup_exact / lineage bucketing).
+
+Pure built-in column expressions (codegen'd, no UDF) with an exact
+DuckDB oracle. The messy input URLs are derived deterministically from
+``documents`` rows in both engines (no RNG, no external data): doc_id
+parity drives case noise, :443 ports, utm params, param order, and
+fragments, and path uses doc_id//2 so each canonical key appears ~2x —
+the canonicalizer must collapse exactly those pairs.
+
+Scale note: canonicalization is a narrow map — no shuffle, fully
+pushed into the scan stage; the dedup-count aggregation shuffles on the
+canonical key, which is the *intended* partitioning key downstream
+(url-hash bucketing, sources/webpages.py), so the exchange is reused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- messy-URL synthesis (twin expressions, exact string arithmetic) --------
+
+_RAW_SQL = """
+    (case when doc_id % 3 = 0 then 'HTTPS' else 'https' end
+     || '://'
+     || case when doc_id % 3 = 0 then 'WWW.' else '' end
+     || 'Host' || cast((doc_id // 2) % 10 as varchar) || '.Example.COM'
+     || case when doc_id % 5 = 0 then ':443' else '' end
+     || '/Docs/' || cast(doc_id // 2 as varchar)
+     || '?'
+     || case when doc_id % 2 = 0
+             then 'a=s' || cast((doc_id // 2) % 7 as varchar)
+                  || '&b=v' || cast((doc_id // 2) % 11 as varchar)
+             else 'b=v' || cast((doc_id // 2) % 11 as varchar)
+                  || '&a=s' || cast((doc_id // 2) % 7 as varchar) end
+     || case when doc_id % 4 = 0 then '&utm_source=feed' else '' end
+     || case when doc_id % 2 = 0
+             then '#sec' || cast(doc_id % 7 as varchar) else '' end)
+"""
+
+
+def _raw_url() -> Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Host"), (F.floor(d / 2) % 10).cast("string"), F.lit(".Example.COM"),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"), F.floor(d / 2).cast("string"),
+        F.lit("?"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("a=s"), (F.floor(d / 2) % 7).cast("string"),
+                F.lit("&b=v"), (F.floor(d / 2) % 11).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("b=v"), (F.floor(d / 2) % 11).cast("string"),
+                F.lit("&a=s"), (F.floor(d / 2) % 7).cast("string"),
+            )
+        ),
+        F.when(d % 4 == 0, F.lit("&utm_source=feed")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.concat(F.lit("#sec"), (d % 7).cast("string"))).otherwise(F.lit("")),
+    )
+
+
+# --- the canonicalizer (generic over any url string) ------------------------
+
+def canonical_url(u: Column) -> Column:
+    """Canonical form: lowercase scheme+host, strip www. prefix, drop
+    https default port, drop fragment, drop utm_* params, sort the rest.
+
+    Generic column expression — used by queries here and reusable in
+    front of dedup_exact / bucketing. Path case is preserved (RFC 3986:
+    path is case-sensitive, scheme/host are not).
+    """
+    scheme = F.lower(F.regexp_extract(u, r"^([^:]+)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]*)", 1))
+    host = F.regexp_replace(F.regexp_replace(hostport, r"^www\.", ""), r":443$", "")
+    path = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    qstr = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qstr, "&"),
+            lambda x: (x != "") & (F.substring(x, 1, 4) != "utm_"),
+        )
+    )
+    query = F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, F.lit("://"), host, path, query)
+
+
+_CANON_SQL = """
+    (lower(regexp_extract({u}, '^([^:]+)://', 1))
+     || '://'
+     || regexp_replace(regexp_replace(
+            lower(regexp_extract({u}, '^[^:]+://([^/?#]*)', 1)),
+            '^www\\.', ''), ':443$', '')
+     || regexp_extract({u}, '^[^:]+://[^/?#]*([^?#]*)', 1)
+     || case when len(list_filter(string_split(regexp_extract({u}, '\\?([^#]*)', 1), '&'),
+                        x -> x <> '' and substring(x, 1, 4) <> 'utm_')) > 0
+             then '?' || array_to_string(
+                    list_sort(list_filter(
+                        string_split(regexp_extract({u}, '\\?([^#]*)', 1), '&'),
+                        x -> x <> '' and substring(x, 1, 4) <> 'utm_')), '&')
+             else '' end)
+"""
+
+
+@_q(
+    "url_canonicalize",
+    f"""
+    with raw as (
+      select doc_id, {_RAW_SQL} as url_raw from documents
+    )
+    select doc_id, url_raw, {_CANON_SQL.format(u='url_raw')} as url_canonical
+    from raw
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row canonicalization of deterministically-messy URLs."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = d.select("doc_id", _raw_url().alias("url_raw"))
+    return raw.select("doc_id", "url_raw", canonical_url(F.col("url_raw")).alias("url_canonical"))
+
+
+@_q(
+    "url_canonical_dupes",
+    f"""
+    with raw as (
+      select doc_id, {_RAW_SQL} as url_raw from documents
+    ),
+    canon as (
+      select doc_id, {_CANON_SQL.format(u='url_raw')} as url_canonical from raw
+    )
+    select url_canonical,
+           count(*) as n_raw,
+           min(doc_id) as keeper_doc_id
+    from canon
+    group by url_canonical
+    having count(*) > 1
+    """,
+)
+def url_canonical_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups the canonicalizer must collapse (doc_id//2 pairs whose raw
+    urls differ only in case/port/utm/fragment/param-order noise) with
+    the min-doc_id keeper — the exact-dedup front door."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    canon = d.select("doc_id", canonical_url(_raw_url()).alias("url_canonical"))
+    return (
+        canon.groupBy("url_canonical")
+        .agg(F.count("*").alias("n_raw"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_raw") > 1)
+    )
