@@ -148,3 +148,56 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(feats, schema=schema)
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+    select doc_id,
+           u.i as frame_no,
+           length(substring(text, u.i * 600 + 1, 200)) as frame_chars,
+           substr(sha256(substring(text, u.i * 600 + 1, 200)), 1, 16) as frame_checksum
+    from documents,
+         unnest(range(0, cast(ceil(length(text) / 600.0) as int))) u(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque payload column: one binary in, many
+    frame rows out (the explode-shaped multimodal kernel — video frame
+    extraction / audio windowing have exactly this Spark plumbing).
+
+    The kernel decodes the payload (STUB: utf-8 text stand-in for a real
+    container demuxer) and samples the leading 200 chars of each
+    600-char stride. Deterministic -> exact DuckDB oracle, including the
+    per-frame sha256. Scale: narrow mapInPandas, output fans out ~len/600
+    rows per doc with no shuffle; frame rows inherit the input's
+    partitioning for downstream per-frame batch inference."""
+    import hashlib
+    import math
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    schema = "doc_id long, frame_no long, frame_chars int, frame_checksum string"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, nos = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = payload.decode("utf-8")  # STUB decode (see above)
+                for i in range(math.ceil(len(text) / 600)):
+                    ids.append(doc_id)
+                    nos.append(i)
+                    frames.append(text[i * 600 : i * 600 + 200])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": nos,
+                    "frame_chars": [len(f) for f in frames],
+                    "frame_checksum": [
+                        hashlib.sha256(f.encode("utf-8")).hexdigest()[:16] for f in frames
+                    ],
+                }
+            )
+
+    return payloads.mapInPandas(sample, schema=schema)

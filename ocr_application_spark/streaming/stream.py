@@ -101,6 +101,28 @@ def stateful_host_progress(extracted: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_urls(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming recrawl dedup: first page per canonical URL wins.
+
+    A crawl stream re-delivers documents (recrawls, mirror hosts, utm
+    variants); downstream extraction should run once per logical page.
+    Composes the batch URL canonicalizer (operators/urlops.py — same
+    column expression, batch and stream) with
+    ``dropDuplicatesWithinWatermark``: per-key state is dropped once the
+    event-time watermark passes, so state stays bounded by the recrawl
+    horizon instead of growing with the whole crawl — the streaming
+    front door of dedup_exact. State shards by canonical-url hash across
+    executors; no skew (one state row per key regardless of recrawl
+    count)."""
+    from ocr_application_spark.operators.urlops import canonical_url
+
+    return (
+        pages.withColumn("url_canonical", canonical_url(F.col("url")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url_canonical"])
+    )
+
+
 def run_stream_to_table(
     spark: SparkSession,
     input_path: str,

@@ -87,3 +87,34 @@ def test_stateful_host_progress(spark, tmpdir_scratch):
     want = {(r.host, r.n_docs, r.n_chars) for r in batch}
     got = {(r.host, r.n_docs, r.n_chars) for r in emitted}
     assert got == want
+
+
+def test_stream_dedup_urls(spark, tmpdir_scratch):
+    """Recrawl duplicates (same canonical url, messy variants) collapse
+    to one row per key in the stream."""
+    from pyspark.sql import functions as F
+
+    from ocr_application_spark.streaming.stream import stream_dedup_urls
+
+    inp = tmpdir_scratch + "/in_dedup"
+    base = synth_pages(spark, N)
+    # recrawl twins: same page re-delivered with utm + fragment noise
+    noisy = base.withColumn(
+        "url", F.concat("url", F.lit("?utm_source=feed#frag"))
+    )
+    base.write.parquet(inp)
+    noisy.write.mode("append").parquet(inp)
+
+    deduped = stream_dedup_urls(stream_pages(spark, inp))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", tmpdir_scratch + "/ckpt_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select url_canonical, count(*) n from dedup_out group by 1").collect()
+    assert len(rows) == N  # every logical page survives exactly once
+    assert all(r.n == 1 for r in rows)
