@@ -94,6 +94,9 @@ def main() -> None:
         "emb_neardup_pairs",
         "text_fingerprint",
         "f11_json_block_extract",
+        "url_canonicalize",
+        "url_canonical_dupes",
+        "multimodal_frame_sample",
     ]
 
     def run(name: str) -> None:

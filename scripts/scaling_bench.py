@@ -72,6 +72,7 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 96000
     small = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     big = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     path = "/root/repo/.scratch/scaling_pages"
     subprocess.run(
         [sys.executable, "-c", _GEN, str(n_docs), path],
@@ -80,14 +81,25 @@ def main() -> None:
         cwd="/root/repo",
         check=True,
     )
-    r_small = run(small, n_docs, path)
-    r_big = run(big, n_docs, path)
+    # Interleave fresh-JVM repetitions of the two levels: sandbox-VM
+    # throughput drifts ~±20% over minutes, so a single small/big pair
+    # is a lottery — pair medians cancel the drift.
+    import statistics
+
+    small_runs, big_runs = [], []
+    for _ in range(reps):
+        small_runs.append(run(small, n_docs, path))
+        big_runs.append(run(big, n_docs, path))
+    r_small = min(small_runs, key=lambda r: abs(r["docs_per_sec"] - statistics.median(x["docs_per_sec"] for x in small_runs)))
+    r_big = min(big_runs, key=lambda r: abs(r["docs_per_sec"] - statistics.median(x["docs_per_sec"] for x in big_runs)))
     speedup = r_big["docs_per_sec"] / r_small["docs_per_sec"]
     eff = speedup / (big / small)
     report = {
         "n_docs": n_docs,
         "small": r_small,
         "big": r_big,
+        "small_trials": [r["docs_per_sec"] for r in small_runs],
+        "big_trials": [r["docs_per_sec"] for r in big_runs],
         "speedup": round(speedup, 3),
         "scale_factor": big // small,
         "efficiency": round(eff, 3),
@@ -115,10 +127,14 @@ cluster each executor owns its cores). A raw 32-process CPU test on this
 box scales at 0.89 efficiency (see scripts/scaling_bench.py history),
 confirming headroom.
 
-| parallelism | docs | wall (s) | docs/sec |
-|---|---|---|---|
-| local[{small}] | {r_small['docs']} | {r_small['secs']} | {r_small['docs_per_sec']} |
-| local[{big}] | {r_big['docs']} | {r_big['secs']} | {r_big['docs_per_sec']} |
+| parallelism | docs | wall (s) | docs/sec (median rep) | all reps (docs/sec) |
+|---|---|---|---|---|
+| local[{small}] | {r_small['docs']} | {r_small['secs']} | {r_small['docs_per_sec']} | {report['small_trials']} |
+| local[{big}] | {r_big['docs']} | {r_big['secs']} | {r_big['docs_per_sec']} | {report['big_trials']} |
+
+Each row is {reps} interleaved fresh-JVM repetitions (median of 3 timed
+runs inside each); the median repetition is reported because sandbox-VM
+throughput drifts ~±20% over minutes.
 
 **Speedup {small}->{big} cores: {speedup:.2f}x over a {big // small}x
 core increase -> scaling efficiency = {eff:.3f}** (criterion: >= 0.8).
@@ -127,7 +143,7 @@ Why it scales: the extraction pipeline is shuffle-free up to the sink
 (scan -> mapInPandas kernel -> classify are narrow stages); Python
 kernel work runs in per-task worker processes (no GIL contention), so
 throughput tracks cores until I/O saturates. Absolute single-box
-ceiling: ~16k docs/sec at local[32] (bench.py), ~2 orders of magnitude
+throughput: ~25-31k docs/sec at local[32] (bench.py), ~4 orders of magnitude
 above the reference's ~1 doc/s/stage architecture.
 
 Reference baseline for context: the reference's architecture caps at
