@@ -347,3 +347,138 @@ def pivot_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
     )
+
+
+# --- Q14 style promo revenue share ----------------------------------------
+@_q(
+    "q14_promo_revenue",
+    """
+    select cast(sum(case when p_type like 'PROMO%'
+                         then cast(l_extendedprice as decimal(18,2))
+                              * (1 - cast(l_discount as decimal(18,2)))
+                         else cast(0 as decimal(18,2)) end) as double)
+           / cast(sum(cast(l_extendedprice as decimal(18,2))
+                      * (1 - cast(l_discount as decimal(18,2)))) as double)
+           * 100.0 as promo_share_pct,
+           count(*) as n_rows
+    from lineitem join part on l_partkey = p_partkey
+    where l_shipdate >= timestamp '1996-01-01 00:00:00'
+      and l_shipdate < timestamp '1996-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan: part is a dimension -> explicit broadcast hash join (no
+    # shuffle of lineitem); shipdate predicate pushes to the scan; the
+    # conditional agg is a 1-group partial+final. Decimal sums -> one
+    # final double division on identical inputs = bit-identical ratio.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount").cast(_DEC))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0).cast(_DEC))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.sum(promo).cast("double") / F.sum(disc).cast("double") * 100.0).alias(
+                "promo_share_pct"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --- Q18 style large-volume orders ----------------------------------------
+@_q(
+    "q18_large_orders",
+    """
+    with big as (
+      select l_orderkey, cast(sum(cast(l_quantity as decimal(18,2))) as double) as total_qty
+      from lineitem group by l_orderkey
+      having sum(cast(l_quantity as decimal(18,2))) > 300
+    )
+    select c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+    from big
+    join orders on o_orderkey = l_orderkey
+    join customer on c_custkey = o_custkey
+    order by o_totalprice desc, o_orderkey
+    limit 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan: aggregate FIRST (one shuffle on l_orderkey, partial agg
+    # map-side), filter to the rare big orders, THEN join — the
+    # post-having side is tiny, so both joins broadcast it; the final
+    # order-by+limit fuses to TakeOrderedAndProject (no global sort).
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --- Q7 style nation-pair trade volume -------------------------------------
+@_q(
+    "q7_nation_volume",
+    """
+    select sn.n_name as supp_nation, cn.n_name as cust_nation,
+           year(l_shipdate) as l_year,
+           cast(sum(cast(l_extendedprice as decimal(18,2))
+                    * (1 - cast(l_discount as decimal(18,2)))) as double) as volume
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    join nation cn on c_nationkey = cn.n_nationkey
+    join supplier on l_suppkey = s_suppkey
+    join nation sn on s_nationkey = sn.n_nationkey
+    where sn.n_name in ('NATION_1', 'NATION_2') and cn.n_name in ('NATION_1', 'NATION_2')
+      and sn.n_name <> cn.n_name
+    group by 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan: the star side (lineitem) shuffles once for the orders join;
+    # customer/supplier/nation are dimensions -> broadcast joins with the
+    # nation-name filters pushed below the join (Catalyst pushes the IN
+    # through the broadcast). At 100 TB: same shape, the orders join is
+    # the only big exchange and AQE sizes it.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    two = ("NATION_1", "NATION_2")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(
+            F.col("supp_nation").isin(*two)
+            & F.col("cust_nation").isin(*two)
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount").cast(_DEC))
+            )
+            .cast("double")
+            .alias("volume")
+        )
+    )
