@@ -155,3 +155,15 @@ def test_frame_sample_is_shuffle_free(spark):
     plan = plan_of(spark, "multimodal_frame_sample")
     assert "Exchange" not in plan, plan
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+
+
+def test_q14_broadcasts_part_and_pushes_shipdate(spark):
+    plan = plan_of(spark, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+
+
+def test_q18_take_ordered_after_having(spark):
+    plan = plan_of(spark, "q18_large_orders")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # post-having side is tiny
