@@ -1,0 +1,35 @@
+"""URL canonicalization invariants beyond oracle parity."""
+
+from pyspark.sql import functions as F
+
+from ocr_application_spark.operators.urlops import canonical_url
+
+CASES = [
+    # (raw, expected)
+    ("https://a.example/x", "https://a.example/x"),
+    ("HTTPS://WWW.A.Example:443/x#frag", "https://a.example/x"),
+    ("https://a.example/x?utm_source=f&b=2&a=1", "https://a.example/x?a=1&b=2"),
+    ("https://a.example/x?utm_source=f", "https://a.example/x"),
+    ("http://a.example/", "http://a.example/"),
+    ("https://a.example", "https://a.example"),          # path-less
+    ("https://a.example/CaseSensitive/Path", "https://a.example/CaseSensitive/Path"),
+    ("https://www.a.example/x?z=1&y=2&utm_medium=m#s", "https://a.example/x?y=2&z=1"),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], "u string")
+    got = [r.c for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == [e for _, e in CASES]
+
+
+def test_canonical_url_idempotent(spark):
+    """canon(canon(u)) == canon(u): canonical output contains nothing
+    left for a second pass to strip — the property that makes it safe to
+    apply at every ingest point without tracking 'already canonical'."""
+    df = spark.createDataFrame([(r,) for r, _ in CASES], "u string")
+    two = df.select(
+        canonical_url(F.col("u")).alias("c1"),
+        canonical_url(canonical_url(F.col("u"))).alias("c2"),
+    )
+    assert all(r.c1 == r.c2 for r in two.collect())
