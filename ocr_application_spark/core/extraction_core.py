@@ -113,24 +113,34 @@ class _Candidate:
 
 
 # Tokenizer for the fast DOM walk below. Groups: close='/' for end tags,
-# name=tag name, selfc='/' for self-closing. Comment/doctype/PI/CDATA
-# alternatives match-and-discard. Attribute values containing '>' are not
+# name=tag name, body=everything between name and '>' (self-closing iff
+# body.rstrip() ends with '/'). Comment/doctype/PI/CDATA alternatives
+# match-and-discard. Attribute values containing '>' are not
 # special-cased (deterministic best-effort, same trade the reference's
 # regex field extraction makes — tarification_pipeline.py:138-142).
+#
+# LINEAR-TIME GUARANTEE (poisoned-page guard): every variable-length run
+# is possessive (*+ — no backtracking) and every construct accepts \Z as
+# its terminator, so an unclosed tag/comment/doctype consumes the rest
+# of the document as ONE match instead of each later '<' re-scanning to
+# EOF. Without this, 60 KB of "<a " cost minutes (quadratic + regex
+# backtracking); now parse time is O(len). Consume-to-EOF also matches
+# browser behavior: an EOF-truncated construct is discarded, not
+# rendered as text.
 _TAG_RE = re.compile(
     r"<(?:"
-    r"!--.*?--\s*>"
-    r"|!\[CDATA\[.*?\]\]>"
-    r"|![^>]*>"
-    r"|\?[^>]*>"
-    r"|(?P<close>/\s*)?(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*)[^>]*?(?P<selfc>/)?\s*>"
+    r"!--.*?(?:--\s*>|\Z)"
+    r"|!\[CDATA\[.*?(?:\]\]>|\Z)"
+    r"|![^>]*+(?:>|\Z)"
+    r"|\?[^>]*+(?:>|\Z)"
+    r"|(?P<close>/\s*+)?(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*+)(?P<body>[^>]*+)(?:>|\Z)"
     r")",
     re.S,
 )
 # script/style content is raw text (no tags/entities inside) — the same
 # two elements stdlib html.parser treats as CDATA.
 _RAW_CLOSE = {
-    t: re.compile(rf"</{t}[^>]*>", re.I) for t in ("script", "style")
+    t: re.compile(rf"</{t}[^>]*+>", re.I) for t in ("script", "style")
 }
 
 
@@ -242,9 +252,10 @@ class _MainContentParser:
                     data = unescape(data)
                 self.handle_data(data)
             pos = m.end()
-            close, name, selfc = m.group("close", "name", "selfc")
+            close, name, body = m.group("close", "name", "body")
             if name is None:  # comment / doctype / PI / CDATA
                 continue
+            selfc = body.rstrip().endswith("/") if body else False
             name = name.lower()
             if close:
                 self.handle_endtag(name)
@@ -313,9 +324,10 @@ class _MainContentParser:
                         if link_depth:
                             cand.link_chars += nch
             pos = end
-            close, name, selfc = m.group(1, 2, 3)  # close / name / selfc
+            close, name, body = m.group(1, 2, 3)  # close / name / body
             if name is None:  # comment / doctype / PI / CDATA
                 continue
+            selfc = body.rstrip().endswith("/") if body else False
             name = name.lower()
             if close:
                 # == handle_endtag

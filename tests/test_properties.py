@@ -129,6 +129,9 @@ _HTML_CHUNK = st.one_of(
             "</table>", "<td>", "</td>", "<!-- c -->", "<![CDATA[z]]>",
             "&amp;", "&lt;p&gt;", "text 42", "<style>p{}</style>", "<SCRIPT>",
             "<p >", "</ p>", "<h2>", "</h2>", "<li>", "</li>", "<form>", "</form>",
+            # truncated/pathological constructs (linear-time guard inputs)
+            "<a ", "<!-- open", "<!doctype", "<?pi", "<![CDATA[x", "<p/ >",
+            "<img src=/>", "</", "< p>", "<a href=a/b>",
         ]
     ),
 )
@@ -156,3 +159,24 @@ def test_run_matches_dispatch_reference(html):
         )
 
     assert state(a) == state(b)
+
+
+def test_pathological_pages_parse_in_linear_time():
+    """Poisoned-page guard: unclosed tags/comments must not trigger
+    quadratic rescans (a single crawled page could stall an executor
+    task otherwise). 240 KB of hostile input must parse in well under a
+    second; before the possessive/consume-to-EOF tokenizer it took
+    minutes."""
+    import time
+
+    for raw in [
+        b"<a " * 80000,
+        b"<!--x" + b"y<p>z" * 40000,
+        b"<!doc " * 60000,
+        b"</script" + b"<a " * 60000,
+        b"<" * 200000,
+    ]:
+        t0 = time.perf_counter()
+        rec = extract_document(raw, None)
+        assert rec["status"] == "success"
+        assert time.perf_counter() - t0 < 2.0  # generous VM-noise margin
