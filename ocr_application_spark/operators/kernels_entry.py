@@ -151,6 +151,51 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_resize",
+    """
+    select doc_id,
+           octet_length(encode(text)) as in_bytes,
+           octet_length(encode(substring(text, 1, cast(ceil(length(text) / 2.0) as int)))) as out_bytes,
+           substr(sha256(substring(text, 1, cast(ceil(length(text) / 2.0) as int))), 1, 16) as out_checksum
+    from documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/transcode plumbing: binary payload in, transformed payload
+    out, 1:1 (the third multimodal kernel shape, after scalar-out
+    feature extraction and explode-out frame sampling). The transform is
+    a STUB crop-to-half (a real deployment drops in PIL resize /
+    ffmpeg transcode); being deterministic, the output payload is
+    value-checked end-to-end via its sha256. The kernel returns the new
+    payload as binary — downstream stages keep operating on the column —
+    while the oracle checks its length + digest."""
+    import hashlib
+    import math
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    schema = "doc_id long, in_bytes int, out_bytes int, out_checksum string"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for payload in pdf["payload"]:
+                text = payload.decode("utf-8")  # STUB decode
+                outs.append(text[: math.ceil(len(text) / 2)].encode("utf-8"))  # STUB resize
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "in_bytes": pdf["payload"].map(len),
+                    "out_bytes": [len(o) for o in outs],
+                    "out_checksum": [hashlib.sha256(o).hexdigest()[:16] for o in outs],
+                }
+            )
+
+    return payloads.mapInPandas(resize, schema=schema)
+
+
+@_q(
     "multimodal_frame_sample",
     """
     select doc_id,
