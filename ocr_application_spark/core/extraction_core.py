@@ -124,16 +124,19 @@ class _Candidate:
 # its terminator, so an unclosed tag/comment/doctype consumes the rest
 # of the document as ONE match instead of each later '<' re-scanning to
 # EOF. Without this, 60 KB of "<a " cost minutes (quadratic + regex
-# backtracking); now parse time is O(len). Consume-to-EOF also matches
-# browser behavior: an EOF-truncated construct is discarded, not
-# rendered as text.
+# backtracking); now parse time is O(len). Consume-to-EOF matches
+# browser behavior: an EOF-truncated construct is discarded, never
+# rendered as text (for a truncated named tag, `term` captures '' so the
+# drivers skip its events too). The comment branch also accepts the
+# HTML5 abruptly-closed forms `<!-->` and `<!--->` as complete comments
+# instead of swallowing the rest of the page.
 _TAG_RE = re.compile(
     r"<(?:"
-    r"!--.*?(?:--\s*>|\Z)"
+    r"!--(?:>|->|.*?(?:--\s*>|\Z))"
     r"|!\[CDATA\[.*?(?:\]\]>|\Z)"
     r"|![^>]*+(?:>|\Z)"
     r"|\?[^>]*+(?:>|\Z)"
-    r"|(?P<close>/\s*+)?(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*+)(?P<body>[^>]*+)(?:>|\Z)"
+    r"|(?P<close>/\s*+)?(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*+)(?P<body>[^>]*+)(?P<term>>|\Z)"
     r")",
     re.S,
 )
@@ -252,8 +255,10 @@ class _MainContentParser:
                     data = unescape(data)
                 self.handle_data(data)
             pos = m.end()
-            close, name, body = m.group("close", "name", "body")
+            close, name, body, term = m.group("close", "name", "body", "term")
             if name is None:  # comment / doctype / PI / CDATA
+                continue
+            if term == "":  # EOF-truncated tag: discard (browser behavior)
                 continue
             selfc = body.rstrip().endswith("/") if body else False
             name = name.lower()
@@ -324,8 +329,10 @@ class _MainContentParser:
                         if link_depth:
                             cand.link_chars += nch
             pos = end
-            close, name, body = m.group(1, 2, 3)  # close / name / body
+            close, name, body, term = m.group(1, 2, 3, 4)  # close/name/body/term
             if name is None:  # comment / doctype / PI / CDATA
+                continue
+            if term == "":  # EOF-truncated tag: discard (browser behavior)
                 continue
             selfc = body.rstrip().endswith("/") if body else False
             name = name.lower()

@@ -9,8 +9,13 @@ candidate count drops from N to N * nprobe / k.
 Spark realization: the codebook is trained on a deterministic sample
 with driver-side numpy (a few KB — exactly the broadcast-dimension
 pattern, like the classifier weights), then broadcast; cell assignment
-and probing run as vectorized pandas UDF batches. Rows-only driver
-check; pytest asserts recall against the exact brute-force oracle.
+and probing run as vectorized pandas UDF batches. Two candidate
+sources share the same probe semantics: the in-memory assignment
+(``ann_ivf_topk``, rows-only driver check + recall pytest) and the
+on-disk inverted file written PARTITIONED BY cell and read back under
+dynamic partition pruning (``build_inverted_file``/
+``probe_inverted_file``, pytest asserts disk == memory and that the
+executed plan prunes).
 """
 
 from __future__ import annotations
@@ -59,45 +64,35 @@ def train_codebook(spark: SparkSession, sf_dir: str, k: int = K_CELLS) -> np.nda
     return cent
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k: assign all vectors to cells, probe the query's N_PROBE
-    nearest cells, exact cosine within candidates, top-k per query."""
-    cent = train_codebook(spark, sf_dir)
+def _centroid_udfs(spark: SparkSession, cent: np.ndarray):
+    """The ONE implementation of centroid assignment/probing, shared by
+    the in-memory and on-disk paths (a divergence here would break their
+    equivalence test for reasons unrelated to storage). Broadcast once,
+    deserialized lazily per worker."""
     bc = spark.sparkContext.broadcast(cent.tobytes())
     k_cells, dim = cent.shape
 
-    def _cents() -> np.ndarray:
-        return np.frombuffer(bc.value, dtype=np.float64).reshape(k_cells, dim)
+    def _normed(emb: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        c = np.frombuffer(bc.value, dtype=np.float64).reshape(k_cells, dim)
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return x, c
 
     @F.pandas_udf(T.IntegerType())
     def cell_of(emb: pd.Series) -> pd.Series:
-        c = _cents()
-        x = np.stack(emb.to_numpy()).astype(np.float64)
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        x, c = _normed(emb)
         return pd.Series((x @ c.T).argmax(axis=1).astype("int32"))
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(emb: pd.Series) -> pd.Series:
-        c = _cents()
-        x = np.stack(emb.to_numpy()).astype(np.float64)
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        x, c = _normed(emb)
         order = np.argsort(-(x @ c.T), axis=1)[:, :N_PROBE].astype("int32")
         return pd.Series(list(order))
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    indexed = e.select("vec_id", "embedding", cell_of("embedding").alias("cell"))
-    queries = (
-        e.filter(F.col("vec_id") % _QMOD == 0)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("q_emb"),
-            F.explode(probe_cells("embedding")).alias("cell"),
-        )
-    )
-    # candidates: equi-join on cell (the inverted file); at scale `indexed`
-    # is written partitioned by cell so this probes nprobe/k of the data
-    cand = queries.join(indexed, "cell").filter(F.col("q_id") != F.col("vec_id"))
+    return cell_of, probe_cells
 
+
+def _cosine_udf():
     @F.pandas_udf(T.DoubleType())
     def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
         x = np.stack(a.to_numpy()).astype(np.float64)
@@ -106,6 +101,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
         return pd.Series(num / np.maximum(den, 1e-12))
 
+    return cosine
+
+
+def _probe_queries(spark: SparkSession, sf_dir: str, probe_cells) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.filter(F.col("vec_id") % _QMOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(probe_cells("embedding")).alias("cell"),
+    )
+
+
+def _topk(cand: DataFrame) -> DataFrame:
+    """Exact cosine within candidates, top-k per query."""
+    cosine = _cosine_udf()
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
     return (
         cand.withColumn("cos", cosine("q_emb", "embedding"))
@@ -114,6 +124,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _K_TOP)
         .select("q_id", "cand_id", "rank", F.col("cos").alias("cos_sim"))
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: assign all vectors to cells, probe the query's N_PROBE
+    nearest cells, exact cosine within candidates, top-k per query."""
+    cell_of, probe_cells = _centroid_udfs(spark, train_codebook(spark, sf_dir))
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    indexed = e.select("vec_id", "embedding", cell_of("embedding").alias("cell"))
+    queries = _probe_queries(spark, sf_dir, probe_cells)
+    # candidates: equi-join on cell (the inverted file); at scale `indexed`
+    # is written partitioned by cell so this probes nprobe/k of the data
+    cand = queries.join(indexed, "cell").filter(F.col("q_id") != F.col("vec_id"))
+    return _topk(cand)
 
 
 QUERIES["ann_ivf_topk"] = ann_ivf_topk  # rows-only: approximate by design
@@ -127,16 +150,7 @@ def build_inverted_file(spark: SparkSession, sf_dir: str, path: str) -> np.ndarr
     touch only nprobe/k of the corpus at the storage layer — the file
     listing itself is the index. Returns the trained codebook."""
     cent = train_codebook(spark, sf_dir)
-    bc = spark.sparkContext.broadcast(cent.tobytes())
-    k_cells, dim = cent.shape
-
-    @F.pandas_udf(T.IntegerType())
-    def cell_of(emb: pd.Series) -> pd.Series:
-        c = np.frombuffer(bc.value, dtype=np.float64).reshape(k_cells, dim)
-        x = np.stack(emb.to_numpy()).astype(np.float64)
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        return pd.Series((x @ c.T).argmax(axis=1).astype("int32"))
-
+    cell_of, _ = _centroid_udfs(spark, cent)
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     (
         e.select("vec_id", "embedding", cell_of("embedding").alias("cell"))
@@ -157,42 +171,8 @@ def probe_inverted_file(
     ``dynamicpruning`` partition filter (asserted in tests). Semantics
     are identical to ``ann_ivf_topk``; only the candidate source moves
     from an in-memory assignment to the pruned storage layout."""
-    bc = spark.sparkContext.broadcast(cent.tobytes())
-    k_cells, dim = cent.shape
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_cells(emb: pd.Series) -> pd.Series:
-        c = np.frombuffer(bc.value, dtype=np.float64).reshape(k_cells, dim)
-        x = np.stack(emb.to_numpy()).astype(np.float64)
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(x @ c.T), axis=1)[:, :N_PROBE].astype("int32")
-        return pd.Series(list(order))
-
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = (
-        e.filter(F.col("vec_id") % _QMOD == 0)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("q_emb"),
-            F.explode(probe_cells("embedding")).alias("cell"),
-        )
-    )
+    _, probe_cells = _centroid_udfs(spark, cent)
+    queries = _probe_queries(spark, sf_dir, probe_cells)
     indexed = spark.read.parquet(path)
     cand = indexed.join(F.broadcast(queries), "cell").filter(F.col("q_id") != F.col("vec_id"))
-
-    @F.pandas_udf(T.DoubleType())
-    def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
-        x = np.stack(a.to_numpy()).astype(np.float64)
-        y = np.stack(b.to_numpy()).astype(np.float64)
-        num = (x * y).sum(axis=1)
-        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
-        return pd.Series(num / np.maximum(den, 1e-12))
-
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
-    return (
-        cand.withColumn("cos", cosine("q_emb", "embedding"))
-        .select("q_id", F.col("vec_id").alias("cand_id"), "cos")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _K_TOP)
-        .select("q_id", "cand_id", "rank", F.col("cos").alias("cos_sim"))
-    )
+    return _topk(cand)

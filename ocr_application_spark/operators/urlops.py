@@ -91,18 +91,31 @@ def _raw_url() -> Column:
 # --- the canonicalizer (generic over any url string) ------------------------
 
 def canonical_url(u: Column) -> Column:
-    """Canonical form: lowercase scheme+host, strip www. prefix, drop
-    https default port, drop fragment, drop utm_* params, sort the rest.
+    """Canonical form: lowercase scheme+host, strip www. prefix, drop the
+    scheme's default port (https :443 / http :80), drop fragment, drop
+    utm_* params, sort the rest. Non-hierarchical urls (no ``://`` —
+    mailto:, javascript:, relative paths, junk) pass through unchanged:
+    they are already their own identity and must never collapse onto a
+    shared constant key (that would let one junk row dedup away every
+    other junk row in stream_dedup_urls).
 
     Generic column expression — used by queries here and reusable in
     front of dedup_exact / bucketing. Path case is preserved (RFC 3986:
-    path is case-sensitive, scheme/host are not).
+    path is case-sensitive, scheme/host are not). The fragment is cut
+    FIRST so a '?' living inside an SPA fragment ('#/route?tab=1') can
+    never leak into the canonical query string.
     """
-    scheme = F.lower(F.regexp_extract(u, r"^([^:]+)://", 1))
-    hostport = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]*)", 1))
-    host = F.regexp_replace(F.regexp_replace(hostport, r"^www\.", ""), r":443$", "")
-    path = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
-    qstr = F.regexp_extract(u, r"\?([^#]*)", 1)
+    pre = F.regexp_extract(u, r"^([^#]*)", 1)  # drop fragment before anything
+    scheme = F.lower(F.regexp_extract(pre, r"^([^:]+)://", 1))
+    hostport = F.lower(F.regexp_extract(pre, r"^[^:]+://([^/?]*)", 1))
+    nowww = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == "https", F.regexp_replace(nowww, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(nowww, r":80$", ""))
+        .otherwise(nowww)
+    )
+    path = F.regexp_extract(pre, r"^[^:]+://[^/?]*([^?]*)", 1)
+    qstr = F.regexp_extract(pre, r"\?(.*)$", 1)
     params = F.array_sort(
         F.filter(
             F.split(qstr, "&"),
@@ -112,23 +125,36 @@ def canonical_url(u: Column) -> Column:
     query = F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(
         F.lit("")
     )
-    return F.concat(scheme, F.lit("://"), host, path, query)
+    return F.when(
+        pre.rlike(r"^[^:]+://"), F.concat(scheme, F.lit("://"), host, path, query)
+    ).otherwise(u)
 
 
 _CANON_SQL = """
-    (lower(regexp_extract({u}, '^([^:]+)://', 1))
-     || '://'
-     || regexp_replace(regexp_replace(
-            lower(regexp_extract({u}, '^[^:]+://([^/?#]*)', 1)),
-            '^www\\.', ''), ':443$', '')
-     || regexp_extract({u}, '^[^:]+://[^/?#]*([^?#]*)', 1)
-     || case when len(list_filter(string_split(regexp_extract({u}, '\\?([^#]*)', 1), '&'),
-                        x -> x <> '' and substring(x, 1, 4) <> 'utm_')) > 0
-             then '?' || array_to_string(
-                    list_sort(list_filter(
-                        string_split(regexp_extract({u}, '\\?([^#]*)', 1), '&'),
-                        x -> x <> '' and substring(x, 1, 4) <> 'utm_')), '&')
-             else '' end)
+    (case when regexp_matches(regexp_extract({u}, '^([^#]*)', 1), '^[^:]+://')
+     then
+       lower(regexp_extract(regexp_extract({u}, '^([^#]*)', 1), '^([^:]+)://', 1))
+       || '://'
+       || (case lower(regexp_extract(regexp_extract({u}, '^([^#]*)', 1), '^([^:]+)://', 1))
+           when 'https' then regexp_replace(regexp_replace(
+                lower(regexp_extract(regexp_extract({u}, '^([^#]*)', 1), '^[^:]+://([^/?]*)', 1)),
+                '^www\\.', ''), ':443$', '')
+           when 'http' then regexp_replace(regexp_replace(
+                lower(regexp_extract(regexp_extract({u}, '^([^#]*)', 1), '^[^:]+://([^/?]*)', 1)),
+                '^www\\.', ''), ':80$', '')
+           else regexp_replace(
+                lower(regexp_extract(regexp_extract({u}, '^([^#]*)', 1), '^[^:]+://([^/?]*)', 1)),
+                '^www\\.', '') end)
+       || regexp_extract(regexp_extract({u}, '^([^#]*)', 1), '^[^:]+://[^/?]*([^?]*)', 1)
+       || case when len(list_filter(
+                    string_split(regexp_extract(regexp_extract({u}, '^([^#]*)', 1), '\\?(.*)$', 1), '&'),
+                    x -> x <> '' and substring(x, 1, 4) <> 'utm_')) > 0
+               then '?' || array_to_string(
+                      list_sort(list_filter(
+                          string_split(regexp_extract(regexp_extract({u}, '^([^#]*)', 1), '\\?(.*)$', 1), '&'),
+                          x -> x <> '' and substring(x, 1, 4) <> 'utm_')), '&')
+               else '' end
+     else {u} end)
 """
 
 

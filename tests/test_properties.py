@@ -131,7 +131,7 @@ _HTML_CHUNK = st.one_of(
             "<p >", "</ p>", "<h2>", "</h2>", "<li>", "</li>", "<form>", "</form>",
             # truncated/pathological constructs (linear-time guard inputs)
             "<a ", "<!-- open", "<!doctype", "<?pi", "<![CDATA[x", "<p/ >",
-            "<img src=/>", "</", "< p>", "<a href=a/b>",
+            "<img src=/>", "</", "< p>", "<a href=a/b>", "<!-->", "<!--->",
         ]
     ),
 )

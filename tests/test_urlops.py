@@ -14,6 +14,16 @@ CASES = [
     ("https://a.example", "https://a.example"),          # path-less
     ("https://a.example/CaseSensitive/Path", "https://a.example/CaseSensitive/Path"),
     ("https://www.a.example/x?z=1&y=2&utm_medium=m#s", "https://a.example/x?y=2&z=1"),
+    # fragment-embedded '?' must not leak into the query (SPA routes)
+    ("https://h.example/p#/route?tab=1", "https://h.example/p"),
+    # default port is scheme-specific
+    ("http://h.example:80/p", "http://h.example/p"),
+    ("http://h.example:443/p", "http://h.example:443/p"),  # NOT default for http
+    ("https://h.example:80/p", "https://h.example:80/p"),  # NOT default for https
+    # non-hierarchical / junk urls pass through as their own identity
+    ("mailto:alice@example.com", "mailto:alice@example.com"),
+    ("javascript:void(0)", "javascript:void(0)"),
+    ("/relative/path", "/relative/path"),
 ]
 
 
