@@ -482,3 +482,43 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("volume")
         )
     )
+
+
+# --- cohort retention over events -------------------------------------------
+@_q(
+    "events_retention_cohorts",
+    """
+    with firsts as (
+      select user_id, min(strftime(date_trunc('day', ts), '%Y-%m-%d')) as cohort_day
+      from events group by user_id
+    ),
+    activity as (
+      select distinct user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') as activity_day
+      from events
+    )
+    select cohort_day, activity_day, count(*) as n_active
+    from activity join firsts using (user_id)
+    group by cohort_day, activity_day
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on every later day they return (dates serialized yyyy-MM-dd, the
+    repo's cross-engine date convention — see a4_monthly_sums)."""
+    # Plan: ONE shuffle on user_id computes both the cohort (min day)
+    # and the distinct activity days from the same exchange (aggregate
+    # carries a collect_set of days, then explodes) — versus the naive
+    # two-scan join-back. The final cohort-matrix group-by is over
+    # ~days^2 rows: trivial at any scale. Counts are integers -> exact.
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    per_user = (
+        ev.select("user_id", day.alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"), F.collect_set("d").alias("days"))
+    )
+    return (
+        per_user.select("cohort_day", F.explode("days").alias("activity_day"))
+        .groupBy("cohort_day", "activity_day")
+        .agg(F.count("*").alias("n_active"))
+    )
