@@ -97,6 +97,8 @@ def main() -> None:
         "url_canonicalize",
         "url_canonical_dupes",
         "multimodal_frame_sample",
+        "multimodal_resize",
+        "events_retention_cohorts",
     ]
 
     def run(name: str) -> None:
