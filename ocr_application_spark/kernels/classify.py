@@ -79,6 +79,41 @@ def predict_batch(feats: np.ndarray, w: np.ndarray) -> tuple[np.ndarray, np.ndar
     return top, p[np.arange(len(top)), top]
 
 
+# One broadcast per SparkContext (keyed by identity — a fresh context
+# gets a fresh broadcast) instead of one per classify() call, and one
+# np.load per worker process (keyed by broadcast id) instead of one per
+# Arrow batch: the reference reloaded its model per message
+# (model_loder.py:10-15, the anti-pattern SURVEY §7 calls out); this is
+# the load-once twin at both the driver and the executor level.
+_BC_BY_CTX: dict = {}
+_W_BY_BC: dict = {}
+
+
+def _weights_broadcast(spark: SparkSession):
+    sc = spark.sparkContext
+    key = sc.applicationId  # unique per context, unlike id() (GC reuse)
+    bc = _BC_BY_CTX.get(key)
+    if bc is None:
+        bc = sc.broadcast(serialize_weights())
+        _BC_BY_CTX.clear()  # at most one live context in practice
+        _BC_BY_CTX[key] = bc
+    return bc
+
+
+def _cached_weights(bc) -> np.ndarray:
+    # worker-side unpickling resolves a broadcast through
+    # pyspark.broadcast._broadcastRegistry, which returns the same
+    # object for every task in the process — so id(bc) is a stable
+    # per-process cache key (driver-side too)
+    key = id(bc)
+    w = _W_BY_BC.get(key)
+    if w is None:
+        w = deserialize_weights(bc.value)
+        _W_BY_BC.clear()
+        _W_BY_BC[key] = w
+    return w
+
+
 def classify(extracted: DataFrame) -> DataFrame:
     """Add (doc_class, confidence) from the features column.
 
@@ -87,7 +122,7 @@ def classify(extracted: DataFrame) -> DataFrame:
     passthrough rows default to 'article'.
     """
     spark = SparkSession.getActiveSession()
-    bc = spark.sparkContext.broadcast(serialize_weights())
+    bc = _weights_broadcast(spark)
 
     @F.pandas_udf(
         T.StructType(
@@ -98,7 +133,7 @@ def classify(extracted: DataFrame) -> DataFrame:
         )
     )
     def infer(features: pd.Series) -> pd.DataFrame:
-        w = deserialize_weights(bc.value)  # lazy per-worker; cached by broadcast
+        w = _cached_weights(bc)  # np.load once per worker process, not per batch
         feats = np.stack(features.to_numpy())
         top, conf = predict_batch(feats, w)
         return pd.DataFrame(

@@ -10,8 +10,11 @@ reference's analog is commit-offset-only-on-success
 Design: the unit of restart is the stable url-hash *bucket* (not the
 ephemeral Spark partition id — task ids change between runs, bucket ids
 do not). The per-bucket digest is an order-insensitive fold of row
-digests (sum of the first 16 hex digits mod 2^63), so it is reproducible
-regardless of task scheduling; ``wall_ms`` is the max batch wall time
+digests: the 60-bit value of each row-sha256's first 15 hex digits,
+summed in decimal (ANSI mode cannot overflow a decimal(38)) and reduced
+mod 2^63. A sum is multiset-sensitive where XOR is not — two identical
+rows XOR to zero and vanish, a sum counts them — so duplicate-row
+corruption changes the digest. ``wall_ms`` is the max batch wall time
 observed in the bucket (scheduling-dependent, informational only).
 """
 
@@ -32,12 +35,17 @@ def bucket_lineage(extracted: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("rows_in"),
             F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias("rows_out"),
-            # order-insensitive 60-bit XOR fold of per-row sha256 prefixes
-            # (xor: scheduling-independent and can never overflow, unlike a
-            # sum, which trips ANSI-mode ARITHMETIC_OVERFLOW at scale)
+            # order-insensitive fold of per-row sha256 prefixes: decimal
+            # sum (no ANSI overflow at any row count that fits 10^25
+            # rows) mod 2^63, multiset-sensitive unlike bit_xor (where
+            # any even number of identical rows cancels to nothing)
             F.format_string(
                 "%016x",
-                F.expr("bit_xor(cast(conv(substring(digest, 1, 15), 16, 10) as long))"),
+                F.expr(
+                    "cast(pmod(sum(cast(conv(substring(digest, 1, 15), 16, 10)"
+                    " as decimal(38,0))),"
+                    " cast('9223372036854775808' as decimal(38,0))) as long)"
+                ),
             ).alias("digest"),
             F.max("batch_wall_ms").alias("wall_ms"),
         )

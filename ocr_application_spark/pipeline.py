@@ -15,9 +15,14 @@ Scale notes (100 TB / 10^12 rows):
 * skewed hosts don't skew this job because bucketing hashes the full
   url (host+path); host-level analytics downstream use the salted
   repartition helper in operators/skew.py.
-* lineage rows commit after each bucket's data lands — rerunning the
-  job anti-joins finished buckets (lineage.resume_filter), the batch
-  analog of the reference's commit-offset-on-success.
+* lineage rows commit once the run's bucket data lands; a crash in the
+  window between the data write and the lineage write replays those
+  buckets on resume, and the dynamic-partition-overwrite sink makes the
+  replay idempotent (partitions are replaced, never appended twice) —
+  the batch analog of the reference's commit-offset-on-success.
+  Finished buckets are skipped via a static NOT-IN predicate that
+  partition-prunes their ``bucket=`` directories at the scan
+  (lineage.resume_filter).
 """
 
 from __future__ import annotations
@@ -75,20 +80,41 @@ def run_to_table(
     if resume:
         bucketed = resume_filter(bucketed, spark, lineage_path)
     extracted = oversize_guard(classify(extract(bucketed)))
-    ok, bad = quarantine_split(extracted)
-    part_cols = (["doc_class"] if by_class else []) + ["bucket"]
-    (
-        ok.drop("batch_wall_ms")
-        .repartition("bucket")
-        .write.mode("append")
-        .partitionBy(*part_cols)
-        .parquet(out_path)
-    )
-    if bad.limit(1).count() > 0:  # quarantine table — no data loss
-        bad.write.mode("append").parquet(out_path + "_quarantine")
-    lin = bucket_lineage(extracted)
-    write_lineage(lin, lineage_path)
-    return lin
+    # one kernel execution feeds three sinks (ok / quarantine / lineage);
+    # without the persist the mapInPandas extraction DAG would re-run per
+    # action. MEMORY_AND_DISK: spills, never recomputes.
+    extracted = extracted.persist()
+    try:
+        ok, bad = quarantine_split(extracted)
+        part_cols = (["doc_class"] if by_class else []) + ["bucket"]
+        # Dynamic partition overwrite = idempotent per-bucket commit: a
+        # bucket replayed after a crash (data landed, lineage row didn't)
+        # REPLACES its partition directories instead of appending
+        # duplicates — the Iceberg overwrite-partition analog. Extraction
+        # is deterministic, so a replay writes identical content.
+        (
+            ok.drop("batch_wall_ms")
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(out_path)
+        )
+        if bad.limit(1).count() > 0:  # quarantine table — no data loss
+            (
+                bad.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(out_path + "_quarantine")
+            )
+        # localCheckpoint materializes the (tiny, one-row-per-bucket)
+        # lineage BEFORE the unpersist below, so caller actions on the
+        # returned DataFrame can't re-trigger the extraction DAG
+        lin = bucket_lineage(extracted).localCheckpoint()
+        write_lineage(lin, lineage_path)
+        return lin
+    finally:
+        extracted.unpersist()
 
 
 def verify_digests(extracted: DataFrame, reference: DataFrame) -> DataFrame:

@@ -55,7 +55,18 @@ def with_bucket(df: DataFrame, n_buckets: int = 64) -> DataFrame:
     ``xxhash64`` is Spark-native and deterministic across runs/clusters,
     mirroring Iceberg's bucket transform (north_rule: "explicitly
     partitioned by url-hash buckets").
+
+    If the input already carries a ``bucket`` column (a table written by
+    ``write_pages``), it is KEPT, not recomputed: the values are
+    identical by construction, and recomputing via withColumn would
+    replace the *partition column* with a derived expression — after
+    which resume_filter's NOT-IN predicate could no longer
+    partition-prune finished ``bucket=`` directories and a resume would
+    rescan the whole table. (Callers must pass the same n_buckets the
+    table was written with; write_pages owns that invariant.)
     """
+    if "bucket" in df.columns:
+        return df
     return df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
 
 

@@ -131,16 +131,28 @@ def run_stream_to_table(
     once: bool = True,
 ):
     """End-to-end streaming job with exactly-once sink semantics via
-    foreachBatch (idempotent per epoch) — the commit-on-success analog."""
+    foreachBatch — the commit-on-success analog.
+
+    Exactly-once is EARNED, not assumed: foreachBatch alone is
+    at-least-once (a crash between the sink write and the checkpoint
+    commit replays the epoch), so the sink writes each epoch to its own
+    ``epoch=<id>`` partition directory with mode("overwrite") — a
+    replayed epoch replaces its directory instead of appending
+    duplicates. Error rows are NOT dropped: they land in the same
+    quarantine table the batch path uses (no data loss, mirroring
+    kernels/extract.quarantine_split's contract)."""
+    from ocr_application_spark.kernels.extract import quarantine_split
+
     extracted = stream_extract(stream_pages(spark, input_path))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        ok, bad = quarantine_split(batch_df)
         (
-            batch_df.filter(F.col("status") == "success")
-            .drop("batch_wall_ms")
-            .write.mode("append")
-            .parquet(out_path)
+            ok.drop("batch_wall_ms")
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/epoch={epoch_id}")
         )
+        bad.write.mode("overwrite").parquet(f"{out_path}_quarantine/epoch={epoch_id}")
 
     q = (
         extracted.writeStream.foreachBatch(sink)

@@ -49,3 +49,57 @@ def test_resume_digests_match_single_run(spark, tmpdir_scratch):
     a = {(r.url, r.digest) for r in spark.read.parquet(out).select("url", "digest").collect()}
     b = {(r.url, r.digest) for r in spark.read.parquet(out2).select("url", "digest").collect()}
     assert a == b
+
+
+def test_crash_before_lineage_commit_replays_without_duplicates(spark, tmpdir_scratch):
+    """The crash window between the data write and the lineage write must
+    be safe: the replayed buckets dynamically OVERWRITE their partitions
+    (never append), so the rerun yields exactly one row per url."""
+    import shutil
+
+    out, lin = tmpdir_scratch + "/out_crash", tmpdir_scratch + "/lin_crash"
+    pages = synth_pages(spark, N)
+    run_to_table(pages, spark, out, lin, n_buckets=NB)
+    shutil.rmtree(lin)  # crash simulation: data landed, lineage commit lost
+
+    lin2 = run_to_table(pages, spark, out, lin, n_buckets=NB)
+    assert lin2.count() == NB  # everything replays (no lineage survived)
+    full = spark.read.parquet(out)
+    assert full.count() == N
+    assert full.select("url").distinct().count() == N  # replaced, not appended
+
+
+def test_prewritten_bucket_table_resume_prunes_partitions(spark, tmpdir_scratch):
+    """A table written partitionBy(bucket) keeps its partition column
+    through with_bucket, so resume's NOT-IN predicate partition-prunes
+    finished bucket= directories at the scan."""
+    import contextlib
+    import io
+    import re
+
+    from ocr_application_spark.sources.webpages import read_pages, write_pages
+
+    src = tmpdir_scratch + "/pages_bucketed"
+    write_pages(synth_pages(spark, N), src, n_buckets=NB)
+    pages = read_pages(spark, src)
+    assert "bucket" in pages.columns
+
+    out, lin = tmpdir_scratch + "/out_pp", tmpdir_scratch + "/lin_pp"
+    # finish half the buckets, then look at the resume scan's plan
+    half = pages.filter(F.col("bucket") < NB // 2)
+    run_to_table(half, spark, out, lin, n_buckets=NB)
+
+    from ocr_application_spark.lineage import resume_filter
+
+    remaining = resume_filter(pages, spark, lin)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        remaining.explain("formatted")
+    plan = buf.getvalue()
+    # the bucket NOT-IN predicate must reach PartitionFilters (scan-level
+    # directory pruning), not sit above the scan as a post-filter
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "bucket" in m.group(1), plan
+    assert remaining.count() == spark.read.parquet(src).filter(
+        F.col("bucket") >= NB // 2
+    ).count()
