@@ -142,8 +142,11 @@ _TAG_RE = re.compile(
 )
 # script/style content is raw text (no tags/entities inside) — the same
 # two elements stdlib html.parser treats as CDATA.
+# the lookahead requires the tag NAME to end at the match ('</scripting>'
+# or a JS literal '"</scriptx>"' must NOT leave raw mode — browsers end
+# script CDATA only on '</script' followed by whitespace, '/' or '>')
 _RAW_CLOSE = {
-    t: re.compile(rf"</{t}[^>]*+>", re.I) for t in ("script", "style")
+    t: re.compile(rf"</{t}(?=[\s/>])[^>]*+>", re.I) for t in ("script", "style")
 }
 
 
@@ -309,132 +312,144 @@ class _MainContentParser:
         order = self.order
         kill_tags, block_tags, cand_tags = KILL_TAGS, BLOCK_TAGS, CANDIDATE_TAGS
 
-        while True:
-            m = search(html, pos)
-            if m is None:
-                break
-            start, end = m.span()
-            if start > pos and not kill_depth:
-                # == handle_data (between-tags site)
-                data = html[pos:start]
-                if unescape_needed and "&" in data:
-                    data = unescape(data)
-                parts = data.split()
-                if parts:
-                    if block_stack:
-                        block_stack[-1].extend(parts)
-                    nch = sum(map(len, parts)) + len(parts) - 1
-                    for cand in cand_stack:
-                        cand.text_chars += nch
-                        if link_depth:
-                            cand.link_chars += nch
-            pos = end
-            close, name, body, term = m.group(1, 2, 3, 4)  # close/name/body/term
-            if name is None:  # comment / doctype / PI / CDATA
-                continue
-            if term == "":  # EOF-truncated tag: discard (browser behavior)
-                continue
-            selfc = body.rstrip().endswith("/") if body else False
-            name = name.lower()
-            if close:
-                # == handle_endtag
-                if name in kill_tags:
-                    if kill_depth > 0:
-                        kill_depth -= 1
-                elif not kill_depth:
-                    if name == "a":
-                        if link_depth > 0:
-                            link_depth -= 1
-                    if name in block_tags and block_stack:
-                        parts = block_stack.pop()
-                        text = " ".join(parts)  # tokens: join == normalize
-                        if text:
-                            is_p = name == "p"
-                            for cand in cand_stack:
-                                cand.blocks.append(text)
-                                if is_p:
-                                    cand.p_count += 1
-                    if name in cand_tags and cand_stack:
-                        cand_stack.pop()
-                continue
-            # == handle_starttag (structural counts are page-global)
-            if name == "a":
-                n_links += 1
-            elif name == "table":
-                n_tables += 1
-            elif name in ("input", "select", "textarea", "button"):
-                n_inputs += 1
-            if name in kill_tags:
-                kill_depth += 1
-                if selfc:  # self-closed kill tag: immediate end event
-                    kill_depth -= 1
-                elif name in _RAW_CLOSE:
-                    # raw content: kill_depth >= 1, so data events inside
-                    # are no-ops — just skip to the closer and pop kill
-                    closer = _RAW_CLOSE[name].search(html, pos)
-                    if closer is None:  # unterminated: rest is dropped CDATA
-                        kill_depth -= 1
-                        pos = len(html)
-                        break
-                    kill_depth -= 1
-                    pos = closer.end()
-                continue
-            if not kill_depth:
-                if name == "a":
-                    link_depth += 1
-                if name in cand_tags:
-                    order += 1
-                    cand = _Candidate(order=order)
-                    cand_stack.append(cand)
-                    candidates.append(cand)
-                if name in block_tags:
-                    block_stack.append([])
-            if selfc:
-                # == handle_endtag for the self-closed tag (not a kill tag)
-                if not kill_depth:
-                    if name == "a":
-                        if link_depth > 0:
-                            link_depth -= 1
-                    if name in block_tags and block_stack:
-                        parts = block_stack.pop()
-                        text = " ".join(parts)  # tokens: join == normalize
-                        if text:
-                            is_p = name == "p"
-                            for cand in cand_stack:
-                                cand.blocks.append(text)
-                                if is_p:
-                                    cand.p_count += 1
-                    if name in cand_tags and cand_stack:
-                        cand_stack.pop()
-        if pos < len(html) and not kill_depth:
-            # == handle_data (tail site)
-            data = html[pos:]
-            if unescape_needed and "&" in data:
-                data = unescape(data)
-            parts = data.split()
-            if parts:
-                if block_stack:
-                    block_stack[-1].extend(parts)
-                nch = sum(map(len, parts)) + len(parts) - 1
-                for cand in cand_stack:
-                    cand.text_chars += nch
-                    if link_depth:
-                        cand.link_chars += nch
-        self.kill_depth = kill_depth
-        self.link_depth = link_depth
-        self.n_links = n_links
-        self.n_tables = n_tables
-        self.n_inputs = n_inputs
-        self.order = order
+        # try/finally: an exception escaping mid-scan must still write the
+        # counters back (extract_html's contract keeps whatever was
+        # collected before a malformed region — run_dispatch updates self
+        # incrementally, so the inlined twin must not lose state either)
+        try:
+          while True:
+              m = search(html, pos)
+              if m is None:
+                  break
+              start, end = m.span()
+              if start > pos and not kill_depth:
+                  # == handle_data (between-tags site)
+                  data = html[pos:start]
+                  if unescape_needed and "&" in data:
+                      data = unescape(data)
+                  parts = data.split()
+                  if parts:
+                      if block_stack:
+                          block_stack[-1].extend(parts)
+                      nch = sum(map(len, parts)) + len(parts) - 1
+                      for cand in cand_stack:
+                          cand.text_chars += nch
+                          if link_depth:
+                              cand.link_chars += nch
+              pos = end
+              close, name, body, term = m.group(1, 2, 3, 4)  # close/name/body/term
+              if name is None:  # comment / doctype / PI / CDATA
+                  continue
+              if term == "":  # EOF-truncated tag: discard (browser behavior)
+                  continue
+              selfc = body.rstrip().endswith("/") if body else False
+              name = name.lower()
+              if close:
+                  # == handle_endtag
+                  if name in kill_tags:
+                      if kill_depth > 0:
+                          kill_depth -= 1
+                  elif not kill_depth:
+                      if name == "a":
+                          if link_depth > 0:
+                              link_depth -= 1
+                      if name in block_tags and block_stack:
+                          parts = block_stack.pop()
+                          text = " ".join(parts)  # tokens: join == normalize
+                          if text:
+                              is_p = name == "p"
+                              for cand in cand_stack:
+                                  cand.blocks.append(text)
+                                  if is_p:
+                                      cand.p_count += 1
+                      if name in cand_tags and cand_stack:
+                          cand_stack.pop()
+                  continue
+              # == handle_starttag (structural counts are page-global)
+              if name == "a":
+                  n_links += 1
+              elif name == "table":
+                  n_tables += 1
+              elif name in ("input", "select", "textarea", "button"):
+                  n_inputs += 1
+              if name in kill_tags:
+                  kill_depth += 1
+                  if selfc:  # self-closed kill tag: immediate end event
+                      kill_depth -= 1
+                  elif name in _RAW_CLOSE:
+                      # raw content: kill_depth >= 1, so data events inside
+                      # are no-ops — just skip to the closer and pop kill
+                      closer = _RAW_CLOSE[name].search(html, pos)
+                      if closer is None:  # unterminated: rest is dropped CDATA
+                          kill_depth -= 1
+                          pos = len(html)
+                          break
+                      kill_depth -= 1
+                      pos = closer.end()
+                  continue
+              if not kill_depth:
+                  if name == "a":
+                      link_depth += 1
+                  if name in cand_tags:
+                      order += 1
+                      cand = _Candidate(order=order)
+                      cand_stack.append(cand)
+                      candidates.append(cand)
+                  if name in block_tags:
+                      block_stack.append([])
+              if selfc:
+                  # == handle_endtag for the self-closed tag (not a kill tag)
+                  if not kill_depth:
+                      if name == "a":
+                          if link_depth > 0:
+                              link_depth -= 1
+                      if name in block_tags and block_stack:
+                          parts = block_stack.pop()
+                          text = " ".join(parts)  # tokens: join == normalize
+                          if text:
+                              is_p = name == "p"
+                              for cand in cand_stack:
+                                  cand.blocks.append(text)
+                                  if is_p:
+                                      cand.p_count += 1
+                      if name in cand_tags and cand_stack:
+                          cand_stack.pop()
+          if pos < len(html) and not kill_depth:
+              # == handle_data (tail site)
+              data = html[pos:]
+              if unescape_needed and "&" in data:
+                  data = unescape(data)
+              parts = data.split()
+              if parts:
+                  if block_stack:
+                      block_stack[-1].extend(parts)
+                  nch = sum(map(len, parts)) + len(parts) - 1
+                  for cand in cand_stack:
+                      cand.text_chars += nch
+                      if link_depth:
+                          cand.link_chars += nch
+        finally:
+            self.kill_depth = kill_depth
+            self.link_depth = link_depth
+            self.n_links = n_links
+            self.n_tables = n_tables
+            self.n_inputs = n_inputs
+            self.order = order
 
 
 def sniff_charset(raw: bytes) -> str:
     """Charset from the first 1024 bytes' meta tag, default utf-8."""
     head = raw[:1024].lower()
-    if b"charset=iso-8859-1" in head or b'charset="iso-8859-1"' in head:
-        return "iso-8859-1"
-    if b"charset=latin-1" in head:
-        return "iso-8859-1"
+    for needle in (
+        b"charset=iso-8859-1",
+        b'charset="iso-8859-1"',
+        b"charset='iso-8859-1'",
+        b"charset=latin-1",
+        b'charset="latin-1"',
+        b"charset='latin-1'",
+    ):
+        if needle in head:
+            return "iso-8859-1"
     return "utf-8"
 
 
@@ -463,22 +478,24 @@ def extract_html(raw: bytes) -> tuple[str, dict]:
     for cand in parser.candidates:
         if not cand.blocks:
             continue
-        if (
-            best is None
-            or cand.score() > best.score()
-            or (cand.score() == best.score() and cand.order < best.order)
-        ):
+        # candidates iterate in increasing start-tag order, so strict >
+        # already resolves score ties earliest-candidate-wins
+        if best is None or cand.score() > best.score():
             best = cand
     text = "\n".join(best.blocks) if best else ""
     text = repair_mojibake(text)
-    total_chars = sum(c.text_chars for c in parser.candidates[:1]) or 1
+    # link_density is deliberately the FIRST candidate's ratio (the
+    # outermost container, usually <body>): a page-level boilerplate
+    # signal for the classifier, vs. text_len/digit_ratio which describe
+    # the winning candidate's extracted text
+    first = parser.candidates[0] if parser.candidates else None
     feats = {
         "n_links": float(parser.n_links),
         "n_tables": float(parser.n_tables),
         "n_inputs": float(parser.n_inputs),
         "text_len": float(len(text)),
         "link_density": float(
-            (parser.candidates[0].link_chars / total_chars) if parser.candidates else 0.0
+            first.link_chars / (first.text_chars or 1) if first else 0.0
         ),
         "digit_ratio": float(_digit_count(text) / max(1, len(text))),
     }
@@ -496,7 +513,11 @@ def parse_pdf_payload(raw: bytes) -> tuple[float, list[dict]]:
     Format: b'%FPDF1 <page_width>\\n' then one JSON object per line:
     {"page":int,"x0":f,"y0":f,"x1":f,"y1":f,"conf":f,"text":str}.
     Mirrors the reference's text_regions shape (extractor.py:101-105).
-    Undecodable lines are skipped (consumer.py:30-33 skip-on-error).
+    Undecodable OR structurally invalid lines are skipped (consumer.py:
+    30-33 skip-on-error): a line that parses as JSON but is not a dict
+    with numeric geometry and string text (e.g. 'null', '[1]',
+    '{"x0":1}') must not survive into the filter/line kernels, where it
+    would raise mid-task instead of being skipped.
     """
     body = raw.decode("utf-8", errors="replace")
     lines = body.split("\n")
@@ -511,7 +532,16 @@ def parse_pdf_payload(raw: bytes) -> tuple[float, list[dict]]:
         if not ln:
             continue
         try:
-            spans.append(json.loads(ln))
+            s = json.loads(ln)
+            if not isinstance(s, dict):
+                continue
+            for k in ("x0", "y0", "x1", "y1"):
+                float(s[k])  # KeyError/TypeError/ValueError -> skip line
+            float(s.get("conf", 1.0))
+            int(s.get("page", 0))
+            if not isinstance(s.get("text", ""), str):
+                continue
+            spans.append(s)
         except Exception:
             continue
     return page_width, spans

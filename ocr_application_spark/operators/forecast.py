@@ -60,9 +60,11 @@ _DEC = "decimal(18,2)"
     """,
 )
 def forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4+A7: monthly rollup -> closed-form least squares from exact
-    sufficient statistics. Two tiny shuffles (months, then a 1-row agg);
-    at scale the monthly rollup is the only data-sized pass."""
+    """A4+A7: daily rollup -> closed-form least squares from exact
+    sufficient statistics. Two tiny shuffles (days, then a 1-row agg);
+    at scale the daily rollup is the only data-sized pass. (Daily, not
+    monthly: the synthetic events span one month — the monthly series
+    lives in forecast_ar1, which aggregates by month.)"""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     daily = ev.groupBy(
         F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date")).alias("x")

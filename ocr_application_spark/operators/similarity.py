@@ -148,6 +148,17 @@ def _lsh_bit_sql(k: int) -> str:
     return f"(case when {s} > 0 then {1 << k} else 0 end)"
 
 
+def _bucket_col(qv):
+    """The ONE sign-LSH bucket expression (8 planes -> 256 buckets),
+    shared by ann_lsh_buckets and emb_neardup_pairs so the scheme can
+    never silently diverge between them."""
+    bucket = None
+    for k in range(_N_PLANES):
+        term = _lsh_bit(qv, k)
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
 @_q(
     "ann_lsh_buckets",
     f"""
@@ -165,11 +176,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sub-quadratic path at corpus scale."""
     e = _emb(spark, sf_dir)
     q = e.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    bucket = None
-    for k in range(_N_PLANES):
-        term = _lsh_bit(F.col("qv"), k)
-        bucket = term if bucket is None else bucket + term
-    return q.select("vec_id", bucket.alias("bucket"))
+    return q.select("vec_id", _bucket_col(F.col("qv")).alias("bucket"))
 
 
 # --- LSH-bucketed near-dup pairs ---------------------------------------------------
@@ -204,11 +211,7 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     restriction = the LSH recall/cost tradeoff."""
     e = _emb(spark, sf_dir)
     q = e.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    bucket = None
-    for k in range(_N_PLANES):
-        term = _lsh_bit(F.col("qv"), k)
-        bucket = term if bucket is None else bucket + term
-    b = q.withColumn("bucket", bucket)
+    b = q.withColumn("bucket", _bucket_col(F.col("qv")))
     a = b.alias("a")
     b2 = b.alias("b2")
     cos = _dot(F.col("a.qv"), F.col("b2.qv")).cast("double") / F.sqrt(

@@ -24,12 +24,26 @@ ORACLES: dict = {}
 _N_SALT = 16
 
 
+def _salt(n_salt: int):
+    """Per-row salt that spreads DUPLICATE rows too.
+
+    A hash of the row's columns looks deterministic but fails on the
+    exact corpora skew guards exist for: a hot key whose rows are
+    largely identical (replayed records, boilerplate) hashes every copy
+    to ONE salt value, re-creating the straggler. The row's physical
+    position (monotonically_increasing_id = partition_id << 33 | row#)
+    spreads copies uniformly; the salted aggregation's RESULT is
+    salt-invariant (proven by the naive-form oracle), so salt stability
+    across runs is not required — only uniformity within a run.
+    """
+    return F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
+
+
 def salted_repartition(df: DataFrame, key: str, n_partitions: int, n_salt: int = _N_SALT) -> DataFrame:
     """Repartition on (key, salt) so a hot key spreads over n_salt
-    partitions; salt is derived deterministically from a stable row
-    column when available, else a hash of the whole row."""
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salt))
-    return df.repartition(n_partitions, F.col(key), salt)
+    partitions (use in front of a per-partition kernel stage when one
+    key dominates the input)."""
+    return df.repartition(n_partitions, F.col(key), _salt(n_salt))
 
 
 def salted_group_sum(df: DataFrame, key: str, aggs: dict[str, str], n_salt: int = _N_SALT) -> DataFrame:
@@ -39,7 +53,7 @@ def salted_group_sum(df: DataFrame, key: str, aggs: dict[str, str], n_salt: int 
 
     aggs: {out_name: col} summed; count handled via a literal 1 col.
     """
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salt)).alias("_salt")
+    salt = _salt(n_salt).alias("_salt")
     phase1 = df.select(key, salt, *[F.col(c).alias(f"_v_{o}") for o, c in aggs.items()]).groupBy(
         key, "_salt"
     )
