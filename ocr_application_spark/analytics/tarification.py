@@ -38,13 +38,30 @@ def parse_catalog(raw: DataFrame) -> DataFrame:
 
 def fuzzy_match_catalog(lines: DataFrame, catalog: DataFrame) -> DataFrame:
     """J1 at the reference threshold: broadcast the catalog, levenshtein
-    similarity ratio, top-1 per line, accept >= 90 else null-extend."""
+    similarity ratio, top-1 per line, accept >= 90 else null-extend.
+
+    Top-1 MAXIMIZES the length-normalized ratio (fuzzywuzzy extractOne
+    semantics, tarification_pipeline.py:168) — not minimal raw edit
+    distance, which would prefer a short sloppy match over a longer,
+    proportionally closer one. The ratio is a division of identical
+    ints in both engines, so the ordering is cross-engine stable; ties
+    break on cat_name."""
+    if catalog.isEmpty():
+        # null-extension must survive an empty catalog: every line kept,
+        # nothing matched (a cross join would silently drop all rows)
+        return lines.select(
+            *lines.columns,
+            F.lit(None).cast("string").alias("matched_name"),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(None).cast("double").alias("prix_catalogue"),
+            F.lit(None).cast("double").alias("remboursement_unitaire"),
+        )
     probe = lines.withColumn("_nom_norm", F.lower(F.trim(F.col("nom"))))
     lev = F.levenshtein(F.col("_nom_norm"), F.col("cat_name"))
     score = 100.0 * (
         1.0 - lev.cast("double") / F.greatest(F.length("_nom_norm"), F.length("cat_name"))
     )
-    w = Window.partitionBy("url", "line_id").orderBy(lev, F.col("cat_name"))
+    w = Window.partitionBy("url", "line_id").orderBy(F.desc(score), F.col("cat_name"))
     scored = (
         probe.crossJoin(F.broadcast(catalog))
         .withColumn("match_score", score)

@@ -9,6 +9,7 @@ engine over the driver-provided testdata without synthesizing inputs.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from html import escape as html_escape
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -32,7 +33,11 @@ def wrap_document_html(doc_id: int, text: str, lang: str) -> bytes:
     for i in range(0, len(words), 25):
         chunk = " ".join(words[i : i + 25]).strip()
         if chunk:
-            paras.append(f"<p>{chunk}</p>")
+            # escape so document text containing '<' or '&' survives the
+            # wrap -> extract round trip (the extractor unescapes); the
+            # digest oracle hashes the ORIGINAL text, so without this any
+            # markup-looking character would break byte-identity
+            paras.append(f"<p>{html_escape(chunk)}</p>")
     return _TPL.format(doc_id=doc_id, paras="".join(paras) or "<p>empty</p>", lang=lang).encode(
         "utf-8"
     )

@@ -96,6 +96,8 @@ def _invoice_body(rng: random.Random, words: list[str]) -> str:
         for _ in range(rng.randint(4, 12))
     )
     hdr = "<tr><th>DESIGNATION</th><th>QTE</th><th>PRIX UNITAIRE</th><th>MONTANT</th></tr>"
+    # randrange bounds are exclusive (months 1-11, days 1-27) — frozen as
+    # part of the deterministic corpus spec; goldens depend on these draws
     total = f"<p>TOTAL: {rng.uniform(10, 900):.2f} DT</p><p>DATE: {rng.randrange(1, 28):02d}/{rng.randrange(1, 12):02d}/202{rng.randrange(0, 4)}</p>"
     return f"<section><h2>FACTURE N{rng.randrange(10000)}</h2><table>{hdr}{rows}</table>{total}</section>"
 

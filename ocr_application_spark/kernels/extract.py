@@ -74,10 +74,6 @@ def extract(pages: DataFrame) -> DataFrame:
     return out
 
 
-def _passthrough_bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    yield from batches
-
-
 def quarantine_split(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
     """success rows vs error-envelope rows (F8 + the reference's
     skip-message-keep-consuming semantics, extraction_service/app/kafka/

@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame
 
 from ocr_application_spark.core.extraction_core import (
     PDF_MAGIC,
+    _norm_ws,
     parse_pdf_payload,
+    repair_mojibake,
     span_passes_filters,
 )
 
@@ -44,7 +46,11 @@ def _segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             float(s["x1"]),
                             float(s["y1"]),
                             float(s.get("conf", 1.0)),
-                            s["text"].strip(),
+                            # same normalization as the extraction path
+                            # (extraction_core.extract_pdf): a span's text
+                            # here must byte-match what W1 reassembly
+                            # would contribute to extracted_text
+                            repair_mojibake(_norm_ws(s["text"])),
                         )
                     )
         yield pd.DataFrame(

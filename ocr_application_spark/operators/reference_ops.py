@@ -234,7 +234,8 @@ def w4_top1_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(100.0 * (1.0 - cast(levenshtein(p.p_name, c.cat_name) as double)
                    / greatest(length(p.p_name), length(c.cat_name))), 2) as score,
              row_number() over (partition by p.p_partkey
-                                order by levenshtein(p.p_name, c.cat_name),
+                                order by 100.0 * (1.0 - cast(levenshtein(p.p_name, c.cat_name) as double)
+                                          / greatest(length(p.p_name), length(c.cat_name))) desc,
                                          c.cat_name) as rn
       from probe p cross join catalog c
     )
@@ -267,7 +268,13 @@ def j1_fuzzy_catalog_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         2,
     )
-    w = Window.partitionBy("p_partkey").orderBy(lev, F.col("cat_name"))
+    # extractOne maximizes the length-normalized ratio, not raw distance
+    # (see analytics/tarification.fuzzy_match_catalog); the unrounded
+    # ratio is a division of identical ints -> cross-engine stable order
+    score_raw = 100.0 * (
+        1.0 - lev.cast("double") / F.greatest(F.length("p_name"), F.length("cat_name"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.desc(score_raw), F.col("cat_name"))
     scored = (
         probe.crossJoin(F.broadcast(cat))
         .withColumn("score", score)

@@ -292,7 +292,7 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     with gaps as (
       select event_id, user_id, ts,
              case when lag(ts) over w is null then 1
-                  when epoch(ts) - epoch(lag(ts) over w) > 1800 then 1
+                  when epoch_us(ts) - epoch_us(lag(ts) over w) > 1800 * 1000000 then 1
                   else 0 end as new_session
       from events
       window w as (partition by user_id order by ts, event_id)
@@ -312,10 +312,17 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer MICROSECOND gaps: unix_timestamp() truncates to whole
+    # seconds, which disagrees with the oracle's fractional epoch() on
+    # gaps within 1s of the 1800s boundary (sf0.1 has several). The
+    # NTZ->timestamp cast is identity under the session's pinned UTC tz;
+    # both engines then compare exact bigints (epoch_us in DuckDB).
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
     gaps = ev.withColumn(
         "new_session",
-        F.when(F.lag("ts").over(w).isNull(), 1)
-        .when(F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800, 1)
+        F.when(prev_us.isNull(), 1)
+        .when(us - prev_us > 1800 * 1_000_000, 1)
         .otherwise(0),
     )
     w2 = w.rowsBetween(W.unboundedPreceding, 0)
