@@ -25,7 +25,10 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    except ValueError:  # e.g. SPARK_GRAFT_CPUS='*'
+        cpus = os.cpu_count() or 8
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)
@@ -48,91 +51,96 @@ def main() -> None:
     )
 
     # --- extraction input: pre-written table, like production ------------
-    pages_path = "/root/repo/.scratch/bench_pages"
+    from ocr_application_spark.sources.webpages import default_scratch
+
+    pages_path = os.path.join(default_scratch(), "bench_pages")
     shutil.rmtree(pages_path, ignore_errors=True)
-    synth_pages(spark, n_docs, slices=max(64, 4 * cpus)).write.parquet(pages_path)
-    pages = spark.read.parquet(pages_path)
-    extract_job = extract_pages(pages).filter(F.col("status") == "success")
-    extract_job.count()  # warm (spawn python workers, JIT scan paths)
+    try:
+        synth_pages(spark, n_docs, slices=max(64, 4 * cpus)).write.parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+        extract_job = extract_pages(pages).filter(F.col("status") == "success")
+        extract_job.count()  # warm (spawn python workers, JIT scan paths)
 
-    timings: dict[str, float] = {}
-    extract_trials = []
-    for _ in range(3):
-        t0 = time.monotonic()
-        n_out = extract_job.count()
-        extract_trials.append(time.monotonic() - t0)
-    extract_secs = sorted(extract_trials)[1]  # median, same rationale as below
-    timings["extract_pipeline"] = round(extract_secs, 3)
-    docs_per_sec = round(n_out / extract_secs, 1)
-
-    # --- headline relational / dedup / similarity queries -----------------
-    queries = entrymod.queries()
-    headline = [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_region_revenue",
-        "topk_orders_per_customer",
-        "w1_reading_order",
-        "w2_line_sessionize",
-        "j1_fuzzy_catalog_match",
-        "j2_label_value_pairing",
-        "j3_region_table_antijoin",
-        "j4_iou_dedup",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
-        "text_quality_score",
-        "text_langid_heuristic",
-        "ann_cosine_topk",
-        "ann_lsh_buckets",
-        "skew_salted_host_stats",
-        "pipeline_extract_digest",
-        "forecast_linear",
-        "q6_revenue_change",
-        "events_sessionize",
-        "emb_neardup_pairs",
-        "text_fingerprint",
-        "f11_json_block_extract",
-        "url_canonicalize",
-        "url_canonical_dupes",
-        "multimodal_frame_sample",
-        "multimodal_resize",
-        "events_retention_cohorts",
-    ]
-
-    def run(name: str) -> None:
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-    for name in headline:  # warm pass: JIT + table/footer/codec init
-        run(name)
-    # median of 3 timed runs per query: the sandbox VM shows ~2x run-to-run
-    # noise, single-shot timings are a lottery
-    for name in headline:
-        trials = []
+        timings: dict[str, float] = {}
+        extract_trials = []
         for _ in range(3):
             t0 = time.monotonic()
-            run(name)
-            trials.append(time.monotonic() - t0)
-        timings[name] = round(sorted(trials)[1], 3)
+            n_out = extract_job.count()
+            extract_trials.append(time.monotonic() - t0)
+        extract_secs = sorted(extract_trials)[1]  # median, same rationale as below
+        timings["extract_pipeline"] = round(extract_secs, 3)
+        docs_per_sec = round(n_out / extract_secs, 1)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num,
-                "extraction_docs_per_sec": docs_per_sec,
-                "extraction_corpus_docs": n_out,
-                "cpus": cpus,
-            }
+        # --- headline relational / dedup / similarity queries -----------------
+        queries = entrymod.queries()
+        headline = [
+            "q1_pricing_summary",
+            "q3_shipping_priority",
+            "q5_region_revenue",
+            "topk_orders_per_customer",
+            "w1_reading_order",
+            "w2_line_sessionize",
+            "j1_fuzzy_catalog_match",
+            "j2_label_value_pairing",
+            "j3_region_table_antijoin",
+            "j4_iou_dedup",
+            "dedup_exact",
+            "dedup_minhash_lsh",
+            "dedup_ngram_jaccard",
+            "dedup_simhash",
+            "text_quality_score",
+            "text_langid_heuristic",
+            "ann_cosine_topk",
+            "ann_lsh_buckets",
+            "skew_salted_host_stats",
+            "pipeline_extract_digest",
+            "forecast_linear",
+            "q6_revenue_change",
+            "events_sessionize",
+            "emb_neardup_pairs",
+            "text_fingerprint",
+            "f11_json_block_extract",
+            "url_canonicalize",
+            "url_canonical_dupes",
+            "multimodal_frame_sample",
+            "multimodal_resize",
+            "events_retention_cohorts",
+        ]
+
+        def run(name: str) -> None:
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        for name in headline:  # warm pass: JIT + table/footer/codec init
+            run(name)
+        # median of 3 timed runs per query: the sandbox VM shows ~2x run-to-run
+        # noise, single-shot timings are a lottery
+        for name in headline:
+            trials = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                run(name)
+                trials.append(time.monotonic() - t0)
+            timings[name] = round(sorted(trials)[1], 3)
+
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "total_headline_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_num,
+                    "extraction_docs_per_sec": docs_per_sec,
+                    "extraction_corpus_docs": n_out,
+                    "cpus": cpus,
+                }
+            )
         )
-    )
-    shutil.rmtree(pages_path, ignore_errors=True)
-    spark.stop()
+    finally:
+        # a failing query must not leave the 48k-page scratch tree behind
+        shutil.rmtree(pages_path, ignore_errors=True)
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -44,7 +44,9 @@ def main() -> None:
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .getOrCreate()
     )
-    if args.synth:
+    if args.synth is not None and args.input is not None:
+        raise SystemExit("--input and --synth are mutually exclusive")
+    if args.synth is not None:
         pages = synth_pages(spark, args.synth)
     elif args.input:
         pages = spark.read.parquet(args.input)

@@ -42,20 +42,34 @@ def _q(name: str, oracle: str | None = None):
     with toks as (
       select doc_id, string_split(text, ' ') as t from documents
     ),
+    chunks as (
+      -- chunk boundaries over the RAW split list (empties included,
+      -- exactly docwrap's words[i:i+25]); each chunk is then trimmed
+      -- and whitespace-collapsed like the extractor's block normalize
+      select doc_id, u.j,
+             trim(regexp_replace(
+               array_to_string(t[u.j*25+1 : least((u.j+1)*25, len(t))], ' '),
+               '\\s+', ' ', 'g')) as c
+      from toks, unnest(range(0, cast(ceil(len(t) / 25.0) as int))) u(j)
+    ),
     rebuilt as (
+      -- empty chunks vanish (docwrap emits no <p>); all-empty text falls
+      -- back to the '<p>empty</p>' placeholder, as the wrapper does
       select doc_id,
              'document ' || cast(doc_id as varchar) || chr(10) ||
-             array_to_string(
-               list_transform(
-                 range(0, cast(ceil(len(t) / 25.0) as int)),
-                 j -> array_to_string(t[j*25+1 : least((j+1)*25, len(t))], ' ')),
-               chr(10)) as etext
-      from toks
+             coalesce(string_agg(c, chr(10) order by j) filter (where c <> ''),
+                      'empty') as etext0
+      from chunks group by doc_id
+    ),
+    final as (
+      -- repair_mojibake: first replace consumes every '??' so the 'à'
+      -- pass can never fire; then strip (trim)
+      select doc_id, trim(replace(etext0, '??', 'é')) as etext from rebuilt
     )
-    select 'https://docs.example/' || lpad(cast(doc_id as varchar), 8, '0') as url,
+    select 'https://docs.example/' || printf('%08d', doc_id) as url,
            length(etext) as n_chars,
            sha256(etext) as digest
-    from rebuilt
+    from final
     """,
 )
 def pipeline_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,6 +86,7 @@ def pipeline_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "n_chars", "digest")
 
 
+@_q("classify_distribution")
 def classify_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-routing counts from the broadcast-weights classifier
     (K1 analog) — rows-only (model semantics live in the kernel).
@@ -97,8 +112,6 @@ def classify_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_class")
     )
 
-
-QUERIES["classify_distribution"] = classify_distribution
 
 
 @_q(

@@ -3,19 +3,20 @@
 The rule requires >=0.8 throughput scaling efficiency between N and 4N
 executors. No real cluster exists in this sandbox, so the sanctioned
 stand-in is the same job at two local parallelism levels on identical
-input: local[N] vs local[4N] (default 8 vs 32), reported as
+input: local[N] vs local[4N] (default 4 vs 16), reported as
 
     efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4
 
 Each measurement runs in its own subprocess (fresh JVM) so the two
 SparkSessions can't share warm state. Writes BENCH/BASELINE.md.
 
-Usage: python scripts/scaling_bench.py [n_docs] [small_cores] [big_cores]
+Usage: python scripts/scaling_bench.py [n_docs] [small_cores] [big_cores] [reps]
 """
 
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -57,14 +58,16 @@ spark.stop()
 """
 
 
+def _run_checked(argv: list[str]) -> subprocess.CompletedProcess:
+    out = subprocess.run(argv, capture_output=True, text=True, cwd="/root/repo")
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])  # surface the Spark traceback
+        raise SystemExit(f"worker failed (exit {out.returncode})")
+    return out
+
+
 def run(cores: int, n_docs: int, path: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", _WORKER, str(cores), str(n_docs), path],
-        capture_output=True,
-        text=True,
-        cwd="/root/repo",
-        check=True,
-    )
+    out = _run_checked([sys.executable, "-c", _WORKER, str(cores), str(n_docs), path])
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -74,13 +77,7 @@ def main() -> None:
     big = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     path = "/root/repo/.scratch/scaling_pages"
-    subprocess.run(
-        [sys.executable, "-c", _GEN, str(n_docs), path],
-        capture_output=True,
-        text=True,
-        cwd="/root/repo",
-        check=True,
-    )
+    _run_checked([sys.executable, "-c", _GEN, str(n_docs), path])
     # Interleave fresh-JVM repetitions of the two levels: sandbox-VM
     # throughput drifts ~±20% over minutes, so a single small/big pair
     # is a lottery — pair medians cancel the drift.
@@ -93,7 +90,8 @@ def main() -> None:
     r_small = min(small_runs, key=lambda r: abs(r["docs_per_sec"] - statistics.median(x["docs_per_sec"] for x in small_runs)))
     r_big = min(big_runs, key=lambda r: abs(r["docs_per_sec"] - statistics.median(x["docs_per_sec"] for x in big_runs)))
     speedup = r_big["docs_per_sec"] / r_small["docs_per_sec"]
-    eff = speedup / (big / small)
+    scale = big / small  # true ratio, not floor-div (3->8 is 2.67x, not 2x)
+    eff = speedup / scale
     report = {
         "n_docs": n_docs,
         "small": r_small,
@@ -101,7 +99,7 @@ def main() -> None:
         "small_trials": [r["docs_per_sec"] for r in small_runs],
         "big_trials": [r["docs_per_sec"] for r in big_runs],
         "speedup": round(speedup, 3),
-        "scale_factor": big // small,
+        "scale_factor": round(scale, 3),
         "efficiency": round(eff, 3),
     }
     print(json.dumps(report))
@@ -117,15 +115,14 @@ synthetic corpus pre-written as 256 parquet files, two full-size
 warm-ups (Python workers spawned and reused, as in any long-running
 job), median of 3 timed runs.
 
-Parallelism levels are local[{small}] vs local[{big}] on the 32-core
-box so BOTH configurations run uncontended: in local mode every task
-needs one executor thread (Arrow feed: parquet decode + IPC) plus one
-Python worker process, so local[32] would put ~64 runnable threads on
-32 cores and undermeasure the big configuration — an artifact of
-driver-equals-executor local mode, not of the job (on a real 4N-executor
-cluster each executor owns its cores). A raw 32-process CPU test on this
-box scales at 0.89 efficiency (see scripts/scaling_bench.py history),
-confirming headroom.
+Parallelism levels are local[{small}] vs local[{big}] on this
+{os.cpu_count()}-core box, chosen so BOTH configurations run
+uncontended: in local mode every task needs one executor thread (Arrow
+feed: parquet decode + IPC) plus one Python worker process, so a level
+at the full core count would put ~2x runnable threads per core and
+undermeasure the big configuration — an artifact of
+driver-equals-executor local mode, not of the job (on a real
+4N-executor cluster each executor owns its cores).
 
 | parallelism | docs | wall (s) | docs/sec (median rep) | all reps (docs/sec) |
 |---|---|---|---|---|
@@ -136,15 +133,15 @@ Each row is {reps} interleaved fresh-JVM repetitions (median of 3 timed
 runs inside each); the median repetition is reported because sandbox-VM
 throughput drifts ~±20% over minutes.
 
-**Speedup {small}->{big} cores: {speedup:.2f}x over a {big // small}x
+**Speedup {small}->{big} cores: {speedup:.2f}x over a {scale:.2f}x
 core increase -> scaling efficiency = {eff:.3f}** (criterion: >= 0.8).
 
 Why it scales: the extraction pipeline is shuffle-free up to the sink
 (scan -> mapInPandas kernel -> classify are narrow stages); Python
 kernel work runs in per-task worker processes (no GIL contention), so
-throughput tracks cores until I/O saturates. Absolute single-box
-throughput: ~25-31k docs/sec at local[32] (bench.py), ~4 orders of magnitude
-above the reference's ~1 doc/s/stage architecture.
+throughput tracks cores until I/O saturates (bench.py reports the
+full-box rate), ~4 orders of magnitude above the reference's
+~1 doc/s/stage architecture.
 
 Reference baseline for context: the reference's architecture caps at
 ~1 doc/s/stage (single-partition Kafka topics, 1.0 s/image latency —

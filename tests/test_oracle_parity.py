@@ -35,3 +35,38 @@ def test_rows_only_queries_run(name, spark):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_digest_oracle_survives_adversarial_text(spark, tmpdir_scratch):
+    """The flagship digest oracle must mirror the kernel on text the
+    clean driver fixtures never exercise: whitespace runs, empty and
+    whitespace-only docs, mojibake markers, >8-digit ids, chunk-boundary
+    straddles, markup characters."""
+    import duckdb
+    import pandas as pd
+
+    from ocr_application_spark.operators import kernels_entry as ke
+    from tests.oracle_harness import compare
+
+    rows = [
+        (1, "plain single spaced words " * 10, "en", "s", 0),
+        (2, "double  spaced   runs here " * 8, "en", "s", 0),
+        (3, "", "en", "s", 0),
+        (4, "   ", "en", "s", 0),
+        (5, "d??j?? vu mojibake test", "fr", "s", 0),
+        (123456789012, "big id doc", "en", "s", 0),
+        (7, "x " * 26, "en", "s", 0),
+        (8, " lead and trail  ", "en", "s", 0),
+        (9, "a<b AT&T markup 'quotes' \"dq\"", "en", "s", 0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(f"{tmpdir_scratch}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{tmpdir_scratch}/documents.parquet'")
+    errs, _ = compare(
+        ke.QUERIES["pipeline_extract_digest"](spark, tmpdir_scratch),
+        con,
+        ke.ORACLES["pipeline_extract_digest"],
+        "digest_adversarial",
+    )
+    assert errs == [], errs
