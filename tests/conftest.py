@@ -1,9 +1,11 @@
+import os
 import shutil
 import tempfile
 
 import pytest
 
 from ocr_application_spark.session import get_spark
+from ocr_application_spark.sources.webpages import default_scratch
 
 
 @pytest.fixture(scope="session")
@@ -15,12 +17,10 @@ def spark():
 
 @pytest.fixture()
 def tmpdir_scratch():
-    d = tempfile.mkdtemp(prefix="sparkgraft_", dir="/root/repo/.scratch")
+    d = tempfile.mkdtemp(prefix="sparkgraft_", dir=default_scratch())
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
 
 def pytest_configure(config):
-    import os
-
-    os.makedirs("/root/repo/.scratch", exist_ok=True)
+    os.makedirs(default_scratch(), exist_ok=True)

@@ -41,12 +41,24 @@ def _norm_cell(v):
     return v
 
 
+def _sort_key(row):
+    # floats enter the ROW-ALIGNMENT key at 9 significant digits so two
+    # sides that agree within the value tolerance still align to the
+    # same position; the cell comparison afterwards applies the real rtol
+    return tuple(
+        f"{v:.9e}" if isinstance(v, float) else repr(v) for v in row
+    )
+
+
 def _rows_to_key(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # case-insensitive column order: the column-equality check lower()s
+    # names, so the alignment must too (Spark 'Zone' vs duck 'zone' would
+    # otherwise sort into different positions and pair wrong cells)
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
     out = []
     for r in rows:
         out.append(tuple(_norm_cell(r[i]) for i in order))
-    return sorted(out, key=repr)
+    return sorted(out, key=_sort_key)
 
 
 def compare(spark_df, con, sql: str, name: str, float_rtol: float = 1e-9):

@@ -28,7 +28,9 @@ def test_byte_identity_per_url(spark):
     oracle = _oracle_digests(N)
     result = extract_pages(synth_pages(spark, N)).select("url", "digest", "extracted_text").collect()
     assert len(result) == N
-    mismatches = [r.url for r in result if oracle[r.url] != r.digest]
+    # .get(): an engine-emitted url the oracle never generated must show
+    # up in the mismatch report, not die as a bare KeyError
+    mismatches = [r.url for r in result if oracle.get(r.url) != r.digest]
     assert mismatches == []
     # digest really is sha256 of the text bytes
     r0 = result[0]

@@ -99,7 +99,7 @@ def test_minhash_single_wide_exchange_over_shingles(spark):
     # then the (tiny) band self-join; no third shuffle of raw shingles
     plan = plan_of(spark, "dedup_minhash_lsh")
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert 1 <= n_exchanges <= 3, f"{n_exchanges} exchanges:\n{plan}"
+    assert 1 <= n_exchanges <= 2, f"{n_exchanges} exchanges:\n{plan}"
 
 
 def test_jaccard_posting_plan_shuffles(spark):

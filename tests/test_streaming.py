@@ -20,10 +20,13 @@ def test_stream_matches_batch(spark, tmpdir_scratch):
     q = run_stream_to_table(
         spark, inp, tmpdir_scratch + "/out", tmpdir_scratch + "/ckpt"
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = still running (timeout)
 
     got = spark.read.parquet(tmpdir_scratch + "/out")
     batch = extract_pages(synth_pages(spark, N)).filter("status = 'success'")
+    # exact row count FIRST: a replayed-epoch append regression would
+    # duplicate rows that a set comparison silently collapses
+    assert got.count() == batch.count()
     a = {(r.url, r.digest) for r in got.select("url", "digest").collect()}
     b = {(r.url, r.digest) for r in batch.select("url", "digest").collect()}
     assert a == b  # stream == batch, same kernel
@@ -41,10 +44,13 @@ def test_stream_metrics_windowing(spark, tmpdir_scratch):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     rows = spark.sql("select * from m_out").collect()
-    # append mode emits only watermark-closed windows; with a single
-    # micro-batch the tail windows stay open, so check totals bounds
+    # append mode emits only watermark-closed windows; the tail windows
+    # stay open, so totals are bounded — but multiple micro-batches
+    # (maxFilesPerTrigger) advance the watermark, so SOME window must
+    # have closed: an empty result would mean the metrics stream is dead
+    assert rows, "no closed windows emitted"
     assert sum(r.n_docs for r in rows) <= N
     assert all(r.method in ("html", "pdf", "passthrough", "empty") for r in rows)
 
@@ -68,7 +74,7 @@ def test_stateful_host_progress(spark, tmpdir_scratch):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     # last emitted row per host == cumulative total == batch ground truth
     emitted = spark.sql(
@@ -114,7 +120,7 @@ def test_stream_dedup_urls(spark, tmpdir_scratch):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     rows = spark.sql("select url_canonical, count(*) n from dedup_out group by 1").collect()
     assert len(rows) == N  # every logical page survives exactly once
     assert all(r.n == 1 for r in rows)
