@@ -37,6 +37,7 @@ def _modules():
         similarity,
         skew,
         sweep_merge,
+        tarification_entry,
         textfns,
         tpch,
         urlops,
@@ -54,6 +55,7 @@ def _modules():
         ann_ivf,
         kernels_entry,
         urlops,
+        tarification_entry,
     ]
 
 

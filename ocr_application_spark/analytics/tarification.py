@@ -107,14 +107,22 @@ def summarize(tarified: DataFrame) -> DataFrame:
 
 def reserve_estimate(tarified: DataFrame, factor: float = 1.1) -> DataFrame:
     """A3 + reserve: mean of nonzero remboursements * count * factor
-    (simple reserve of tarification_pipeline.py:229,263)."""
+    (simple reserve of tarification_pipeline.py:229,263).
+
+    The mean is sum(decimal)/count, not float avg: a float running mean
+    depends on partition visit order (nondeterministic run to run, let
+    alone engine to engine); the decimal sum is order-independent and
+    the single double division is bit-stable."""
     nz = F.when(
         F.col("remboursement_total").isNotNull() & (F.col("remboursement_total") != 0),
         F.col("remboursement_total"),
     )
+    s = F.sum(nz.cast(_DEC))
+    n = F.count(nz)
+    mean = F.when(n > 0, s.cast("double") / n)
     return tarified.agg(
-        F.avg(nz).alias("mean_remboursement"),
-        (F.avg(nz) * F.count(nz) * factor).alias("reserve_simple"),
+        mean.alias("mean_remboursement"),
+        ((mean * n) * factor).alias("reserve_simple"),
     )
 
 

@@ -36,20 +36,30 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
-@_q(
-    "pipeline_extract_digest",
-    """
+# The SQL reconstruction of the extraction kernel's output text for
+# docwrap-wrapped documents (title block + 25-word paragraph chunks,
+# whitespace-normalized, mojibake-repaired). Shared by the digest oracle
+# and the classifier oracle so the spec of "what the kernel extracts"
+# exists exactly once in SQL.
+_ETEXT_CTES = """
     with toks as (
       select doc_id, string_split(text, ' ') as t from documents
     ),
     chunks as (
       -- chunk boundaries over the RAW split list (empties included,
       -- exactly docwrap's words[i:i+25]); each chunk is then trimmed
-      -- and whitespace-collapsed like the extractor's block normalize
+      -- and whitespace-collapsed like the extractor's block normalize.
+      -- The character class enumerates EXACTLY Python str.split()'s
+      -- whitespace set (incl. \\x1c-\\x1f, NEL, NBSP, the U+2000 block,
+      -- LS/PS, NNBSP, MMSP, ideographic space) — RE2's ASCII-only \\s
+      -- would leave e.g. chr(28) intact and break byte-exactness on
+      -- arbitrary text (ADVICE r01); pinned by the unicode-whitespace
+      -- rows in test_digest_oracle_survives_adversarial_text
       select doc_id, u.j,
              trim(regexp_replace(
                array_to_string(t[u.j*25+1 : least((u.j+1)*25, len(t))], ' '),
-               '\\s+', ' ', 'g')) as c
+               '[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+',
+               ' ', 'g')) as c
       from toks, unnest(range(0, cast(ceil(len(t) / 25.0) as int))) u(j)
     ),
     rebuilt as (
@@ -66,6 +76,13 @@ def _q(name: str, oracle: str | None = None):
       -- pass can never fire; then strip (trim)
       select doc_id, trim(replace(etext0, '??', 'é')) as etext from rebuilt
     )
+"""
+
+
+@_q(
+    "pipeline_extract_digest",
+    _ETEXT_CTES
+    + """
     select 'https://docs.example/' || printf('%08d', doc_id) as url,
            length(etext) as n_chars,
            sha256(etext) as digest
@@ -112,6 +129,106 @@ def classify_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_class")
     )
 
+
+
+# --- value-checked classifier (K1) over docwrap pages ------------------------
+# Docwrap pages have CONSTANT structural features by construction:
+# n_links = 6 (3 nav + 2 aside + 1 footer anchor; counted page-globally
+# even inside killed regions), n_tables = n_inputs = 0, and
+# link_density = 0.0 (every <a> sits inside a KILL_TAGS region, so the
+# body candidate accumulates zero link_chars). The only per-doc features
+# are text_len and digit_ratio — both derivable from the same etext the
+# digest oracle rebuilds. That makes the full classifier (features ->
+# linear logits -> softmax -> argmax route + confidence) expressible in
+# SQL with the weight matrix inlined. Continuous outputs are quantized
+# to ppm (round(x*1e6) -> bigint, the repo's cross-engine float rule);
+# the class route compares as a string.
+def _classify_oracle_sql() -> str:
+    import numpy as np
+
+    from ocr_application_spark.kernels.classify import _W
+
+    x0 = repr(float(np.log1p(6.0)))  # log1p(n_links), constant for docwrap
+
+    def logit(i: int) -> str:
+        w = [float(v) for v in _W[i]]
+        # zero-feature terms (tables/inputs/link_density) drop out:
+        # w*0.0 adds an exact +-0.0, which is an IEEE identity
+        return f"({w[0]!r} * {x0} + {w[3]!r} * x3 + {w[5]!r} * x5 + {w[6]!r})"
+
+    classes = ("article", "invoice", "form", "other")
+    argmax = (
+        f"case when l0 >= l1 and l0 >= l2 and l0 >= l3 then '{classes[0]}' "
+        f"when l1 >= l2 and l1 >= l3 then '{classes[1]}' "
+        f"when l2 >= l3 then '{classes[2]}' else '{classes[3]}' end"
+    )
+    top = (
+        "case when l0 >= l1 and l0 >= l2 and l0 >= l3 then l0 "
+        "when l1 >= l2 and l1 >= l3 then l1 "
+        "when l2 >= l3 then l2 else l3 end"
+    )
+    return (
+        _ETEXT_CTES
+        + f"""
+    , feats as (
+      select doc_id,
+             cast(length(etext) as bigint) as text_len,
+             cast(length(etext)
+                  - length(regexp_replace(etext, '[0-9]', '', 'g')) as bigint)
+               as n_digits
+      from final
+    ),
+    x as (
+      select doc_id, text_len, n_digits,
+             ln(1.0 + text_len) as x3,
+             cast(n_digits as double) / greatest(1, text_len) as x5
+      from feats
+    ),
+    logits as (
+      select doc_id, text_len, x5,
+             {logit(0)} as l0, {logit(1)} as l1,
+             {logit(2)} as l2, {logit(3)} as l3
+      from x
+    ),
+    softmax as (
+      select doc_id, text_len, x5, l0, l1, l2, l3,
+             greatest(l0, l1, l2, l3) as m
+      from logits
+    )
+    select 'https://docs.example/' || printf('%08d', doc_id) as url,
+           {argmax} as doc_class,
+           cast(round(exp(({top}) - m)
+                      / (exp(l0 - m) + exp(l1 - m) + exp(l2 - m) + exp(l3 - m))
+                      * 1000000.0, 0) as bigint) as conf_ppm,
+           text_len,
+           cast(round(x5 * 1000000.0, 0) as bigint) as digit_ppm
+    from softmax
+    """
+    )
+
+
+@_q("classify_docwrap", _classify_oracle_sql())
+def classify_docwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 value check: the REAL broadcast-weights classifier kernel over
+    the docwrap corpus, per-document — route + ppm-quantized confidence
+    + the two live features — against a SQL twin that recomputes the
+    linear-softmax model from the rebuilt etext (see _classify_oracle_sql
+    header). Complements classify_distribution (which exercises the
+    4-way routing on the synthetic labeled mix but is rows-only, since
+    synth_pages can't be regenerated in SQL)."""
+    from ocr_application_spark.datagen.docwrap import documents_as_pages
+    from ocr_application_spark.kernels.classify import classify
+    from ocr_application_spark.kernels.extract import extract
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = classify(extract(documents_as_pages(docs)))
+    return out.select(
+        "url",
+        "doc_class",
+        F.round(F.col("confidence") * 1000000.0, 0).cast("bigint").alias("conf_ppm"),
+        F.col("features")[3].cast("bigint").alias("text_len"),
+        F.round(F.col("features")[5] * 1000000.0, 0).cast("bigint").alias("digit_ppm"),
+    )
 
 
 @_q(
@@ -206,6 +323,70 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(resize, schema=schema)
+
+
+@_q(
+    "multimodal_enhance",
+    """
+    with px as (
+      select doc_id, u.i as i, unicode(substring(text, u.i, 1)) as p
+      from documents, unnest(range(1, length(text) + 1)) u(i)
+    ),
+    stats as (
+      select doc_id, min(p) as lo, max(p) as hi, count(*) as n_px
+      from px group by 1
+    ),
+    mapped as (
+      select s.doc_id, s.lo, s.hi, s.n_px,
+             sum(px.i * (((px.p - s.lo) * 255) // greatest(1, s.hi - s.lo)))
+               as poly
+      from px join stats s on px.doc_id = s.doc_id
+      group by 1, 2, 3, 4
+    )
+    select d.doc_id,
+           coalesce(m.n_px, 0) as n_px,
+           coalesce(m.lo, 0) as lo,
+           coalesce(m.hi, 0) as hi,
+           cast(coalesce(m.poly, 0) as bigint) as poly
+    from documents d left join mapped m on d.doc_id = m.doc_id
+    """,
+)
+def multimodal_enhance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10 analog (image enhance — dead code in the reference,
+    extraction_service/app/ocr/utils.py:5-10 CLAHE): a deterministic
+    min-max contrast stretch over the payload's "pixels" (STUB decode:
+    code points stand in for grayscale values, since no image lib ships
+    in this container). s_i = (p_i - lo) * 255 // max(1, hi - lo), all
+    integer arithmetic, value-checked end-to-end by an exact integer
+    polynomial fingerprint poly = sum(i * s_i) — the blob-free way to
+    pin every output pixel in SQL. The Spark plumbing (Arrow batches,
+    per-doc independent kernel, no shuffle) is the real enhance shape."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    schema = "doc_id long, n_px long, lo long, hi long, poly long"
+
+    def enhance(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_px": [], "lo": [], "hi": [], "poly": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pixels = [ord(c) for c in (text or "")]
+                if pixels:
+                    lo, hi = min(pixels), max(pixels)
+                    span = max(1, hi - lo)
+                    poly = sum(
+                        i * (((p - lo) * 255) // span)
+                        for i, p in enumerate(pixels, start=1)
+                    )
+                else:
+                    lo = hi = poly = 0
+                out["doc_id"].append(doc_id)
+                out["n_px"].append(len(pixels))
+                out["lo"].append(lo)
+                out["hi"].append(hi)
+                out["poly"].append(poly)
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(enhance, schema=schema)
 
 
 @_q(

@@ -142,9 +142,9 @@ def w1_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
       window w as (partition by doc_id order by cy, x0, region_id)
     )
     select doc_id, region_id,
-           sum(new_line) over (partition by doc_id
-                               order by cy, x0, region_id
-                               rows unbounded preceding) as line_id
+           cast(sum(new_line) over (partition by doc_id
+                                    order by cy, x0, region_id
+                                    rows unbounded preceding) as bigint) as line_id
     from gaps
     """,
 )
@@ -499,7 +499,8 @@ def a4_monthly_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "a5_corpus_counts",
     """
-    select lang, source, count(*) as n_docs, sum(n_chars) as total_chars
+    select lang, source, count(*) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars
     from documents group by lang, source
     """,
 )

@@ -298,9 +298,9 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       window w as (partition by user_id order by ts, event_id)
     )
     select user_id, event_id,
-           sum(new_session) over (partition by user_id
-                                  order by ts, event_id
-                                  rows unbounded preceding) as session_id
+           cast(sum(new_session) over (partition by user_id
+                                       order by ts, event_id
+                                       rows unbounded preceding) as bigint) as session_id
     from gaps
     """,
 )

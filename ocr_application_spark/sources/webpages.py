@@ -62,12 +62,36 @@ def with_bucket(df: DataFrame, n_buckets: int = 64) -> DataFrame:
     replace the *partition column* with a derived expression — after
     which resume_filter's NOT-IN predicate could no longer
     partition-prune finished ``bucket=`` directories and a resume would
-    rescan the whole table. (Callers must pass the same n_buckets the
-    table was written with; write_pages owns that invariant.)
+    rescan the whole table. The kept column is VALIDATED, not trusted:
+    ``read_pages`` brands it with the table's persisted bucket count
+    (column metadata from the ``_bucket_meta.json`` sidecar
+    ``write_pages`` leaves), and a mismatch with ``n_buckets`` — or an
+    unbranded ``bucket`` column of unknown provenance — raises instead
+    of silently corrupting resume/lineage keying.
     """
     if "bucket" in df.columns:
+        meta = df.schema["bucket"].metadata or {}
+        branded = meta.get("n_buckets")
+        if branded is None:
+            raise ValueError(
+                "input has a 'bucket' column of unknown provenance; read the "
+                "table via read_pages() (which validates it against the "
+                "table's _bucket_meta.json) or drop the column first"
+            )
+        if int(branded) != int(n_buckets):
+            raise ValueError(
+                f"table was bucketed with n_buckets={int(branded)} but caller "
+                f"asked for n_buckets={n_buckets}; resume/lineage keys would "
+                "disagree with the on-disk partition layout"
+            )
         return df
-    return df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    ).withMetadata("bucket", {"n_buckets": int(n_buckets)})
+
+
+def _bucket_meta_path(path: str) -> str:
+    return os.path.join(path, "_bucket_meta.json")
 
 
 def write_pages(df: DataFrame, path: str, n_buckets: int = 64, mode: str = "overwrite") -> None:
@@ -78,10 +102,26 @@ def write_pages(df: DataFrame, path: str, n_buckets: int = 64, mode: str = "over
         .partitionBy("bucket")
         .parquet(path)
     )
+    # Persist the bucket count next to the data (underscore prefix =
+    # ignored by Spark's file listing, like _SUCCESS). On a real cluster
+    # this sidecar would be Iceberg table properties; plain json is the
+    # sandbox's no-Iceberg-jar analog.
+    import json
+
+    with open(_bucket_meta_path(path), "w") as fh:
+        json.dump({"n_buckets": int(n_buckets)}, fh)
 
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    meta = _bucket_meta_path(path)
+    if "bucket" in df.columns and os.path.exists(meta):
+        import json
+
+        with open(meta) as fh:
+            n = int(json.load(fh)["n_buckets"])
+        df = df.withMetadata("bucket", {"n_buckets": n})
+    return df
 
 
 def default_scratch() -> str:

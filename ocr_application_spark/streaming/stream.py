@@ -146,13 +146,22 @@ def run_stream_to_table(
     extracted = stream_extract(stream_pages(spark, input_path))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        ok, bad = quarantine_split(batch_df)
-        (
-            ok.drop("batch_wall_ms")
-            .write.mode("overwrite")
-            .parquet(f"{out_path}/epoch={epoch_id}")
-        )
-        bad.write.mode("overwrite").parquet(f"{out_path}_quarantine/epoch={epoch_id}")
+        # Two actions (ok + quarantine) read the same micro-batch;
+        # without a persist the mapInPandas extraction kernel would run
+        # twice per epoch (mirrors pipeline.run_to_table's persist).
+        batch_df.persist()
+        try:
+            ok, bad = quarantine_split(batch_df)
+            (
+                ok.drop("batch_wall_ms")
+                .write.mode("overwrite")
+                .parquet(f"{out_path}/epoch={epoch_id}")
+            )
+            bad.write.mode("overwrite").parquet(
+                f"{out_path}_quarantine/epoch={epoch_id}"
+            )
+        finally:
+            batch_df.unpersist()
 
     q = (
         extracted.writeStream.foreachBatch(sink)

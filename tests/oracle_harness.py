@@ -31,7 +31,7 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        return v + 0.0  # -0.0 -> 0.0 so the alignment key can't split them
     if hasattr(v, "isoformat"):
         return v.isoformat()
     import decimal
@@ -73,6 +73,21 @@ def compare(spark_df, con, sql: str, name: str, float_rtol: float = 1e-9):
         return errs, 0.0
     s_rows = _rows_to_key(sdf.itertuples(index=False, name=None), list(sdf.columns))
     d_rows = _rows_to_key(ddf.itertuples(index=False, name=None), list(ddf.columns))
+    # Pass 1: cancel rows identical on both sides as a multiset (tuple
+    # equality; -0.0 == 0.0, so sign-of-zero can't misalign here). Only
+    # residual rows — those needing float tolerance — go through the
+    # formatted-sort-key alignment, so a value straddling a 9-digit
+    # rounding boundary can only perturb pairing among the (tiny) set of
+    # genuinely-differing rows, never fail rows that agree exactly.
+    from collections import Counter
+
+    try:
+        s_ctr, d_ctr = Counter(s_rows), Counter(d_rows)
+        common = s_ctr & d_ctr
+        s_rows = sorted((s_ctr - common).elements(), key=_sort_key)
+        d_rows = sorted((d_ctr - common).elements(), key=_sort_key)
+    except TypeError:
+        pass  # unhashable cells (array columns): keep full sorted lists
     max_delta = 0.0
     n_mismatch = 0
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):

@@ -60,6 +60,12 @@ def test_digest_oracle_survives_adversarial_text(spark, tmpdir_scratch):
         (7, "x " * 26, "en", "s", 0),
         (8, " lead and trail  ", "en", "s", 0),
         (9, "a<b AT&T markup 'quotes' \"dq\"", "en", "s", 0),
+        # unicode whitespace the ASCII \s class would miss (ADVICE r01):
+        # file/group/record/unit separators, NEL, NBSP, vertical tab,
+        # line/paragraph separators, NNBSP, ideographic space
+        (10, "fs\x1cgs\x1drs\x1eus\x1f nel\x85nbsp\xa0vt\x0b", "en", "s", 0),
+        (11, "ls\u2028ps\u2029em\u2003nn\u202fid\u3000end", "en", "s", 0),
+        (12, "    \x1c ", "en", "s", 0),  # unicode-ws-only doc
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
     pdf.to_parquet(f"{tmpdir_scratch}/documents.parquet")
