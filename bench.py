@@ -104,7 +104,11 @@ def main() -> None:
             "url_canonical_dupes",
             "multimodal_frame_sample",
             "multimodal_resize",
+            "multimodal_enhance",
             "events_retention_cohorts",
+            "forecast_arima_like",
+            "classify_docwrap",
+            "tarification_pipeline",
         ]
 
         def run(name: str) -> None:

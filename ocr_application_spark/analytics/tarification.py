@@ -45,7 +45,19 @@ def fuzzy_match_catalog(lines: DataFrame, catalog: DataFrame) -> DataFrame:
     distance, which would prefer a short sloppy match over a longer,
     proportionally closer one. The ratio is a division of identical
     ints in both engines, so the ordering is cross-engine stable; ties
-    break on cat_name."""
+    break on cat_name.
+
+    Scale shape: only threshold-passing pairs enter the top-1 window.
+    A candidate scoring < 90 can NEVER surface (every matched_* column
+    nulls out), so pre-filtering them changes nothing — and it removes
+    the |catalog|x row amplification through the window exchange. Two
+    prunes stack: an INTEGER length-bound superset test (lev >=
+    |len_a - len_b|, so 100*|Δlen| <= (100-thr)*maxlen + 100 is
+    necessary; integer arithmetic so no float-boundary disagreement
+    with the score filter) short-circuits levenshtein entirely for
+    most pairs; survivors take the exact float score filter. Lines
+    whose every candidate fell below threshold rejoin by null-extension
+    (left join on the line key), preserving exactly-one-row-per-line."""
     if catalog.isEmpty():
         # null-extension must survive an empty catalog: every line kept,
         # nothing matched (a cross join would silently drop all rows)
@@ -56,26 +68,35 @@ def fuzzy_match_catalog(lines: DataFrame, catalog: DataFrame) -> DataFrame:
             F.lit(None).cast("double").alias("prix_catalogue"),
             F.lit(None).cast("double").alias("remboursement_unitaire"),
         )
-    probe = lines.withColumn("_nom_norm", F.lower(F.trim(F.col("nom"))))
-    lev = F.levenshtein(F.col("_nom_norm"), F.col("cat_name"))
-    score = 100.0 * (
-        1.0 - lev.cast("double") / F.greatest(F.length("_nom_norm"), F.length("cat_name"))
+    probe = lines.select(
+        "url", "line_id", F.lower(F.trim(F.col("nom"))).alias("_nom_norm")
     )
+    la, lb = F.length("_nom_norm"), F.length("cat_name")
+    slack = int(round(100 - MATCH_THRESHOLD))
+    length_bound = (
+        100 * F.abs(la - lb) <= slack * F.greatest(la, lb) + 100
+    )
+    lev = F.levenshtein(F.col("_nom_norm"), F.col("cat_name"))
+    score = 100.0 * (1.0 - lev.cast("double") / F.greatest(la, lb))
     w = Window.partitionBy("url", "line_id").orderBy(F.desc(score), F.col("cat_name"))
-    scored = (
-        probe.crossJoin(F.broadcast(catalog))
+    top1 = (
+        probe.join(F.broadcast(catalog), length_bound)
         .withColumn("match_score", score)
+        .filter(F.col("match_score") >= MATCH_THRESHOLD)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_nom_norm")
+        .select(
+            "url",
+            "line_id",
+            F.col("cat_name").alias("matched_name"),
+            F.col("match_score").alias("score"),
+            F.col("cat_price").alias("prix_catalogue"),
+            F.col("cat_remboursement").alias("remboursement_unitaire"),
+        )
     )
-    matched = F.col("match_score") >= MATCH_THRESHOLD
-    return scored.select(
-        *lines.columns,
-        F.when(matched, F.col("cat_name")).alias("matched_name"),
-        F.when(matched, F.col("match_score")).alias("score"),
-        F.when(matched, F.col("cat_price")).alias("prix_catalogue"),
-        F.when(matched, F.col("cat_remboursement")).alias("remboursement_unitaire"),
+    return lines.join(top1, ["url", "line_id"], "left").select(
+        *lines.columns, "matched_name", "score", "prix_catalogue",
+        "remboursement_unitaire",
     )
 
 

@@ -198,7 +198,10 @@ def tarification_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lines = _fixture_lines(spark, sf_dir)
     catalog = parse_catalog(_fixture_catalog_raw(spark, sf_dir))
-    tarified = tarify(lines, catalog)
+    # three aggregate branches consume tarified; persist so the fuzzy
+    # join + top-1 window run once, not per branch (the cached set is a
+    # few thousand matched lines, not the pair fan-out)
+    tarified = tarify(lines, catalog).persist()
     ms = monthly_series(tarified).agg(
         F.count("*").alias("n_months"),
         F.min("mois").alias("first_mois"),

@@ -78,3 +78,29 @@ def test_digest_oracle_survives_adversarial_text(spark, tmpdir_scratch):
         "digest_adversarial",
     )
     assert errs == [], errs
+
+
+def test_ar1_exact_fit_edge_branches():
+    """Pin the integer-sufficient-statistic fitter's guard branches:
+    single point (den=0 -> phi=0), constant series (den=0), and a known
+    two-point series; all values must be exact IEEE results of the
+    documented op sequence."""
+    from ocr_application_spark.operators.forecast import _ar1_exact_fit
+
+    # single month: phi 0, forecasts collapse to the value itself
+    phi, mu, h1, h2, h3 = _ar1_exact_fit([1234])
+    assert (phi, mu) == (0.0, 12.34)
+    assert h1 == h2 == h3 == 12.34
+
+    # constant series: den = 0 -> phi = 0, forecasts = mean = value
+    phi, mu, h1, h2, h3 = _ar1_exact_fit([500, 500, 500])
+    assert (phi, mu, h1) == (0.0, 5.0, 5.0)
+
+    # two points: den > 0, exact closed form
+    # yc = [100, 300]: n=2, S=400, pairs: spp=30000, sprev2=10000
+    # num = 4*30000 - 2*400*(300+100) + 1*160000 = -40000
+    # den = 4*10000 - 2*2*400*100 + 160000 = 40000  -> phi = -1.0
+    phi, mu, h1, _, h3 = _ar1_exact_fit([100, 300])
+    assert phi == -1.0 and mu == 2.0
+    assert h1 == 2.0 + (3.0 - 2.0) * -1.0  # mean-reverting flip
+    assert h3 == 2.0 + (3.0 - 2.0) * -1.0  # odd power

@@ -157,6 +157,61 @@ def test_frame_sample_is_shuffle_free(spark):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
 
 
+def test_classify_docwrap_is_shuffle_free_single_infer(spark):
+    # scan -> wrap (MapInPandas) -> extract (MapInPandas) -> ONE
+    # ArrowEvalPython for the classifier (struct fields projected from
+    # pythonUDF0, not re-invoking the model) -> project; no shuffle
+    plan = plan_of(spark, "classify_docwrap")
+    assert "Exchange" not in plan, plan
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {
+        "struct", "doc_id", "text", "lang"
+    }, m and m.group(1)
+
+
+def test_multimodal_enhance_is_narrow_and_pruned(spark):
+    plan = plan_of(spark, "multimodal_enhance")
+    assert "Exchange" not in plan, plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {
+        "struct", "doc_id", "text"
+    }, m and m.group(1)
+
+
+def test_tarification_pipeline_broadcasts_no_cartesian(spark):
+    # catalog + the 1-row aggregate branches broadcast; the fuzzy theta
+    # join must be a broadcast nested loop, never a cartesian product
+    plan = plan_of(spark, "tarification_pipeline")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 8, f"{n_exchanges} exchanges:\n{plan}"
+
+
+def test_forecast_arima_two_exchanges_one_kernel(spark):
+    # monthly rollup exchange + groupBy(event_type) exchange feed ONE
+    # grouped-map kernel invocation
+    plan = plan_of(spark, "forecast_arima_like")
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{plan}"
+
+
+def test_neardup_broadcast_bucket_join_no_shuffle(spark):
+    # LSH-bucket equi self-join broadcasts one side: zero Exchange in the
+    # whole plan; the per-vector norm/bucket projections sit BELOW the
+    # join so the join condition folds one dot product per candidate
+    # pair, not three
+    plan = plan_of(spark, "emb_neardup_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+
+
 def test_q14_broadcasts_part_and_pushes_shipdate(spark):
     plan = plan_of(spark, "q14_promo_revenue")
     assert "BroadcastHashJoin" in plan, plan

@@ -103,3 +103,30 @@ def test_prewritten_bucket_table_resume_prunes_partitions(spark, tmpdir_scratch)
     assert remaining.count() == spark.read.parquet(src).filter(
         F.col("bucket") >= NB // 2
     ).count()
+
+
+def test_bucket_validation_guards(spark, tmpdir_scratch):
+    """with_bucket must refuse bucket columns it can't vouch for: an
+    unbranded column of unknown provenance, or a branded count that
+    disagrees with the caller's — either would silently corrupt
+    resume/lineage keying (ADVICE r01)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ocr_application_spark.sources.webpages import read_pages, write_pages
+
+    pages = synth_pages(spark, 50)
+
+    # unknown provenance: a pre-existing bucket column not from read_pages
+    rogue = pages.withColumn("bucket", F.lit(3))
+    with _pytest.raises(ValueError, match="unknown provenance"):
+        with_bucket(rogue, NB)
+
+    # branded table read back: accepted at the written count...
+    src = tmpdir_scratch + "/pages"
+    write_pages(pages, src, n_buckets=NB)
+    branded = read_pages(spark, src)
+    assert with_bucket(branded, NB).schema["bucket"].metadata["n_buckets"] == NB
+    # ...rejected at any other count
+    with _pytest.raises(ValueError, match="n_buckets"):
+        with_bucket(branded, NB * 2)
