@@ -131,6 +131,40 @@ def classify_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@_q(
+    "streaming_extract_digest",
+    _ETEXT_CTES
+    + """
+    select 'https://docs.example/' || printf('%08d', doc_id) as url,
+           length(etext) as n_chars,
+           sha256(etext) as digest
+    from final
+    """,
+)
+def streaming_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING path under the batch digest oracle: docwrap pages
+    written to a directory, consumed by the Structured Streaming query
+    (readStream -> the same mapInPandas kernel -> foreachBatch
+    epoch-idempotent sink), output read back and compared against the
+    SQL-rebuilt text — proving stream output == batch semantics at the
+    value level, not just row counts (one engine, two execution modes).
+    Runs availableNow with several micro-batches (maxFilesPerTrigger)."""
+    import os
+    import tempfile
+
+    from ocr_application_spark.datagen.docwrap import documents_as_pages
+    from ocr_application_spark.sources.webpages import default_scratch
+    from ocr_application_spark.streaming.stream import run_stream_to_table
+
+    os.makedirs(default_scratch(), exist_ok=True)
+    base = tempfile.mkdtemp(prefix="stream_digest_", dir=default_scratch())
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    documents_as_pages(docs).write.mode("overwrite").parquet(f"{base}/pages")
+    q = run_stream_to_table(spark, f"{base}/pages", f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out").select("url", "n_chars", "digest")
+
+
 # --- value-checked classifier (K1) over docwrap pages ------------------------
 # Docwrap pages have CONSTANT structural features by construction:
 # n_links = 6 (3 nav + 2 aside + 1 footer anchor; counted page-globally

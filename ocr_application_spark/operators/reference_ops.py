@@ -258,34 +258,37 @@ def j1_fuzzy_catalog_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.filter(F.col("p_partkey") % 20 == 1)
         .select(F.col("p_partkey").alias("cat_key"), F.col("p_name").alias("cat_name"))
     )
+    la, lb = F.length("p_name"), F.length("cat_name")
+    # a sub-threshold candidate can never surface (both output columns
+    # null out below 60), so pairs provably below threshold are pruned
+    # BEFORE the levenshtein + window: the integer length bound
+    # (lev >= |la-lb|) is a safe superset of score >= 60, and lines
+    # whose candidates all fall below rejoin by left-join null-extension
+    # — the window ingests only >=60 pairs instead of |catalog|x rows
+    # (same scale shape as analytics/tarification.fuzzy_match_catalog)
+    length_bound = 100 * F.abs(la - lb) <= 40 * F.greatest(la, lb) + 100
     lev = F.levenshtein(F.col("p_name"), F.col("cat_name"))
-    score = F.round(
-        100.0
-        * (
-            1.0
-            - lev.cast("double")
-            / F.greatest(F.length("p_name"), F.length("cat_name"))
-        ),
-        2,
-    )
-    # extractOne maximizes the length-normalized ratio, not raw distance
-    # (see analytics/tarification.fuzzy_match_catalog); the unrounded
-    # ratio is a division of identical ints -> cross-engine stable order
-    score_raw = 100.0 * (
-        1.0 - lev.cast("double") / F.greatest(F.length("p_name"), F.length("cat_name"))
-    )
+    # extractOne maximizes the length-normalized ratio, not raw distance;
+    # the unrounded ratio is a division of identical ints -> cross-engine
+    # stable order; the exposed score rounds to 2dp like the reference
+    score_raw = 100.0 * (1.0 - lev.cast("double") / F.greatest(la, lb))
     w = Window.partitionBy("p_partkey").orderBy(F.desc(score_raw), F.col("cat_name"))
-    scored = (
-        probe.crossJoin(F.broadcast(cat))
-        .withColumn("score", score)
+    top1 = (
+        probe.join(F.broadcast(cat), length_bound)
+        .withColumn("score_raw", score_raw)
+        # threshold applies to the ROUNDED score (59.996 -> 60.00 passes,
+        # matching the oracle's round-then-compare); ordering stays raw
+        .filter(F.round(F.col("score_raw"), 2) >= 60.0)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            F.col("cat_name").alias("matched_name"),
+            F.round(F.col("score_raw"), 2).alias("match_score"),
+        )
     )
-    return scored.select(
-        "p_partkey",
-        "p_name",
-        F.when(F.col("score") >= 60.0, F.col("cat_name")).alias("matched_name"),
-        F.when(F.col("score") >= 60.0, F.col("score")).alias("match_score"),
+    return probe.join(top1, "p_partkey", "left").select(
+        "p_partkey", "p_name", "matched_name", "match_score"
     )
 
 
