@@ -329,3 +329,104 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         combine = term if combine is None else combine + term
     return sums.select("doc_id", combine.alias("simhash"))
+
+
+# --- connected components over near-dup pairs ---------------------------------
+# MinHash pairs say "these two are near-dups"; deduplication needs the
+# transitive closure — one canonical representative per CLUSTER (A near
+# B near C => one survivor, not two). Spark realization: iterative
+# min-label propagation (each node takes the min label among itself and
+# its neighbors until fixpoint) — the Pregel-lite pattern; convergence
+# in O(component diameter) supersteps, which for near-dup clusters is
+# small. At 10^12-doc scale with adversarial long chains you'd switch
+# to the large-star/small-star alternation (Kiveris et al., "Connected
+# Components in MapReduce and Beyond"), which converges in O(log n)
+# rounds with the same join/groupBy building blocks; plain propagation
+# is the right trade for shallow dedup clusters. The driver loop's only
+# driver-side data is the one-row convergence count per superstep.
+_CC_MAX_ITERS = 25
+
+_COMPONENTS_ORACLE = f"""
+    with recursive {_SHINGLES_CTE},
+    sigs as (
+      select doc_id,
+           {_MINHASH_SIGS_SQL}
+      from shingles group by doc_id
+    ),
+    buckets as ({_BAND_UNION_SQL}),
+    pairs as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from buckets a join buckets b
+        on a.band_id = b.band_id and a.sig_a = b.sig_a and a.sig_b = b.sig_b
+       and a.doc_id < b.doc_id
+    ),
+    edges as (
+      select doc_a as u, doc_b as v from pairs
+      union all
+      select doc_b as u, doc_a as v from pairs
+    ),
+    reach(u, v) as (
+      select doc_id, doc_id from documents
+      union
+      select e.u, r.v from edges e join reach r on e.v = r.u
+    )
+    select u as doc_id, min(v) as rep
+    from reach group by u
+"""
+
+
+@_q("dedup_components", _COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: (doc_id, rep) where rep is the smallest doc_id
+    reachable through MinHash+LSH candidate pairs (singletons map to
+    themselves). Oracle = recursive-CTE transitive closure over the same
+    pair graph."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .persist()
+    )
+    # Propagate ONLY over nodes the pair graph touches: at corpus scale
+    # the overwhelming majority of documents are singletons — they must
+    # not ride through every superstep's shuffle. Singletons rejoin as
+    # rep = doc_id at the end. (edges holds both directions, so `u`
+    # alone covers every endpoint.)
+    labels = edges.select(F.col("u").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("rep")
+    )
+    prev = None
+    for _ in range(_CC_MAX_ITERS):
+        nbr = (
+            edges.join(labels, edges.u == labels.doc_id)
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.min("rep").alias("nbr_rep"))
+        )
+        # carry old_rep through the update so the convergence probe is a
+        # filter on the cached result, not a second labels-join
+        upd = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("rep"), F.coalesce("nbr_rep", F.col("rep"))).alias(
+                    "new_rep"
+                ),
+                F.col("rep").alias("old_rep"),
+            )
+            .persist()
+        )
+        changed = upd.filter(F.col("new_rep") != F.col("old_rep")).limit(1).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = upd
+        labels = upd.select("doc_id", F.col("new_rep").alias("rep"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    singletons = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("rep"))
+    )
+    return labels.unionByName(singletons)
