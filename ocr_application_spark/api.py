@@ -29,11 +29,20 @@ from ocr_application_spark.kernels.classify import classify as recognize  # noqa
 from ocr_application_spark.kernels.extract import extract, quarantine_split  # noqa: F401
 from ocr_application_spark.kernels.segment import segment  # noqa: F401
 from ocr_application_spark.lineage import bucket_lineage as lineage  # noqa: F401
-from ocr_application_spark.operators.forecast import forecast_ar1, forecast_linear  # noqa: F401
+from ocr_application_spark.operators.forecast import (  # noqa: F401
+    forecast_ar1,
+    forecast_arima_like,
+    forecast_linear,
+)
 from ocr_application_spark.pipeline import (  # noqa: F401
     extract_pages,
     run_to_table,
     verify_digests as verify,
+)
+from ocr_application_spark.sources.snapshots import (  # noqa: F401
+    commit as commit_snapshot,
+    read_snapshot,
+    snapshot_versions,
 )
 from ocr_application_spark.sources.webpages import (  # noqa: F401
     read_pages,

@@ -153,3 +153,90 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower("text")).alias("fingerprint"),
         F.substring(F.sha2(F.lower(F.col("text")), 256), 1, 16).alias("fingerprint64"),
     )
+
+
+# --- the cleaning decision, composed -------------------------------------------
+# What a C4-style corpus-cleaning pass actually ships: one keep/drop
+# decision per document from the scalar layer above plus exact dedup —
+# language gate (stopword ratio), quality gate, and canonical-survivor
+# selection (smallest doc_id per content fingerprint). Everything is
+# built-in column expressions + two keyed aggregations; at corpus scale
+# the only data-sized shuffles are groupBy(doc_id) over tokens and
+# groupBy(fingerprint), both partial-aggregated map-side.
+@_q(
+    "corpus_clean_pipeline",
+    f"""
+    with toks as (
+      select doc_id, unnest(string_split(text, ' ')) as token from documents
+    ),
+    ratios as (
+      select doc_id,
+             cast(sum(case when token in {_STOPWORDS} then 1 else 0 end) as double)
+                   / count(*) as stopword_ratio
+      from toks group by doc_id
+    ),
+    fp as (
+      select doc_id, md5(lower(text)) as fingerprint,
+             least(cast({_TOKENS_SQL} as double) / 100.0, 1.0) * 0.5
+               + least(cast(length(replace(text, ' ', '')) as double)
+                       / {_TOKENS_SQL} / 8.0, 1.0) * 0.3
+               + case when length(text) between 100 and 20000 then 0.2 else 0.0 end
+               as quality
+      from documents
+    ),
+    keepers as (select fingerprint, min(doc_id) as keeper from fp group by 1)
+    select f.doc_id,
+           r.stopword_ratio,
+           case when r.stopword_ratio >= 0.08 then 'en-like' else 'other' end
+             as pred_lang,
+           f.quality,
+           f.doc_id != k.keeper as is_exact_dup,
+           (r.stopword_ratio >= 0.08 and f.quality >= 0.5
+            and f.doc_id = k.keeper) as kept
+    from fp f
+    join keepers k on f.fingerprint = k.fingerprint
+    join ratios r on f.doc_id = r.doc_id
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop decision: en-like language AND quality >=
+    0.5 AND canonical survivor of its exact-dup group. The floats in the
+    gates are the same engineered-identical expressions the individual
+    queries use, so the boolean decision is cross-engine stable."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    ratios = toks.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("stopword_ratio")
+    )
+    nt = _tokens_col()
+    nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    quality = (
+        F.least(nt.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + F.least(nonspace.cast("double") / nt / 8.0, F.lit(1.0)) * 0.3
+        + F.when(F.length("text").between(100, 20000), 0.2).otherwise(0.0)
+    )
+    fp = d.select(
+        "doc_id", F.md5(F.lower("text")).alias("fingerprint"), quality.alias("quality")
+    )
+    keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper"))
+    return (
+        fp.join(keepers, "fingerprint")
+        .join(ratios, "doc_id")
+        .select(
+            "doc_id",
+            "stopword_ratio",
+            F.when(F.col("stopword_ratio") >= 0.08, F.lit("en-like"))
+            .otherwise(F.lit("other"))
+            .alias("pred_lang"),
+            "quality",
+            (F.col("doc_id") != F.col("keeper")).alias("is_exact_dup"),
+            (
+                (F.col("stopword_ratio") >= 0.08)
+                & (F.col("quality") >= 0.5)
+                & (F.col("doc_id") == F.col("keeper"))
+            ).alias("kept"),
+        )
+    )
