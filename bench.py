@@ -109,6 +109,8 @@ def main() -> None:
             "forecast_arima_like",
             "classify_docwrap",
             "tarification_pipeline",
+            "corpus_clean_pipeline",
+            "streaming_extract_digest",
         ]
 
         def run(name: str) -> None:

@@ -212,6 +212,17 @@ def test_neardup_broadcast_bucket_join_no_shuffle(spark):
     assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
 
 
+def test_corpus_clean_bounded_exchanges_no_udf(spark):
+    # language + quality + dedup-survivor decision: pure built-ins, and
+    # only keyed-aggregation shuffles (tokens->doc_id, fingerprint, and
+    # the two join alignments) — no python stage anywhere
+    plan = plan_of(spark, "corpus_clean_pipeline")
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 6, f"{n_exchanges} exchanges:\n{plan}"
+
+
 def test_q14_broadcasts_part_and_pushes_shipdate(spark):
     plan = plan_of(spark, "q14_promo_revenue")
     assert "BroadcastHashJoin" in plan, plan
