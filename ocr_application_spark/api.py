@@ -45,6 +45,7 @@ from ocr_application_spark.sources.snapshots import (  # noqa: F401
     snapshot_versions,
 )
 from ocr_application_spark.sources.webpages import (  # noqa: F401
+    brand_bucket,
     read_pages,
     synth_pages,
     with_bucket,

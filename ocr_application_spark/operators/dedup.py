@@ -344,7 +344,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds with the same join/groupBy building blocks; plain propagation
 # is the right trade for shallow dedup clusters. The driver loop's only
 # driver-side data is the one-row convergence count per superstep.
-_CC_MAX_ITERS = 25
+_CC_MAX_ITERS = 50  # >= any plausible cluster diameter; guarded below
 
 _COMPONENTS_ORACLE = f"""
     with recursive {_SHINGLES_CTE},
@@ -422,6 +422,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = upd.select("doc_id", F.col("new_rep").alias("rep"))
         if changed == 0:
             break
+    else:
+        # never converged: silently returning partial labels would hand
+        # the caller (and the driver gate) wrong components — fail loud
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_components did not converge in {_CC_MAX_ITERS} supersteps "
+            "(component diameter exceeds the cap); raise _CC_MAX_ITERS or "
+            "switch to the large-star/small-star variant"
+        )
     edges.unpersist()
     singletons = (
         _docs(spark, sf_dir)

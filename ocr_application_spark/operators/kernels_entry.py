@@ -149,15 +149,23 @@ def streaming_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-rebuilt text — proving stream output == batch semantics at the
     value level, not just row counts (one engine, two execution modes).
     Runs availableNow with several micro-batches (maxFilesPerTrigger)."""
+    import hashlib
     import os
-    import tempfile
+    import shutil
 
     from ocr_application_spark.datagen.docwrap import documents_as_pages
     from ocr_application_spark.sources.webpages import default_scratch
     from ocr_application_spark.streaming.stream import run_stream_to_table
 
-    os.makedirs(default_scratch(), exist_ok=True)
-    base = tempfile.mkdtemp(prefix="stream_digest_", dir=default_scratch())
+    # ONE scratch dir per input, recycled: a fresh mkdtemp per call
+    # would leak a corpus copy (pages + output + checkpoint) on every
+    # bench/gate invocation. The previous call's DataFrame has been
+    # consumed by the time a caller re-invokes (bench and the driver
+    # both collect before re-running), so the rmtree is safe.
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.join(default_scratch(), f"stream_digest_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     documents_as_pages(docs).write.mode("overwrite").parquet(f"{base}/pages")
     q = run_stream_to_table(spark, f"{base}/pages", f"{base}/out", f"{base}/ckpt")
@@ -174,9 +182,11 @@ def streaming_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are text_len and digit_ratio — both derivable from the same etext the
 # digest oracle rebuilds. That makes the full classifier (features ->
 # linear logits -> softmax -> argmax route + confidence) expressible in
-# SQL with the weight matrix inlined. Continuous outputs are quantized
-# to ppm (round(x*1e6) -> bigint, the repo's cross-engine float rule);
-# the class route compares as a string.
+# SQL with the weight matrix inlined. Continuous outputs are integer-
+# quantized (the repo's cross-engine float rule): exact-computation
+# features at ppm, the softmax confidence at basis points (see the
+# quantization note in classify_docwrap); the class route compares as a
+# string.
 def _classify_oracle_sql() -> str:
     import numpy as np
 
@@ -233,7 +243,7 @@ def _classify_oracle_sql() -> str:
            {argmax} as doc_class,
            cast(round(exp(({top}) - m)
                       / (exp(l0 - m) + exp(l1 - m) + exp(l2 - m) + exp(l3 - m))
-                      * 1000000.0, 0) as bigint) as conf_ppm,
+                      * 10000.0, 0) as bigint) as conf_bp,
            text_len,
            cast(round(x5 * 1000000.0, 0) as bigint) as digit_ppm
     from softmax
@@ -256,10 +266,16 @@ def classify_docwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = classify(extract(documents_as_pages(docs)))
+    # confidence quantizes at BASIS POINTS, not ppm: the two engines
+    # compute the softmax through genuinely different float op orders
+    # (BLAS matmul + SIMD exp vs scalar left-assoc + libm), so results
+    # agree only to ~1 ulp — the coarser quantum makes a rounding-
+    # boundary straddle ~1e-12/value instead of ~1e-10. digit_ppm stays
+    # fine-grained (identical integer division on both sides).
     return out.select(
         "url",
         "doc_class",
-        F.round(F.col("confidence") * 1000000.0, 0).cast("bigint").alias("conf_ppm"),
+        F.round(F.col("confidence") * 10000.0, 0).cast("bigint").alias("conf_bp"),
         F.col("features")[3].cast("bigint").alias("text_len"),
         F.round(F.col("features")[5] * 1000000.0, 0).cast("bigint").alias("digit_ppm"),
     )

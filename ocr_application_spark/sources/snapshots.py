@@ -87,6 +87,19 @@ def commit(
         raise ValueError(f"unknown commit mode {mode!r}")
     if mode == "overwrite_partitions" and (not partition_by or replace_partitions is None):
         raise ValueError("overwrite_partitions needs partition_by + replace_partitions")
+    if mode == "overwrite_partitions":
+        for v in replace_partitions:
+            seg = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+            if v is not None and not re.fullmatch(r"[A-Za-z0-9_.\-]+", seg):
+                # Spark URL-escapes such values in partition dir names
+                # ('a b' -> 'a%20b'), so a raw-string match would
+                # silently drop NOTHING and leave stale rows visible.
+                # This emulation supports plain values only — fail loud.
+                raise ValueError(
+                    f"partition value {v!r} needs path escaping; this "
+                    "snapshot emulation supports [A-Za-z0-9_.-] values "
+                    "(and None) only"
+                )
     versions = snapshot_versions(path)
     parent = versions[-1] if versions else None
     version = (parent or 0) + 1
@@ -100,7 +113,10 @@ def commit(
     visible = list(_load_manifest(path, parent)["files"]) if parent else []
     if mode == "overwrite_partitions":
         dropped = {
-            f"{partition_by}={v}" + os.sep for v in replace_partitions
+            f"{partition_by}="
+            + ("__HIVE_DEFAULT_PARTITION__" if v is None else str(v))
+            + os.sep
+            for v in replace_partitions
         }
         visible = [
             f
@@ -115,6 +131,9 @@ def commit(
         "parent": parent,
         "operation": mode,
         "partition_by": partition_by,
+        # recorded so an all-files-dropped snapshot stays readable as an
+        # empty DataFrame with the right schema
+        "schema": df.schema.json(),
         "files": sorted(visible),
     }
     tmp = os.path.join(_snap_dir(path), f".v{version}.json.{uuid.uuid4().hex[:8]}.tmp")
@@ -136,9 +155,17 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
     v = versions[-1] if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"snapshot v{v} not found (have {versions})")
-    files = _load_manifest(path, v)["files"]
+    manifest = _load_manifest(path, v)
+    files = manifest["files"]
     if not files:
-        raise FileNotFoundError(f"snapshot v{v} is empty")
+        # legitimately empty snapshot (e.g. every partition overwritten
+        # away): an empty DataFrame with the recorded table schema, NOT
+        # an error — callers must be able to tell "empty at vN" from
+        # "vN missing"
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        return spark.createDataFrame([], schema)
     data_root = _data_dir(path)
     by_commit: dict[str, list[str]] = {}
     for f in files:

@@ -76,7 +76,9 @@ def with_bucket(df: DataFrame, n_buckets: int = 64) -> DataFrame:
             raise ValueError(
                 "input has a 'bucket' column of unknown provenance; read the "
                 "table via read_pages() (which validates it against the "
-                "table's _bucket_meta.json) or drop the column first"
+                "table's _bucket_meta.json), drop the column, or — for a "
+                "pre-sidecar table whose bucket count you know — brand it "
+                "explicitly with brand_bucket(df, n_buckets)"
             )
         if int(branded) != int(n_buckets):
             raise ValueError(
@@ -88,6 +90,17 @@ def with_bucket(df: DataFrame, n_buckets: int = 64) -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     ).withMetadata("bucket", {"n_buckets": int(n_buckets)})
+
+
+def brand_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Explicit migration path for tables that predate the
+    ``_bucket_meta.json`` sidecar: the caller VOUCHES that the existing
+    ``bucket`` column was computed with ``n_buckets``. Use only when the
+    count is known out-of-band; prefer ``read_pages`` on sidecar'd
+    tables."""
+    if "bucket" not in df.columns:
+        raise ValueError("brand_bucket needs an existing 'bucket' column")
+    return df.withMetadata("bucket", {"n_buckets": int(n_buckets)})
 
 
 def _bucket_meta_path(path: str) -> str:

@@ -88,14 +88,13 @@ def main() -> None:
         small_runs.append(run(small, n_docs, path))
         big_runs.append(run(big, n_docs, path))
     # Two estimators per level:
-    #  * median rep — drift-robust central tendency;
-    #  * BEST rep — the least-contaminated capability estimate. On a
-    #    shared sandbox VM, co-tenant interference can only SLOW a rep
-    #    (it steals cores/IO; nothing can make the job run faster than
-    #    its uncontended speed), so max-throughput-across-fresh-JVM-reps
-    #    is the principled estimate of each configuration's true rate;
-    #    it is applied symmetrically to both levels. The criterion uses
-    #    the best-rep ratio; the medians are reported alongside.
+    #  * median rep — drift-robust central tendency; THE criterion
+    #    statistic (a ratio of per-level maxima over few reps biases
+    #    the speedup upward, so the max must not gate the pass);
+    #  * BEST rep — supplementary drift diagnostic: on a shared sandbox
+    #    VM co-tenant interference can only SLOW a rep, so the fastest
+    #    fresh-JVM rep bounds each configuration's uncontended rate and
+    #    shows how contaminated the medians are.
     r_small = min(small_runs, key=lambda r: abs(r["docs_per_sec"] - statistics.median(x["docs_per_sec"] for x in small_runs)))
     r_big = min(big_runs, key=lambda r: abs(r["docs_per_sec"] - statistics.median(x["docs_per_sec"] for x in big_runs)))
     b_small = max(small_runs, key=lambda r: r["docs_per_sec"])
@@ -111,11 +110,11 @@ def main() -> None:
         "big": b_big,
         "small_trials": [r["docs_per_sec"] for r in small_runs],
         "big_trials": [r["docs_per_sec"] for r in big_runs],
-        "speedup": round(speedup, 3),
+        "speedup": round(speedup_med, 3),
         "scale_factor": round(scale, 3),
-        "efficiency": round(eff, 3),
-        "speedup_median_rep": round(speedup_med, 3),
-        "efficiency_median_rep": round(eff_med, 3),
+        "efficiency": round(eff_med, 3),
+        "speedup_best_rep": round(speedup, 3),
+        "efficiency_best_rep": round(eff, 3),
     }
     print(json.dumps(report))
 
@@ -145,18 +144,17 @@ driver-equals-executor local mode, not of the job (on a real
 | local[{big}] | {b_big['docs']} | {b_big['docs_per_sec']} | {r_big['docs_per_sec']} | {report['big_trials']} |
 
 Each row is {reps} interleaved fresh-JVM repetitions (median of 3 timed
-runs inside each). Two estimators are reported: the median rep (drift-
-robust central tendency) and the BEST rep. The criterion uses the best
-rep for both levels symmetrically: on a shared sandbox VM, co-tenant
-interference can only SLOW a repetition (it steals cores/IO; nothing
-makes the job exceed its uncontended rate), so the fastest fresh-JVM
-repetition is the least-contaminated estimate of each configuration's
-true throughput. The full per-rep spread is published above so the
+runs inside each). Two estimators are reported: the median rep — the
+drift-robust statistic the criterion is applied to — and the best rep,
+a supplementary diagnostic (on a shared sandbox VM co-tenant
+interference can only SLOW a repetition, so the fastest fresh-JVM rep
+bounds each configuration's uncontended rate and shows how contaminated
+the medians are). The full per-rep spread is published above so the
 drift is visible, not hidden.
 
-**Speedup {small}->{big} cores (best rep): {speedup:.2f}x over a
-{scale:.2f}x core increase -> scaling efficiency = {eff:.3f}**
-(criterion: >= 0.8); median-rep efficiency this run: {eff_med:.3f}.
+**Speedup {small}->{big} cores (median rep): {speedup_med:.2f}x over a
+{scale:.2f}x core increase -> scaling efficiency = {eff_med:.3f}**
+(criterion: >= 0.8); best-rep efficiency this run: {eff:.3f}.
 
 Why it scales: the extraction pipeline is shuffle-free up to the sink
 (scan -> mapInPandas kernel -> classify are narrow stages); Python

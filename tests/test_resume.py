@@ -130,3 +130,24 @@ def test_bucket_validation_guards(spark, tmpdir_scratch):
     # ...rejected at any other count
     with _pytest.raises(ValueError, match="n_buckets"):
         with_bucket(branded, NB * 2)
+
+
+def test_brand_bucket_migration_path(spark):
+    """Pre-sidecar tables migrate via brand_bucket: the caller vouches
+    for the count, after which with_bucket accepts the column."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ocr_application_spark.sources.webpages import brand_bucket
+
+    pages = synth_pages(spark, 20).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(NB)).cast("int")
+    )
+    with _pytest.raises(ValueError, match="provenance"):
+        with_bucket(pages, NB)
+    branded = brand_bucket(pages, NB)
+    assert with_bucket(branded, NB).schema["bucket"].metadata["n_buckets"] == NB
+    with _pytest.raises(ValueError, match="n_buckets"):
+        with_bucket(branded, NB * 2)
+    with _pytest.raises(ValueError, match="existing"):
+        brand_bucket(pages.drop("bucket"), NB)

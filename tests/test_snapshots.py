@@ -91,3 +91,33 @@ def test_bad_commit_modes(spark, tmpdir_scratch):
         commit(_pages(spark, [1], "w"), tbl, mode="replace")
     with pytest.raises(ValueError):
         commit(_pages(spark, [1], "w"), tbl, mode="overwrite_partitions")
+
+
+def test_empty_snapshot_reads_as_empty_df(spark, tmpdir_scratch):
+    tbl = tmpdir_scratch + "/tbl"
+    commit(_pages(spark, range(2), "e"), tbl, partition_by="bucket")
+    v2 = commit(
+        spark.createDataFrame([], "doc_id long, payload string, bucket int"),
+        tbl,
+        mode="overwrite_partitions",
+        partition_by="bucket",
+        replace_partitions=[0, 1],
+    )
+    df = read_snapshot(spark, tbl, v2)
+    assert df.count() == 0
+    assert set(df.columns) == {"doc_id", "payload", "bucket"}
+    # the prior version still reads fine
+    assert read_snapshot(spark, tbl, 1).count() == 2
+
+
+def test_overwrite_rejects_values_needing_escaping(spark, tmpdir_scratch):
+    tbl = tmpdir_scratch + "/tbl"
+    commit(_pages(spark, range(2), "s"), tbl, partition_by="bucket")
+    with pytest.raises(ValueError, match="escaping"):
+        commit(
+            _pages(spark, [9], "s"),
+            tbl,
+            mode="overwrite_partitions",
+            partition_by="bucket",
+            replace_partitions=["a b"],
+        )
