@@ -111,6 +111,7 @@ def main() -> None:
             "tarification_pipeline",
             "corpus_clean_pipeline",
             "streaming_extract_digest",
+            "dedup_components",
         ]
 
         def run(name: str) -> None:

@@ -375,13 +375,15 @@ _COMPONENTS_ORACLE = f"""
 """
 
 
-@_q("dedup_components", _COMPONENTS_ORACLE)
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: (doc_id, rep) where rep is the smallest doc_id
-    reachable through MinHash+LSH candidate pairs (singletons map to
-    themselves). Oracle = recursive-CTE transitive closure over the same
-    pair graph."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+def propagate_components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair graph.
+
+    ``pairs(doc_a, doc_b)`` -> ``(doc_id, rep)`` with rep = smallest
+    doc_id in the node's connected component; ``nodes(doc_id)`` supplies
+    the universe (nodes absent from any pair become singletons,
+    rep = doc_id). Raises if the component diameter exceeds
+    ``_CC_MAX_ITERS`` (silent partial labels would be wrong answers).
+    """
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -395,7 +397,6 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("u").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("rep")
     )
-    prev = None
     for _ in range(_CC_MAX_ITERS):
         nbr = (
             edges.join(labels, edges.u == labels.doc_id)
@@ -403,7 +404,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("rep").alias("nbr_rep"))
         )
         # carry old_rep through the update so the convergence probe is a
-        # filter on the cached result, not a second labels-join
+        # filter on the materialized result, not a second labels-join.
+        # localCheckpoint (NOT persist): labels appears twice in each
+        # superstep's plan, so without lineage truncation the logical
+        # tree DOUBLES per iteration and Catalyst analysis goes
+        # exponential (a path-8 graph took 280s against <2s of actual
+        # compute — PERF.md "iterative lineage blowup"). Eager local
+        # checkpointing makes every superstep's plan constant-size; on a
+        # fault-tolerant cluster run, swap for checkpoint() on reliable
+        # storage.
         upd = (
             labels.join(nbr, "doc_id", "left")
             .select(
@@ -413,12 +422,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.col("rep").alias("old_rep"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = upd.filter(F.col("new_rep") != F.col("old_rep")).limit(1).count()
-        if prev is not None:
-            prev.unpersist()
-        prev = upd
         labels = upd.select("doc_id", F.col("new_rep").alias("rep"))
         if changed == 0:
             break
@@ -433,9 +439,20 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     edges.unpersist()
     singletons = (
-        _docs(spark, sf_dir)
-        .select("doc_id")
+        nodes.select("doc_id")
         .join(labels.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", F.col("doc_id").alias("rep"))
     )
     return labels.unionByName(singletons)
+
+
+@_q("dedup_components", _COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: (doc_id, rep) where rep is the smallest doc_id
+    reachable through MinHash+LSH candidate pairs (singletons map to
+    themselves). Oracle = recursive-CTE transitive closure over the same
+    pair graph; the propagation itself is property-tested against a
+    union-find reference on random graphs (test_properties)."""
+    return propagate_components(
+        dedup_minhash_lsh(spark, sf_dir), _docs(spark, sf_dir).select("doc_id")
+    )

@@ -180,3 +180,49 @@ def test_pathological_pages_parse_in_linear_time():
         rec = extract_document(raw, None)
         assert rec["status"] == "success"
         assert time.perf_counter() - t0 < 2.0  # generous VM-noise margin
+
+
+# --- connected-components propagation vs union-find reference ---------------
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def _cc_cases():
+    import random
+
+    rng = random.Random(42)
+    yield "path", 8, [(i, i + 1) for i in range(7)]  # worst-case diameter
+    yield "star", 7, [(0, i) for i in range(1, 7)]
+    yield "two_components_plus_singletons", 9, [(0, 1), (1, 2), (4, 5)]
+    yield "random_seeded", 10, sorted(
+        {tuple(sorted(rng.sample(range(10), 2))) for _ in range(12)}
+    )
+    yield "empty", 4, []
+
+
+def test_propagate_components_matches_union_find(spark):
+    """Min-label propagation == union-find on representative graphs:
+    worst-case-diameter path, star, disconnected pieces + singletons, a
+    seeded random graph, and the empty graph. (Deterministic cases, not
+    hypothesis: every superstep is real Spark jobs, so example count x
+    diameter is wall-clock; these five pin the same failure modes.)"""
+    from ocr_application_spark.operators.dedup import propagate_components
+
+    for name, n_nodes, es in _cc_cases():
+        expected = _uf_components(n_nodes, es)
+        nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+        pairs = spark.createDataFrame(es, "doc_a long, doc_b long")
+        got = {r.doc_id: r.rep for r in propagate_components(pairs, nodes).collect()}
+        assert got == expected, name
