@@ -456,3 +456,108 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return propagate_components(
         dedup_minhash_lsh(spark, sf_dir), _docs(spark, sf_dir).select("doc_id")
     )
+
+
+# --- large-star/small-star contraction (the adversarial-diameter path) --------
+# Min-label propagation needs O(diameter) supersteps; a poisoned crawl
+# can chain near-dups into paths thousands long. The two-phase star
+# contraction (Kiveris et al., "Connected Components in MapReduce and
+# Beyond", 2014) converges in O(log n) rounds on ANY graph using the
+# same join/groupBy building blocks:
+#   large-star(u): attach every neighbor v > u to m = min(N(u) + {u})
+#   small-star(u): attach every neighbor v <= u (and u) to
+#                  m = min of those
+# The fixed point is a star forest rooted at each component's minimum.
+_STAR_MAX_ROUNDS = 40
+
+
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """(a, b) -> distinct undirected (lo, hi), self-loops dropped."""
+    return (
+        e.select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+        edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("minv"))
+        .select("u", F.least("u", "minv").alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # canonical edges are already (lo, hi): hi's smaller-neighborhood
+    # list is exactly the lo column grouped by hi
+    m = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    rewired = (
+        edges.join(m, "hi")
+        .filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+    )
+    to_center = m.select(F.col("hi").alias("a"), F.col("m").alias("b"))
+    return rewired.union(to_center)
+
+
+def propagate_components_star(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction — same (doc_id, rep) contract as propagate_components,
+    O(log n) rounds regardless of component diameter. Each round is
+    eagerly localCheckpoint'ed (see the lineage-blowup note above)."""
+    edges = _canon_edges(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    ).localCheckpoint(eager=True)
+    if edges.isEmpty():
+        return nodes.select("doc_id", F.col("doc_id").alias("rep"))
+    for _ in range(_STAR_MAX_ROUNDS):
+        after_large = _canon_edges(_large_star(edges)).localCheckpoint(eager=True)
+        after_small = _canon_edges(_small_star(after_large)).localCheckpoint(eager=True)
+        # fixed point: the canonical edge SET is unchanged by a round
+        if (
+            after_small.count() == edges.count()
+            and after_small.exceptAll(edges).isEmpty()
+        ):
+            edges = after_small
+            break
+        edges = after_small
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {_STAR_MAX_ROUNDS} rounds"
+        )
+    # converged edges form a star forest: every hi points at its
+    # component minimum lo (min-agg defends against ties regardless)
+    labels = edges.groupBy(F.col("hi").alias("doc_id")).agg(
+        F.min("lo").alias("rep")
+    )
+    roots = edges.select(F.col("lo").alias("doc_id")).distinct().join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("rep"))
+    singles = nodes.select("doc_id").join(
+        edges.select(F.col("lo").alias("doc_id"))
+        .union(edges.select(F.col("hi").alias("doc_id")))
+        .distinct(),
+        "doc_id",
+        "left_anti",
+    ).select("doc_id", F.col("doc_id").alias("rep"))
+    return labels.unionByName(roots).unionByName(singles)
+
+
+@_q("dedup_components_star", _COMPONENTS_ORACLE)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_components' scale twin: identical clusters (same oracle)
+    from the O(log n)-round star contraction instead of O(diameter)
+    label propagation — the variant that survives adversarially long
+    near-dup chains at 10^12 docs."""
+    return propagate_components_star(
+        dedup_minhash_lsh(spark, sf_dir), _docs(spark, sf_dir).select("doc_id")
+    )

@@ -213,16 +213,21 @@ def _cc_cases():
 
 
 def test_propagate_components_matches_union_find(spark):
-    """Min-label propagation == union-find on representative graphs:
+    """BOTH component engines (min-label propagation and large-star/
+    small-star contraction) == union-find on representative graphs:
     worst-case-diameter path, star, disconnected pieces + singletons, a
     seeded random graph, and the empty graph. (Deterministic cases, not
     hypothesis: every superstep is real Spark jobs, so example count x
     diameter is wall-clock; these five pin the same failure modes.)"""
-    from ocr_application_spark.operators.dedup import propagate_components
+    from ocr_application_spark.operators.dedup import (
+        propagate_components,
+        propagate_components_star,
+    )
 
     for name, n_nodes, es in _cc_cases():
         expected = _uf_components(n_nodes, es)
         nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
         pairs = spark.createDataFrame(es, "doc_a long, doc_b long")
-        got = {r.doc_id: r.rep for r in propagate_components(pairs, nodes).collect()}
-        assert got == expected, name
+        for engine in (propagate_components, propagate_components_star):
+            got = {r.doc_id: r.rep for r in engine(pairs, nodes).collect()}
+            assert got == expected, f"{engine.__name__}: {name}"
