@@ -42,6 +42,7 @@ from ocr_application_spark.pipeline import (  # noqa: F401
 from ocr_application_spark.sources.snapshots import (  # noqa: F401
     commit as commit_snapshot,
     read_snapshot,
+    read_snapshot_diff,
     snapshot_versions,
 )
 from ocr_application_spark.sources.webpages import (  # noqa: F401

@@ -166,6 +166,10 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
 
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         return spark.createDataFrame([], schema)
+    return _read_files(spark, path, files)
+
+
+def _read_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
     data_root = _data_dir(path)
     by_commit: dict[str, list[str]] = {}
     for f in files:
@@ -177,3 +181,30 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
         part = spark.read.option("basePath", commit_root).parquet(*group)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def read_snapshot_diff(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Incremental scan (Iceberg's incremental-read analog): rows in the
+    data files that became visible AFTER ``from_version``, up to
+    ``to_version`` (default latest). Because commits are append-only at
+    the file level, the diff is a pure manifest set difference — no data
+    comparison — which is what makes incremental recompute (extract only
+    newly crawled pages, re-dedup only fresh docs) O(new data) instead
+    of O(table). Rows REMOVED by a logical overwrite don't appear (this
+    is the additions stream, like Iceberg's append-scan)."""
+    versions = snapshot_versions(path)
+    to_v = versions[-1] if to_version is None else to_version
+    for v in (from_version, to_v):
+        if v not in versions:
+            raise FileNotFoundError(f"snapshot v{v} not found (have {versions})")
+    base = set(_load_manifest(path, from_version)["files"])
+    target = _load_manifest(path, to_v)
+    new_files = sorted(set(target["files"]) - base)
+    if not new_files:
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(target["schema"]))
+        return spark.createDataFrame([], schema)
+    return _read_files(spark, path, new_files)

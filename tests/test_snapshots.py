@@ -121,3 +121,51 @@ def test_overwrite_rejects_values_needing_escaping(spark, tmpdir_scratch):
             partition_by="bucket",
             replace_partitions=["a b"],
         )
+
+
+def test_incremental_diff_reads_only_new_rows(spark, tmpdir_scratch):
+    from ocr_application_spark.sources.snapshots import read_snapshot_diff
+
+    tbl = tmpdir_scratch + "/tbl"
+    v1 = commit(_pages(spark, range(4), "a"), tbl, partition_by="bucket")
+    v2 = commit(_pages(spark, range(10, 13), "b"), tbl, partition_by="bucket")
+    v3 = commit(
+        _pages(spark, [50], "c"),
+        tbl,
+        mode="overwrite_partitions",
+        partition_by="bucket",
+        replace_partitions=[1],
+    )
+    # v1 -> v2: exactly the appended rows
+    d12 = read_snapshot_diff(spark, tbl, v1, v2)
+    assert {r.payload for r in d12.collect()} == {"b-10", "b-11", "b-12"}
+    # v1 -> latest: additions still visible at the target version only —
+    # b-11 (bucket 1) was appended in v2 but overwritten away by v3, so
+    # it is NOT in the v1->v3 additions stream
+    d13 = read_snapshot_diff(spark, tbl, v1)
+    assert {r.payload for r in d13.collect()} == {"b-10", "b-12", "c-50"}
+    # identical versions: empty diff with the table schema
+    d22 = read_snapshot_diff(spark, tbl, v2, v2)
+    assert d22.count() == 0 and set(d22.columns) == {"doc_id", "payload", "bucket"}
+    with pytest.raises(FileNotFoundError):
+        read_snapshot_diff(spark, tbl, 99)
+
+
+def test_incremental_extract_processes_only_new_pages(spark, tmpdir_scratch):
+    """The incremental-recompute composition the diff exists for:
+    commit a crawl, extract it; commit more pages; the second extraction
+    pass runs over the DIFF only and its union with pass one equals a
+    full extraction of the latest snapshot."""
+    from ocr_application_spark.kernels.extract import extract
+    from ocr_application_spark.sources.snapshots import read_snapshot, read_snapshot_diff
+    from ocr_application_spark.sources.webpages import synth_pages
+
+    tbl = tmpdir_scratch + "/crawl"
+    v1 = commit(synth_pages(spark, 60), tbl)
+    first = extract(read_snapshot(spark, tbl, v1)).select("url", "digest")
+    commit(synth_pages(spark, 90), tbl)  # 60 recrawls + 30 new urls
+    incr = extract(read_snapshot_diff(spark, tbl, v1)).select("url", "digest")
+    full = extract(read_snapshot(spark, tbl)).select("url", "digest")
+    got = {(r.url, r.digest) for r in first.union(incr).collect()}
+    want = {(r.url, r.digest) for r in full.collect()}
+    assert got == want and len(want) > 60
