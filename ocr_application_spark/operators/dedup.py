@@ -424,6 +424,9 @@ def propagate_components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        # (eager, not lazy, checkpoint: the convergence probe's limit(1)
+        # short-circuits, so a lazy checkpoint would be left partially
+        # materialized and recomputed next superstep — measured no win)
         changed = upd.filter(F.col("new_rep") != F.col("old_rep")).limit(1).count()
         labels = upd.select("doc_id", F.col("new_rep").alias("rep"))
         if changed == 0:
