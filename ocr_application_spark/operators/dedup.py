@@ -397,7 +397,13 @@ def propagate_components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     labels = edges.select(F.col("u").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("rep")
     )
-    for _ in range(_CC_MAX_ITERS):
+    import gc
+
+    prev = None
+    # cap + 1: a diameter-D component needs D propagating supersteps
+    # PLUS one changed==0 probe to observe convergence, so diameter ==
+    # _CC_MAX_ITERS must still succeed (the guard fires only beyond it)
+    for _ in range(_CC_MAX_ITERS + 1):
         nbr = (
             edges.join(labels, edges.u == labels.doc_id)
             .groupBy(F.col("v").alias("doc_id"))
@@ -428,6 +434,14 @@ def propagate_components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
         # short-circuits, so a lazy checkpoint would be left partially
         # materialized and recomputed next superstep — measured no win)
         changed = upd.filter(F.col("new_rep") != F.col("old_rep")).limit(1).count()
+        # the previous superstep's checkpoint blocks are dead once the
+        # new one is materialized; localCheckpoint has no public
+        # unpersist, so drop the python refs and let gc + ContextCleaner
+        # free the blocks instead of retaining O(iterations x labels)
+        if prev is not None:
+            del prev
+            gc.collect()
+        prev = upd
         labels = upd.select("doc_id", F.col("new_rep").alias("rep"))
         if changed == 0:
             break
@@ -436,9 +450,9 @@ def propagate_components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
         # the caller (and the driver gate) wrong components — fail loud
         edges.unpersist()
         raise RuntimeError(
-            f"dedup_components did not converge in {_CC_MAX_ITERS} supersteps "
-            "(component diameter exceeds the cap); raise _CC_MAX_ITERS or "
-            "switch to the large-star/small-star variant"
+            f"dedup_components did not converge: component diameter exceeds "
+            f"the {_CC_MAX_ITERS}-superstep cap; raise _CC_MAX_ITERS or use "
+            "propagate_components_star (O(log n) rounds)"
         )
     edges.unpersist()
     singletons = (
@@ -522,17 +536,23 @@ def propagate_components_star(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
     if edges.isEmpty():
         return nodes.select("doc_id", F.col("doc_id").alias("rep"))
+    import gc
+
     for _ in range(_STAR_MAX_ROUNDS):
         after_large = _canon_edges(_large_star(edges)).localCheckpoint(eager=True)
         after_small = _canon_edges(_small_star(after_large)).localCheckpoint(eager=True)
         # fixed point: the canonical edge SET is unchanged by a round
-        if (
+        converged = (
             after_small.count() == edges.count()
             and after_small.exceptAll(edges).isEmpty()
-        ):
-            edges = after_small
-            break
+        )
+        # free the superseded rounds' checkpoint blocks (see the
+        # propagation loop's note): drop refs, let gc + ContextCleaner
+        del edges, after_large
+        gc.collect()
         edges = after_small
+        if converged:
+            break
     else:
         raise RuntimeError(
             f"star contraction did not converge in {_STAR_MAX_ROUNDS} rounds"

@@ -157,13 +157,28 @@ def streaming_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_application_spark.sources.webpages import default_scratch
     from ocr_application_spark.streaming.stream import run_stream_to_table
 
-    # ONE scratch dir per input, recycled: a fresh mkdtemp per call
-    # would leak a corpus copy (pages + output + checkpoint) on every
-    # bench/gate invocation. The previous call's DataFrame has been
-    # consumed by the time a caller re-invokes (bench and the driver
-    # both collect before re-running), so the rmtree is safe.
+    # ONE scratch dir per (input, process), recycled: a fresh mkdtemp
+    # per call would leak a corpus copy (pages + output + checkpoint) on
+    # every bench/gate invocation, while a purely input-keyed dir would
+    # let two concurrent processes rmtree each other mid-stream. The
+    # pid suffix isolates processes; dirs left by DEAD pids are swept
+    # here so cross-process accumulation stays bounded too. Within one
+    # process, the previous call's DataFrame has been consumed by the
+    # time a caller re-invokes (bench and the driver both collect
+    # before re-running), so recycling our own dir is safe.
+    scratch = default_scratch()
+    os.makedirs(scratch, exist_ok=True)
+    for d in os.listdir(scratch):
+        if d.startswith("stream_digest_") and "_pid" in d:
+            try:
+                pid = int(d.rsplit("_pid", 1)[1])
+                os.kill(pid, 0)  # raises if the owner is gone
+            except (ValueError, ProcessLookupError):
+                shutil.rmtree(os.path.join(scratch, d), ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another user: leave it
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    base = os.path.join(default_scratch(), f"stream_digest_{tag}")
+    base = os.path.join(scratch, f"stream_digest_{tag}_pid{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -181,12 +196,11 @@ def streaming_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # body candidate accumulates zero link_chars). The only per-doc features
 # are text_len and digit_ratio — both derivable from the same etext the
 # digest oracle rebuilds. That makes the full classifier (features ->
-# linear logits -> softmax -> argmax route + confidence) expressible in
-# SQL with the weight matrix inlined. Continuous outputs are integer-
-# quantized (the repo's cross-engine float rule): exact-computation
-# features at ppm, the softmax confidence at basis points (see the
-# quantization note in classify_docwrap); the class route compares as a
-# string.
+# linear logits -> argmax route) expressible in SQL with the weight
+# matrix inlined. Exact-computation features quantize at ppm (the
+# repo's cross-engine float rule); the class route compares as a
+# string; the softmax confidence is deliberately NOT driver-compared
+# (see the note in classify_docwrap) and is pinned Spark-side instead.
 def _classify_oracle_sql() -> str:
     import numpy as np
 
@@ -205,11 +219,6 @@ def _classify_oracle_sql() -> str:
         f"case when l0 >= l1 and l0 >= l2 and l0 >= l3 then '{classes[0]}' "
         f"when l1 >= l2 and l1 >= l3 then '{classes[1]}' "
         f"when l2 >= l3 then '{classes[2]}' else '{classes[3]}' end"
-    )
-    top = (
-        "case when l0 >= l1 and l0 >= l2 and l0 >= l3 then l0 "
-        "when l1 >= l2 and l1 >= l3 then l1 "
-        "when l2 >= l3 then l2 else l3 end"
     )
     return (
         _ETEXT_CTES
@@ -233,20 +242,12 @@ def _classify_oracle_sql() -> str:
              {logit(0)} as l0, {logit(1)} as l1,
              {logit(2)} as l2, {logit(3)} as l3
       from x
-    ),
-    softmax as (
-      select doc_id, text_len, x5, l0, l1, l2, l3,
-             greatest(l0, l1, l2, l3) as m
-      from logits
     )
     select 'https://docs.example/' || printf('%08d', doc_id) as url,
            {argmax} as doc_class,
-           cast(round(exp(({top}) - m)
-                      / (exp(l0 - m) + exp(l1 - m) + exp(l2 - m) + exp(l3 - m))
-                      * 10000.0, 0) as bigint) as conf_bp,
            text_len,
            cast(round(x5 * 1000000.0, 0) as bigint) as digit_ppm
-    from softmax
+    from logits
     """
     )
 
@@ -254,10 +255,9 @@ def _classify_oracle_sql() -> str:
 @_q("classify_docwrap", _classify_oracle_sql())
 def classify_docwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 value check: the REAL broadcast-weights classifier kernel over
-    the docwrap corpus, per-document — route + ppm-quantized confidence
-    + the two live features — against a SQL twin that recomputes the
-    linear-softmax model from the rebuilt etext (see _classify_oracle_sql
-    header). Complements classify_distribution (which exercises the
+    the docwrap corpus, per-document — route + the two live features —
+    against a SQL twin that recomputes the linear model from the
+    rebuilt etext (see _classify_oracle_sql header). Complements classify_distribution (which exercises the
     4-way routing on the synthetic labeled mix but is rows-only, since
     synth_pages can't be regenerated in SQL)."""
     from ocr_application_spark.datagen.docwrap import documents_as_pages
@@ -266,16 +266,18 @@ def classify_docwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = classify(extract(documents_as_pages(docs)))
-    # confidence quantizes at BASIS POINTS, not ppm: the two engines
-    # compute the softmax through genuinely different float op orders
-    # (BLAS matmul + SIMD exp vs scalar left-assoc + libm), so results
-    # agree only to ~1 ulp — the coarser quantum makes a rounding-
-    # boundary straddle ~1e-12/value instead of ~1e-10. digit_ppm stays
-    # fine-grained (identical integer division on both sides).
+    # deliberately NO confidence column here: the two engines compute
+    # the softmax through genuinely different float op orders (BLAS
+    # matmul + SIMD exp vs scalar left-assoc + libm), so any quantized
+    # confidence comparison retains a rounding-boundary straddle risk —
+    # the repo invariant forbids comparing floats whose computation
+    # differs between engines. The route (argmax of those same logits,
+    # decisively separated on docwrap pages) plus the exact features
+    # value-check the model; the softmax itself is pinned Spark-side in
+    # test_classifier_confidence_is_softmax.
     return out.select(
         "url",
         "doc_class",
-        F.round(F.col("confidence") * 10000.0, 0).cast("bigint").alias("conf_bp"),
         F.col("features")[3].cast("bigint").alias("text_len"),
         F.round(F.col("features")[5] * 1000000.0, 0).cast("bigint").alias("digit_ppm"),
     )

@@ -112,16 +112,38 @@ def commit(
 
     visible = list(_load_manifest(path, parent)["files"]) if parent else []
     if mode == "overwrite_partitions":
+        data_root = _data_dir(path)
+        # match on paths RELATIVE to the data root (a table rooted at a
+        # path that itself contains 'bucket=0/' must not drop everything)
+        rel_visible = [os.path.relpath(f, data_root) for f in visible]
+        # every prior visible file must actually live under a
+        # '{partition_by}=' directory: a table whose earlier commits were
+        # unpartitioned (or partitioned by a different column) carries
+        # the values inside part files where a path filter cannot see
+        # them — silently dropping nothing would leave stale rows
+        # visible, so refuse instead
+        seg_prefix = f"{partition_by}="
+        bad = [
+            r
+            for r in rel_visible
+            if not any(p.startswith(seg_prefix) for p in r.split(os.sep)[1:-1])
+        ]
+        if bad:
+            raise ValueError(
+                f"cannot overwrite by {partition_by!r}: {len(bad)} visible "
+                f"file(s) (e.g. {bad[0]!r}) are not under a "
+                f"'{seg_prefix}...' directory — earlier commits were not "
+                f"partitioned by {partition_by!r}"
+            )
         dropped = {
-            f"{partition_by}="
+            seg_prefix
             + ("__HIVE_DEFAULT_PARTITION__" if v is None else str(v))
-            + os.sep
             for v in replace_partitions
         }
         visible = [
             f
-            for f in visible
-            if not any(seg in f for seg in dropped)
+            for f, r in zip(visible, rel_visible)
+            if not any(p in dropped for p in r.split(os.sep)[1:-1])
         ]
     visible.extend(new_files)
 
@@ -195,10 +217,16 @@ def read_snapshot_diff(
     of O(table). Rows REMOVED by a logical overwrite don't appear (this
     is the additions stream, like Iceberg's append-scan)."""
     versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
     to_v = versions[-1] if to_version is None else to_version
     for v in (from_version, to_v):
         if v not in versions:
             raise FileNotFoundError(f"snapshot v{v} not found (have {versions})")
+    if from_version > to_v:
+        raise ValueError(
+            f"inverted range: from_version={from_version} > to_version={to_v}"
+        )
     base = set(_load_manifest(path, from_version)["files"])
     target = _load_manifest(path, to_v)
     new_files = sorted(set(target["files"]) - base)

@@ -67,3 +67,28 @@ def test_classifier_accuracy(spark):
     # reference reports 95.0% (README.md:80-83); our deterministic stand-in
     # must be clearly better than chance on the same 4-way task
     assert acc >= 0.80, f"classifier accuracy {acc:.3f}"
+
+
+def test_classifier_confidence_is_softmax(spark):
+    """The confidence column IS the top softmax probability of the
+    model's logits — pinned Spark-side (numpy reference on collected
+    features) because a cross-engine oracle of a float softmax would
+    violate the no-divergent-float-comparison invariant."""
+    import numpy as np
+
+    from ocr_application_spark.datagen.docwrap import documents_as_pages
+    from ocr_application_spark.kernels.classify import classify, predict_batch, _W
+    from ocr_application_spark.kernels.extract import extract
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = classify(extract(documents_as_pages(docs))).select(
+        "features", "doc_class", "confidence"
+    )
+    rows = out.collect()
+    feats = np.array([r.features for r in rows], dtype=np.float64)
+    top, conf = predict_batch(feats, _W)
+    classes = np.array(["article", "invoice", "form", "other"])[top]
+    assert [r.doc_class for r in rows] == list(classes)
+    assert np.allclose([r.confidence for r in rows], conf, rtol=0, atol=0)
+    # softmax sanity: top probability bounded by (1/n_classes, 1]
+    assert all(0.25 < r.confidence <= 1.0 for r in rows)

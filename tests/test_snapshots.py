@@ -169,3 +169,31 @@ def test_incremental_extract_processes_only_new_pages(spark, tmpdir_scratch):
     got = {(r.url, r.digest) for r in first.union(incr).collect()}
     want = {(r.url, r.digest) for r in full.collect()}
     assert got == want and len(want) > 60
+
+
+def test_overwrite_rejects_unpartitioned_history(spark, tmpdir_scratch):
+    """A partition overwrite over commits that were NOT partitioned by
+    that column must refuse (a path filter cannot see values inside
+    part files; silently dropping nothing would leave stale rows)."""
+    tbl = tmpdir_scratch + "/tbl"
+    commit(_pages(spark, range(3), "u"), tbl)  # unpartitioned commit
+    with pytest.raises(ValueError, match="not.*partitioned|not under"):
+        commit(
+            _pages(spark, [9], "u"),
+            tbl,
+            mode="overwrite_partitions",
+            partition_by="bucket",
+            replace_partitions=[0],
+        )
+
+
+def test_diff_guards(spark, tmpdir_scratch):
+    from ocr_application_spark.sources.snapshots import read_snapshot_diff
+
+    tbl = tmpdir_scratch + "/tbl"
+    with pytest.raises(FileNotFoundError):
+        read_snapshot_diff(spark, tbl, 1)
+    commit(_pages(spark, range(2), "g"), tbl)
+    commit(_pages(spark, range(2, 4), "g"), tbl)
+    with pytest.raises(ValueError, match="inverted"):
+        read_snapshot_diff(spark, tbl, 2, 1)
