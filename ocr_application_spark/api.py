@@ -41,6 +41,8 @@ from ocr_application_spark.pipeline import (  # noqa: F401
 )
 from ocr_application_spark.sources.snapshots import (  # noqa: F401
     commit as commit_snapshot,
+    compact as compact_table,
+    expire_snapshots,
     read_snapshot,
     read_snapshot_diff,
     snapshot_versions,

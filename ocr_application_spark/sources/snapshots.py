@@ -81,9 +81,12 @@ def commit(
     * ``append`` — new files add to the previous snapshot's visible set;
     * ``overwrite_partitions`` — files of the previous snapshot lying in
       the given ``partition_by`` partitions (``replace_partitions``
-      values) are dropped from the new manifest (bytes untouched).
+      values) are dropped from the new manifest (bytes untouched);
+    * ``replace_all`` — the new files ARE the table (full logical
+      rewrite; prior snapshots stay readable until expired) — what
+      compaction commits.
     """
-    if mode not in ("append", "overwrite_partitions"):
+    if mode not in ("append", "overwrite_partitions", "replace_all"):
         raise ValueError(f"unknown commit mode {mode!r}")
     if mode == "overwrite_partitions" and (not partition_by or replace_partitions is None):
         raise ValueError("overwrite_partitions needs partition_by + replace_partitions")
@@ -110,7 +113,11 @@ def commit(
     writer.parquet(commit_dir)
     new_files = _list_parquet(commit_dir)
 
-    visible = list(_load_manifest(path, parent)["files"]) if parent else []
+    visible = (
+        list(_load_manifest(path, parent)["files"])
+        if parent and mode != "replace_all"
+        else []
+    )
     if mode == "overwrite_partitions":
         data_root = _data_dir(path)
         # match on paths RELATIVE to the data root (a table rooted at a
@@ -236,3 +243,56 @@ def read_snapshot_diff(
         schema = T.StructType.fromJson(json.loads(target["schema"]))
         return spark.createDataFrame([], schema)
     return _read_files(spark, path, new_files)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 8,
+    partition_by: str | None = None,
+) -> int:
+    """Rewrite the latest snapshot into ~``target_files`` files per
+    partition (Iceberg's ``rewrite_data_files`` analog). At crawl scale
+    every incremental commit leaves its own small files; a manifest-
+    planned scan then pays per-file open/footer costs that dwarf the
+    reads — the classic small-files problem. Compaction is just another
+    commit (``replace_all``), so readers switch atomically and older
+    snapshots still time-travel until ``expire_snapshots``."""
+    df = read_snapshot(spark, path)
+    if partition_by:
+        df = df.repartition(target_files, partition_by)
+    else:
+        df = df.repartition(target_files)
+    return commit(df, path, mode="replace_all", partition_by=partition_by)
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest ``keep_last`` snapshots and DELETE data
+    files no surviving manifest references — the deferred physical
+    delete that logical overwrites/compactions rely on (Iceberg's
+    ``expire_snapshots``). Returns counts for observability."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    keep, drop = versions[-keep_last:], versions[:-keep_last]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_load_manifest(path, v)["files"])
+    n_deleted = 0
+    for f in _list_parquet(_data_dir(path)):
+        if f not in referenced:
+            os.remove(f)
+            n_deleted += 1
+    # prune now-empty commit dirs, then the expired manifests
+    data_root = _data_dir(path)
+    for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        full = os.path.join(data_root, d)
+        if os.path.isdir(full) and not _list_parquet(full):
+            import shutil
+
+            shutil.rmtree(full, ignore_errors=True)
+    for v in drop:
+        os.remove(os.path.join(_snap_dir(path), f"v{v}.json"))
+    return {"expired_versions": drop, "kept_versions": keep, "files_deleted": n_deleted}

@@ -197,3 +197,41 @@ def test_diff_guards(spark, tmpdir_scratch):
     commit(_pages(spark, range(2, 4), "g"), tbl)
     with pytest.raises(ValueError, match="inverted"):
         read_snapshot_diff(spark, tbl, 2, 1)
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, tmpdir_scratch):
+    from ocr_application_spark.sources.snapshots import compact
+
+    tbl = tmpdir_scratch + "/tbl"
+    # many tiny commits -> many small files
+    for k in range(5):
+        commit(_pages(spark, range(k * 10, k * 10 + 10), f"t{k}"), tbl)
+    import json as _json
+
+    before = _json.load(open(tbl + "/_snapshots/v5.json"))["files"]
+    want = {r.payload for r in read_snapshot(spark, tbl).collect()}
+    vc = compact(spark, tbl, target_files=2)
+    after = _json.load(open(tbl + f"/_snapshots/v{vc}.json"))["files"]
+    assert len(after) < len(before)
+    assert {r.payload for r in read_snapshot(spark, tbl).collect()} == want
+    # pre-compaction snapshot still time-travels
+    assert read_snapshot(spark, tbl, 3).count() == 30
+
+
+def test_expire_deletes_only_unreferenced_bytes(spark, tmpdir_scratch):
+    from ocr_application_spark.sources.snapshots import compact, expire_snapshots
+
+    tbl = tmpdir_scratch + "/tbl"
+    for k in range(3):
+        commit(_pages(spark, range(k * 10, k * 10 + 10), f"t{k}"), tbl)
+    vc = compact(spark, tbl, target_files=1)
+    want = {r.payload for r in read_snapshot(spark, tbl).collect()}
+    rep = expire_snapshots(tbl, keep_last=1)
+    assert rep["kept_versions"] == [vc] and rep["files_deleted"] > 0
+    # survivor reads identically; expired versions are gone
+    assert {r.payload for r in read_snapshot(spark, tbl).collect()} == want
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, tbl, 1)
+    assert snapshot_versions(tbl) == [vc]
+    with pytest.raises(ValueError):
+        expire_snapshots(tbl, keep_last=0)
