@@ -1,0 +1,85 @@
+"""Packaged-run smoke (north_star: "run via spark-submit --py-files"):
+the REAL spark-submit binary, the REAL zip artifact, both job modes —
+synth batch and snapshot-incremental with its version watermark."""
+
+import json
+import os
+import subprocess
+
+import pytest
+
+_SPARK_SUBMIT = os.path.join(
+    os.path.dirname(os.__file__), "site-packages", "pyspark", "bin", "spark-submit"
+)
+
+
+def _submit(args, cwd="/root/repo"):
+    r = subprocess.run(
+        [
+            _SPARK_SUBMIT,
+            "--master",
+            "local[4]",
+            "--py-files",
+            "dist/ocr_application_spark.zip",
+            "jobs/extract_job.py",
+            *args,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=cwd,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    return r.stdout + r.stderr
+
+
+@pytest.mark.slow
+def test_spark_submit_synth_and_incremental(spark, tmpdir_scratch):
+    if not os.path.exists(_SPARK_SUBMIT):
+        pytest.skip("spark-submit binary not found")
+    subprocess.run(["bash", "scripts/package.sh"], cwd="/root/repo", check=True)
+
+    # mode 1: synth batch
+    out = _submit(
+        [
+            "--synth", "300",
+            "--output", tmpdir_scratch + "/out",
+            "--lineage", tmpdir_scratch + "/lin",
+            "--buckets", "8",
+        ]
+    )
+    assert "committed 8 buckets" in out
+    assert spark.read.parquet(tmpdir_scratch + "/out").count() == 300
+
+    # mode 2: snapshot-incremental with watermark
+    from ocr_application_spark.sources.snapshots import commit
+    from ocr_application_spark.sources.webpages import synth_pages
+
+    tbl = tmpdir_scratch + "/crawl"
+    commit(synth_pages(spark, 200), tbl)
+    inc_args = [
+        "--snapshot-input", tbl,
+        "--output", tmpdir_scratch + "/iout",
+        "--lineage", tmpdir_scratch + "/ilin",
+        "--buckets", "8",
+    ]
+    _submit(inc_args)
+    state = json.load(open(tmpdir_scratch + "/ilin/_ingest_state.json"))
+    assert state["processed_version"] == 1
+    assert spark.read.parquet(tmpdir_scratch + "/iout").count() == 200
+
+    # no new snapshot -> no-op
+    out = _submit(inc_args)
+    assert "nothing to do" in out
+
+    # new snapshot -> only the diff is processed, shards accumulate
+    commit(synth_pages(spark, 260), tbl)  # 200 recrawls + 60 new
+    _submit(inc_args)
+    df = spark.read.parquet(tmpdir_scratch + "/iout")
+    assert json.load(open(tmpdir_scratch + "/ilin/_ingest_state.json"))[
+        "processed_version"
+    ] == 2
+    assert df.count() == 460  # 200 (v1 shard) + 260 (v2 diff shard)
+    assert {r.ingest_v for r in df.select("ingest_v").distinct().collect()} == {1, 2}
+    # distinct urls across shards = full 260-page corpus
+    assert df.select("url").distinct().count() == 260
