@@ -11,12 +11,132 @@ Packaged run (north_star: "packaged for spark-submit --py-files")::
 
 On a cluster the session comes from spark-submit's conf; this script
 only adds the app-level SQL tuning. ``--synth N`` generates the input
-on the fly (smoke mode, no external data).
+on the fly (smoke mode, no external data). ``--snapshot-input`` ingests
+a snapshot table incrementally (see _run_snapshot_ingest).
 """
 
 from __future__ import annotations
 
 import argparse
+import json
+import os
+
+
+def _read_state(state_path: str) -> dict:
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            return json.load(fh)
+    return {}
+
+
+def _write_state(state_path: str, state: dict) -> None:
+    os.makedirs(os.path.dirname(state_path), exist_ok=True)
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, state_path)
+
+
+def _run_snapshot_ingest(spark, args) -> None:
+    """Incremental ingest of a snapshot table, one version step at a
+    time. The watermark file records the last FULLY ingested version
+    plus the version currently being ingested, so a crash retries the
+    SAME target version (its shard's bucket-level resume completes the
+    partial work) even if the source has moved on — no shard is ever
+    orphaned with its rows duplicated into a later shard. Each ingested
+    version writes its own ``ingest_v=`` shard (bucket-level dynamic-
+    overwrite commits are idempotent WITHIN a version but would clobber
+    earlier versions' rows if shards were mixed); readers scan the
+    output root and see ingest_v as a partition column. Quarantine rows
+    route to a sibling root OUTSIDE the scanned output."""
+    from ocr_application_spark.pipeline import run_to_table
+    from ocr_application_spark.sources.snapshots import (
+        read_snapshot,
+        read_snapshot_diff,
+        snapshot_versions,
+    )
+
+    tbl = args.snapshot_input
+    versions = snapshot_versions(tbl)
+    if not versions:
+        raise SystemExit(f"no snapshots at {tbl}")
+    latest = versions[-1]
+    state_path = os.path.join(args.lineage, "_ingest_state.json")
+    state = _read_state(state_path)
+    processed = state.get("processed_version")
+
+    if args.rebaseline:
+        # operator escape hatch after source compaction/expiry: declare
+        # the current snapshot already-ingested without processing
+        _write_state(state_path, {"processed_version": latest})
+        print(f"extract_job: rebaselined watermark at v{latest} (no processing)")
+        return
+
+    if processed is not None and processed not in versions:
+        raise SystemExit(
+            f"watermarked snapshot v{processed} no longer exists at {tbl} "
+            f"(have {versions}) — the source was expired or recreated. "
+            "Either re-ingest fully into a fresh --output, or run with "
+            "--rebaseline to skip to the latest snapshot."
+        )
+
+    from ocr_application_spark.sources.snapshots import _load_manifest
+
+    n_steps = 0
+    while True:
+        versions = snapshot_versions(tbl)
+        latest = versions[-1]
+        if processed == latest and state.get("in_progress") is None:
+            break
+        # resume a crashed step's exact target; otherwise step ONE
+        # version at a time (never spanning a rewrite commit) — a
+        # "compact" step is content-preserving, so the watermark just
+        # advances over it with nothing to process
+        target = state.get("in_progress")
+        if target is None:
+            if processed is None:
+                target = latest  # first ingest: full read of the latest
+            else:
+                target = min(v for v in versions if v > processed)
+                if _load_manifest(tbl, target).get("operation") == "compact":
+                    processed = target
+                    _write_state(state_path, {"processed_version": processed})
+                    print(f"extract_job: skipped compaction commit v{target}")
+                    continue
+        try:
+            if processed is None:
+                pages = read_snapshot(spark, tbl, target)
+            else:
+                pages = read_snapshot_diff(spark, tbl, processed, target)
+        except ValueError as exc:  # replace_all in range / inverted
+            raise SystemExit(
+                f"cannot ingest incrementally: {exc}. Re-ingest fully into "
+                "a fresh --output or run with --rebaseline."
+            ) from exc
+        pages = pages.select("url", "warc_ts", "html", "text", "lang")
+        state = {"processed_version": processed, "in_progress": target}
+        _write_state(state_path, state)
+        lin = run_to_table(
+            pages,
+            spark,
+            f"{args.output}/ingest_v={target}",
+            f"{args.lineage}/ingest_v={target}",
+            n_buckets=args.buckets,
+            resume=not args.no_resume,
+            by_class=args.by_class,
+            quarantine_path=f"{args.output}_quarantine/ingest_v={target}",
+        )
+        done = lin.count()
+        processed = target
+        state = {"processed_version": processed}
+        _write_state(state_path, state)
+        n_steps += 1
+        print(
+            f"extract_job: committed {done} buckets -> "
+            f"{args.output}/ingest_v={target}"
+        )
+    if n_steps == 0:
+        print(f"extract_job: already at snapshot v{latest}, nothing to do")
 
 
 def main() -> None:
@@ -25,9 +145,9 @@ def main() -> None:
     ap.add_argument(
         "--snapshot-input",
         default=None,
-        help="snapshot table (sources/snapshots.py layout): processes the "
-        "diff since the last ingested version (watermark kept next to the "
-        "lineage), so repeated runs are O(new data)",
+        help="snapshot table (sources/snapshots.py layout): ingests one "
+        "snapshot version step at a time since the watermark kept next to "
+        "the lineage, so repeated runs are O(new data)",
     )
     ap.add_argument("--synth", type=int, default=None, help="generate N synthetic pages instead")
     ap.add_argument("--output", required=True)
@@ -35,6 +155,12 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--by-class", action="store_true", help="partition output by doc_class too (S4)")
+    ap.add_argument(
+        "--rebaseline",
+        action="store_true",
+        help="snapshot mode only: set the watermark to the latest snapshot "
+        "WITHOUT processing (recovery after source compaction/expiry)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,77 +177,32 @@ def main() -> None:
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .getOrCreate()
     )
-    sources = [x for x in (args.input, args.synth, args.snapshot_input) if x is not None]
+    sources = [
+        x for x in (args.input, args.synth, args.snapshot_input) if x is not None
+    ]
     if len(sources) != 1:
         raise SystemExit("exactly one of --input / --synth / --snapshot-input is required")
 
-    out_path, lin_path = args.output, args.lineage
-    state_path = None
-    current_v = None
+    if args.snapshot_input is not None:
+        _run_snapshot_ingest(spark, args)
+        spark.stop()
+        return
     if args.synth is not None:
         pages = synth_pages(spark, args.synth)
-    elif args.input:
-        pages = spark.read.parquet(args.input)
     else:
-        # Incremental ingest: watermark file records the last fully
-        # ingested snapshot version. Each ingested version writes its
-        # own ingest_v= shard — bucket-level dynamic-overwrite commits
-        # are idempotent WITHIN a version but would clobber earlier
-        # versions' rows in the same bucket if shards were mixed;
-        # readers scan the output root and see ingest_v as a partition
-        # column. Intra-run crashes resume by bucket (lineage), inter-
-        # run increments advance by snapshot version.
-        import json
-        import os
-
-        from ocr_application_spark.sources.snapshots import (
-            read_snapshot,
-            read_snapshot_diff,
-            snapshot_versions,
-        )
-
-        versions = snapshot_versions(args.snapshot_input)
-        if not versions:
-            raise SystemExit(f"no snapshots at {args.snapshot_input}")
-        current_v = versions[-1]
-        state_path = os.path.join(args.lineage, "_ingest_state.json")
-        processed = None
-        if os.path.exists(state_path):
-            with open(state_path) as fh:
-                processed = int(json.load(fh)["processed_version"])
-        if processed == current_v:
-            print(f"extract_job: already at snapshot v{current_v}, nothing to do")
-            spark.stop()
-            return
-        if processed is None:
-            pages = read_snapshot(spark, args.snapshot_input, current_v)
-        else:
-            pages = read_snapshot_diff(spark, args.snapshot_input, processed, current_v)
-        pages = pages.select("url", "warc_ts", "html", "text", "lang")
-        out_path = f"{args.output}/ingest_v={current_v}"
-        lin_path = f"{args.lineage}/ingest_v={current_v}"
+        pages = spark.read.parquet(args.input)
 
     lin = run_to_table(
         pages,
         spark,
-        out_path,
-        lin_path,
+        args.output,
+        args.lineage,
         n_buckets=args.buckets,
         resume=not args.no_resume,
         by_class=args.by_class,
     )
     done = lin.count()
-    if state_path is not None:
-        # advance the watermark only after every bucket committed
-        import json
-        import os
-
-        os.makedirs(args.lineage, exist_ok=True)
-        tmp = state_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"processed_version": current_v}, fh)
-        os.replace(tmp, state_path)
-    print(f"extract_job: committed {done} buckets -> {out_path}")
+    print(f"extract_job: committed {done} buckets -> {args.output}")
     spark.stop()
 
 

@@ -68,12 +68,16 @@ def run_to_table(
     n_buckets: int = 64,
     resume: bool = True,
     by_class: bool = False,
+    quarantine_path: str | None = None,
 ) -> DataFrame:
     """Materialize the pipeline with per-bucket lineage + resume.
 
     ``by_class=True`` additionally partitions the output by doc_class —
     the S4 class-routed sink (classification_service/app/Kafka/
     producer.py:18-19 routed by topic; here: partition pruning on read).
+    ``quarantine_path`` overrides the default ``{out_path}_quarantine``
+    sibling — callers whose out_path sits INSIDE a partition-discovered
+    root (e.g. an ingest_v= shard) must route quarantine outside it.
     Returns the lineage DataFrame of the buckets processed this run.
     """
     bucketed = with_bucket(pages, n_buckets)
@@ -105,7 +109,7 @@ def run_to_table(
                 bad.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket")
-                .parquet(out_path + "_quarantine")
+                .parquet(quarantine_path or out_path + "_quarantine")
             )
         # localCheckpoint materializes the (tiny, one-row-per-bucket)
         # lineage BEFORE the unpersist below, so caller actions on the

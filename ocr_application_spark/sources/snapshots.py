@@ -74,6 +74,7 @@ def commit(
     mode: str = "append",
     partition_by: str | None = None,
     replace_partitions: list | None = None,
+    op_label: str | None = None,
 ) -> int:
     """Write ``df`` as a new immutable commit and publish the next
     snapshot. ``mode``:
@@ -158,7 +159,10 @@ def commit(
     manifest = {
         "version": version,
         "parent": parent,
-        "operation": mode,
+        # op_label distinguishes content-preserving rewrites ("compact")
+        # from arbitrary replace_all commits — incremental consumers may
+        # skip the former but must re-baseline on the latter
+        "operation": op_label or mode,
         "partition_by": partition_by,
         # recorded so an all-files-dropped snapshot stays readable as an
         # empty DataFrame with the right schema
@@ -234,6 +238,20 @@ def read_snapshot_diff(
         raise ValueError(
             f"inverted range: from_version={from_version} > to_version={to_v}"
         )
+    # A replace_all (compaction) commit rewrites every file, so a raw
+    # manifest diff across it would re-surface the ENTIRE table as
+    # "new". Mirror Iceberg's incremental append-scan: refuse ranges
+    # crossing a replace snapshot and make the caller re-baseline.
+    for v in versions:
+        if from_version < v <= to_v:
+            m_op = _load_manifest(path, v).get("operation")
+            if m_op in ("replace_all", "compact"):
+                raise ValueError(
+                    f"diff range ({from_version}, {to_v}] crosses the "
+                    f"{m_op} commit v{v}, which rewrites every file — "
+                    "file-level additions are meaningless; re-baseline "
+                    f"the consumer's watermark at or after v{v}"
+                )
     base = set(_load_manifest(path, from_version)["files"])
     target = _load_manifest(path, to_v)
     new_files = sorted(set(target["files"]) - base)
@@ -258,12 +276,15 @@ def compact(
     reads — the classic small-files problem. Compaction is just another
     commit (``replace_all``), so readers switch atomically and older
     snapshots still time-travel until ``expire_snapshots``."""
-    df = read_snapshot(spark, path)
-    if partition_by:
-        df = df.repartition(target_files, partition_by)
-    else:
-        df = df.repartition(target_files)
-    return commit(df, path, mode="replace_all", partition_by=partition_by)
+    # a plain repartition(N): each of the N tasks holds a mix of
+    # partition values, so the partitioned write emits AT MOST N files
+    # per partition value. (repartition(N, partition_by) would instead
+    # hash each value to ONE task — a single giant file and a straggler
+    # for a dominant partition.)
+    df = read_snapshot(spark, path).repartition(target_files)
+    return commit(
+        df, path, mode="replace_all", partition_by=partition_by, op_label="compact"
+    )
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
@@ -280,12 +301,26 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     referenced: set[str] = set()
     for v in keep:
         referenced.update(_load_manifest(path, v)["files"])
+    # delete ONLY files the expired manifests referenced (minus those a
+    # kept manifest still needs) — never "any unreferenced parquet":
+    # commit() writes data BEFORE publishing its manifest, so a blanket
+    # sweep would destroy an in-flight commit's files (orphans from
+    # crashed commits need an age-based GC, out of scope here)
+    droppable: set[str] = set()
+    for v in drop:
+        droppable.update(_load_manifest(path, v)["files"])
+    droppable -= referenced
+    # remove the expired manifests FIRST: a crash mid-expiry then leaves
+    # only harmless orphan bytes, never a live-looking manifest pointing
+    # at deleted files
+    for v in drop:
+        os.remove(os.path.join(_snap_dir(path), f"v{v}.json"))
     n_deleted = 0
-    for f in _list_parquet(_data_dir(path)):
-        if f not in referenced:
+    for f in sorted(droppable):
+        if os.path.exists(f):
             os.remove(f)
             n_deleted += 1
-    # prune now-empty commit dirs, then the expired manifests
+    # prune now-empty commit dirs
     data_root = _data_dir(path)
     for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
         full = os.path.join(data_root, d)
@@ -293,6 +328,4 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
             import shutil
 
             shutil.rmtree(full, ignore_errors=True)
-    for v in drop:
-        os.remove(os.path.join(_snap_dir(path), f"v{v}.json"))
     return {"expired_versions": drop, "kept_versions": keep, "files_deleted": n_deleted}

@@ -92,3 +92,31 @@ def test_classifier_confidence_is_softmax(spark):
     assert np.allclose([r.confidence for r in rows], conf, rtol=0, atol=0)
     # softmax sanity: top probability bounded by (1/n_classes, 1]
     assert all(0.25 < r.confidence <= 1.0 for r in rows)
+
+
+def test_quarantine_routes_to_explicit_path(spark, tmpdir_scratch, monkeypatch):
+    """S5 oversize guard -> quarantine table, with quarantine_path
+    override landing OUTSIDE the output root (no data loss: out + q
+    partitions the corpus)."""
+    import os
+    from functools import partial
+
+    import ocr_application_spark.pipeline as pl
+    from ocr_application_spark.sources.webpages import synth_pages
+
+    monkeypatch.setattr(pl, "oversize_guard", partial(pl.oversize_guard, max_bytes=200))
+    pages = synth_pages(spark, 60)
+    pl.run_to_table(
+        pages,
+        spark,
+        tmpdir_scratch + "/out",
+        tmpdir_scratch + "/lin",
+        n_buckets=4,
+        quarantine_path=tmpdir_scratch + "/q",
+    )
+    out_n = spark.read.parquet(tmpdir_scratch + "/out").count()
+    q = spark.read.parquet(tmpdir_scratch + "/q")
+    assert q.count() > 0
+    assert out_n + q.count() == 60
+    assert set(q.select("status").distinct().toPandas()["status"]) == {"error:oversize"}
+    assert not os.path.exists(tmpdir_scratch + "/out_quarantine")

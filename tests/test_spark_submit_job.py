@@ -83,3 +83,19 @@ def test_spark_submit_synth_and_incremental(spark, tmpdir_scratch):
     assert {r.ingest_v for r in df.select("ingest_v").distinct().collect()} == {1, 2}
     # distinct urls across shards = full 260-page corpus
     assert df.select("url").distinct().count() == 260
+
+    # source compaction (content-preserving rewrite) -> the watermark
+    # skips over it with nothing processed; a following append ingests
+    # only its diff
+    from ocr_application_spark.sources.snapshots import compact
+
+    compact(spark, tbl, target_files=2)  # v3
+    commit(synth_pages(spark, 280), tbl)  # v4: 260 recrawls + 20 new
+    out = _submit(inc_args)
+    assert "skipped compaction commit v3" in out
+    df = spark.read.parquet(tmpdir_scratch + "/iout")
+    assert json.load(open(tmpdir_scratch + "/ilin/_ingest_state.json"))[
+        "processed_version"
+    ] == 4
+    assert df.select("url").distinct().count() == 280
+    assert {r.ingest_v for r in df.select("ingest_v").distinct().collect()} == {1, 2, 4}
