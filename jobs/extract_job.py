@@ -65,20 +65,39 @@ def _run_snapshot_ingest(spark, args) -> None:
     state = _read_state(state_path)
     processed = state.get("processed_version")
 
-    if args.rebaseline:
-        # operator escape hatch after source compaction/expiry: declare
-        # the current snapshot already-ingested without processing
-        _write_state(state_path, {"processed_version": latest})
-        print(f"extract_job: rebaselined watermark at v{latest} (no processing)")
+    if args.rebaseline is not None:
+        # operator escape hatch after source rewrite/expiry: declare a
+        # snapshot already-ingested without processing. Rebaselining AT
+        # the rewrite commit (not blindly at latest) lets the normal
+        # step loop ingest any appends that follow it — jumping to
+        # latest would silently skip them.
+        if state.get("in_progress") is not None:
+            raise SystemExit(
+                f"refusing to rebaseline: ingest of v{state['in_progress']} "
+                "is in flight (a partially-written shard would be orphaned "
+                "in the output root). Run once WITHOUT --rebaseline to "
+                "finish it, or remove the partial "
+                f"ingest_v={state['in_progress']} shard and lineage dir "
+                "before rebaselining."
+            )
+        base_v = latest if args.rebaseline == -1 else args.rebaseline
+        if base_v not in versions:
+            raise SystemExit(
+                f"cannot rebaseline at v{base_v}: not in {versions}"
+            )
+        _write_state(state_path, {"processed_version": base_v})
+        print(f"extract_job: rebaselined watermark at v{base_v} (no processing)")
         return
 
-    if processed is not None and processed not in versions:
-        raise SystemExit(
-            f"watermarked snapshot v{processed} no longer exists at {tbl} "
-            f"(have {versions}) — the source was expired or recreated. "
-            "Either re-ingest fully into a fresh --output, or run with "
-            "--rebaseline to skip to the latest snapshot."
-        )
+    for label, v in (("watermarked", processed), ("in-flight", state.get("in_progress"))):
+        if v is not None and v not in versions:
+            raise SystemExit(
+                f"{label} snapshot v{v} no longer exists at {tbl} "
+                f"(have {versions}) — the source was expired or recreated. "
+                "Either re-ingest fully into a fresh --output, or run with "
+                "--rebaseline [VERSION] to declare a snapshot already "
+                "ingested (then clean any partial shard by hand)."
+            )
 
     from ocr_application_spark.sources.snapshots import _load_manifest
 
@@ -88,30 +107,43 @@ def _run_snapshot_ingest(spark, args) -> None:
         latest = versions[-1]
         if processed == latest and state.get("in_progress") is None:
             break
-        # resume a crashed step's exact target; otherwise step ONE
-        # version at a time (never spanning a rewrite commit) — a
-        # "compact" step is content-preserving, so the watermark just
-        # advances over it with nothing to process
+        # resume a crashed step's exact target; otherwise batch the
+        # CONTIGUOUS run of append/overwrite commits after the watermark
+        # into one diff (one Spark job, one shard — not a shard per tiny
+        # crawl commit), stopping before any rewrite commit. A "compact"
+        # rewrite is content-preserving, so the watermark just advances
+        # over it with nothing to process.
         target = state.get("in_progress")
         if target is None:
             if processed is None:
                 target = latest  # first ingest: full read of the latest
             else:
-                target = min(v for v in versions if v > processed)
-                if _load_manifest(tbl, target).get("operation") == "compact":
-                    processed = target
+                nxt = min(v for v in versions if v > processed)
+                op = _load_manifest(tbl, nxt).get("operation")
+                if op == "compact":
+                    processed = nxt
                     _write_state(state_path, {"processed_version": processed})
-                    print(f"extract_job: skipped compaction commit v{target}")
+                    print(f"extract_job: skipped compaction commit v{nxt}")
                     continue
+                target = nxt
+                for v in sorted(v for v in versions if v > nxt):
+                    if _load_manifest(tbl, v).get("operation") in (
+                        "replace_all",
+                        "compact",
+                    ):
+                        break
+                    target = v
         try:
             if processed is None:
                 pages = read_snapshot(spark, tbl, target)
             else:
                 pages = read_snapshot_diff(spark, tbl, processed, target)
         except ValueError as exc:  # replace_all in range / inverted
+            v_hint = str(exc).split("commit v")[-1].split(" ")[0].rstrip(",")
             raise SystemExit(
                 f"cannot ingest incrementally: {exc}. Re-ingest fully into "
-                "a fresh --output or run with --rebaseline."
+                f"a fresh --output, or run with --rebaseline {v_hint} and "
+                "continue stepping from there."
             ) from exc
         pages = pages.select("url", "warc_ts", "html", "text", "lang")
         state = {"processed_version": processed, "in_progress": target}
@@ -157,9 +189,15 @@ def main() -> None:
     ap.add_argument("--by-class", action="store_true", help="partition output by doc_class too (S4)")
     ap.add_argument(
         "--rebaseline",
-        action="store_true",
-        help="snapshot mode only: set the watermark to the latest snapshot "
-        "WITHOUT processing (recovery after source compaction/expiry)",
+        nargs="?",
+        type=int,
+        const=-1,
+        default=None,
+        metavar="VERSION",
+        help="snapshot mode only: set the watermark to VERSION (default: "
+        "latest) WITHOUT processing — recovery after a source rewrite or "
+        "expiry. Rebaseline AT the rewrite commit so later appends still "
+        "ingest incrementally.",
     )
     args = ap.parse_args()
 
