@@ -112,6 +112,7 @@ def main() -> None:
             "corpus_clean_pipeline",
             "streaming_extract_digest",
             "dedup_components",
+            "text_vocabulary",
         ]
 
         def run(name: str) -> None:

@@ -240,3 +240,53 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos").alias("cos_sim"),
         )
     )
+
+
+# --- semantic dedup clusters --------------------------------------------------
+# emb_neardup_pairs says which documents are semantically near-dups;
+# dedup needs the transitive clusters (A~B~C => one survivor). Reuses
+# the checkpointed min-label propagation from dedup.py over the
+# embedding pair graph; the oracle is the same recursive-CTE transitive
+# closure over the emb_neardup SQL.
+_EMB_COMPONENTS_ORACLE = f"""
+    with recursive q as (
+      select vec_id, {_QUANT_SQL.format(c='embedding')} as qv from embeddings
+    ),
+    b as (
+      select vec_id, qv, {_dot_sql('qv', 'qv')} as n,
+             {" + ".join(_lsh_bit_sql(k) for k in range(_N_PLANES))} as bucket
+      from q
+    ),
+    pairs as (
+      select a.vec_id as vec_a, b2.vec_id as vec_b
+      from b a join b b2 on a.bucket = b2.bucket and a.vec_id < b2.vec_id
+      where cast({_dot_sql('a.qv', 'b2.qv')} as double)
+              / sqrt(cast(a.n as double) * cast(b2.n as double)) >= {_NEARDUP_TAU}
+    ),
+    edges as (
+      select vec_a as u, vec_b as v from pairs
+      union all
+      select vec_b as u, vec_a as v from pairs
+    ),
+    reach(u, v) as (
+      select vec_id, vec_id from embeddings
+      union
+      select e.u, r.v from edges e join reach r on e.v = r.u
+    )
+    select u as doc_id, min(v) as rep
+    from reach group by u
+"""
+
+
+@_q("emb_neardup_components", _EMB_COMPONENTS_ORACLE)
+def emb_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters: (doc_id, rep) with rep = smallest vec_id
+    reachable through embedding near-dup pairs — the emb-space twin of
+    dedup_components, one canonical survivor per semantic cluster."""
+    from ocr_application_spark.operators.dedup import propagate_components
+
+    pairs = emb_neardup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"))
+    return propagate_components(pairs, nodes)

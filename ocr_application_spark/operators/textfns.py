@@ -240,3 +240,53 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept"),
         )
     )
+
+
+# --- corpus vocabulary -------------------------------------------------------
+@_q(
+    "text_vocabulary",
+    f"""
+    with toks as (
+      select doc_id, unnest(string_split(text, ' ')) as token from documents
+    ),
+    stats as (
+      select token,
+             count(*) as tf,
+             count(distinct doc_id) as df
+      from toks where token != '' group by token
+    ),
+    ranked as (
+      select token, tf, df,
+             row_number() over (order by df desc, tf desc, token) as rank
+      from stats
+    )
+    select token, tf, df, rank,
+           token in {_STOPWORDS} as is_stopword
+    from ranked where rank <= 200
+    """,
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building (the tokenizer-training precursor):
+    term frequency + document frequency per token, top-200 by df with a
+    total (df, tf, token) tie-break so the cut is deterministic. Two
+    keyed aggregations, both map-side partial — shuffle is O(vocab),
+    never O(tokens), which is what makes vocab building feasible at
+    corpus scale."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    stats = toks.groupBy("token").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("df"), F.desc("tf"), "token")
+    return (
+        stats.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 200)
+        .select(
+            "token", "tf", "df", "rank",
+            F.col("token").isin(*_STOPWORDS).alias("is_stopword"),
+        )
+    )
