@@ -281,12 +281,15 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # top-200 via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # partial top-k, plan-audited), NOT a global row_number window —
+    # an unpartitioned window would funnel the ENTIRE vocabulary
+    # (easily 10^8 rows at corpus scale) through one partition. The
+    # rank window then runs over just the 200 survivors.
+    top = stats.orderBy(F.desc("df"), F.desc("tf"), "token").limit(200)
     w = Window.orderBy(F.desc("df"), F.desc("tf"), "token")
-    return (
-        stats.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 200)
-        .select(
-            "token", "tf", "df", "rank",
-            F.col("token").isin(*_STOPWORDS).alias("is_stopword"),
-        )
+    return top.select(
+        "token", "tf", "df",
+        F.row_number().over(w).alias("rank"),
+        F.col("token").isin(*_STOPWORDS).alias("is_stopword"),
     )

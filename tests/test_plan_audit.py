@@ -233,3 +233,11 @@ def test_q18_take_ordered_after_having(spark):
     plan = plan_of(spark, "q18_large_orders")
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # post-having side is tiny
+
+
+def test_vocabulary_top_k_is_take_ordered(spark):
+    # top-200 cut must be TakeOrderedAndProject (distributed partial
+    # top-k), never a global unpartitioned row_number window funneling
+    # the whole vocabulary through one partition
+    plan = plan_of(spark, "text_vocabulary")
+    assert "TakeOrderedAndProject" in plan, plan
