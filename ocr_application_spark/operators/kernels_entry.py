@@ -9,9 +9,13 @@ check of the entire kernel path, not just a row count.
 
 ``multimodal_features`` exercises the binary-payload plumbing with a
 deterministic stand-in decode, so it too is value-checked in SQL.
-``classify_distribution`` stays rows-only: the model's argmax sits on
-float log1p/softmax boundaries where a cross-engine ulp difference
-could flip a class, so an "exact" SQL twin would be a flaky oracle.
+``classify_distribution`` is pytest-only (not in ``QUERIES``): the
+model's argmax sits on float log1p/softmax boundaries where a
+cross-engine ulp difference could flip a class, so an "exact" SQL twin
+would be a flaky oracle, and the value-checked ``classify_docwrap``
+already oracle-checks the full model; the 4-way routing itself is
+pinned by ``tests/test_pipeline_identity.py::test_classifier_accuracy``
+and ``test_classify_distribution_covers_all_routes``.
 """
 
 from __future__ import annotations
@@ -103,7 +107,6 @@ def pipeline_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "n_chars", "digest")
 
 
-@_q("classify_distribution")
 def classify_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-routing counts from the broadcast-weights classifier
     (K1 analog) — rows-only (model semantics live in the kernel).

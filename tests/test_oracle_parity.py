@@ -28,8 +28,7 @@ def test_oracle_parity(name, spark, con):
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
 def test_rows_only_queries_run(name, spark):
     df = _QUERIES[name](spark, SF_DIR)
-    # both rows-only queries (IVF top-k, classifier distribution) must
-    # produce results, not merely avoid crashing
+    # rows-only queries must produce results, not merely avoid crashing
     assert df.count() > 0
     assert len(df.columns) > 0
 

@@ -69,6 +69,18 @@ def test_classifier_accuracy(spark):
     assert acc >= 0.80, f"classifier accuracy {acc:.3f}"
 
 
+def test_classify_distribution_covers_all_routes(spark):
+    """classify_distribution (pytest-only since r03 — it was a rows-only
+    queries() slot superseded by the value-checked classify_docwrap):
+    the mixed corpus must exercise all four routing classes, each with a
+    softmax-bounded average confidence."""
+    from ocr_application_spark.operators.kernels_entry import classify_distribution
+
+    rows = classify_distribution(spark, "/root/testdata/sf0.001").collect()
+    assert {r.doc_class for r in rows} == {"article", "invoice", "form", "other"}
+    assert all(r.n_docs > 0 and 0.25 < r.avg_conf <= 1.0 for r in rows)
+
+
 def test_classifier_confidence_is_softmax(spark):
     """The confidence column IS the top softmax probability of the
     model's logits — pinned Spark-side (numpy reference on collected
