@@ -99,7 +99,7 @@ def _run_snapshot_ingest(spark, args) -> None:
                 "ingested (then clean any partial shard by hand)."
             )
 
-    from ocr_application_spark.sources.snapshots import _load_manifest
+    from ocr_application_spark.sources.snapshots import snapshot_info
 
     n_steps = 0
     while True:
@@ -119,18 +119,18 @@ def _run_snapshot_ingest(spark, args) -> None:
                 target = latest  # first ingest: full read of the latest
             else:
                 nxt = min(v for v in versions if v > processed)
-                op = _load_manifest(tbl, nxt).get("operation")
-                if op == "compact":
+                info = snapshot_info(tbl, nxt)
+                # decisions key off the commit MODE; the only rewrite a
+                # watermark may silently cross is the content-preserving
+                # one, identified by the reserved "compact" label
+                if info["mode"] == "replace_all" and info["operation"] == "compact":
                     processed = nxt
                     _write_state(state_path, {"processed_version": processed})
                     print(f"extract_job: skipped compaction commit v{nxt}")
                     continue
                 target = nxt
                 for v in sorted(v for v in versions if v > nxt):
-                    if _load_manifest(tbl, v).get("operation") in (
-                        "replace_all",
-                        "compact",
-                    ):
+                    if snapshot_info(tbl, v)["mode"] == "replace_all":
                         break
                     target = v
         try:
@@ -228,7 +228,13 @@ def main() -> None:
     if args.synth is not None:
         pages = synth_pages(spark, args.synth)
     else:
-        pages = spark.read.parquet(args.input)
+        # read_pages, not raw spark.read.parquet: a table written by
+        # write_pages carries a bucket column whose provenance lives in
+        # the _bucket_meta.json sidecar — without the brand, resume's
+        # with_bucket rejects it. Plain tables read through unchanged.
+        from ocr_application_spark.sources.webpages import read_pages
+
+        pages = read_pages(spark, args.input)
 
     lin = run_to_table(
         pages,

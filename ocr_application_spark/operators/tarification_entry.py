@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 QUERIES: dict = {}
 ORACLES: dict = {}
 
+# handle to the previous invocation's persisted match-set, released at
+# the start of the next call (bounds cache growth in long sessions)
+_last_tarified = None
+
 _DEC = "decimal(18,5)"
 
 # catalog price in cents: deterministic, strictly positive
@@ -196,12 +200,24 @@ def tarification_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         tarify,
     )
 
+    global _last_tarified
+    if _last_tarified is not None:
+        # release the PREVIOUS invocation's cache: the returned plan
+        # references its persist, so nothing else ever frees it, and a
+        # long-lived gate/bench session would otherwise accumulate one
+        # cached match-set per call
+        try:
+            _last_tarified.unpersist()
+        except Exception:
+            pass  # prior SparkSession already stopped
+        _last_tarified = None
     lines = _fixture_lines(spark, sf_dir)
     catalog = parse_catalog(_fixture_catalog_raw(spark, sf_dir))
     # three aggregate branches consume tarified; persist so the fuzzy
     # join + top-1 window run once, not per branch (the cached set is a
     # few thousand matched lines, not the pair fan-out)
     tarified = tarify(lines, catalog).persist()
+    _last_tarified = tarified
     ms = monthly_series(tarified).agg(
         F.count("*").alias("n_months"),
         F.min("mois").alias("first_mois"),

@@ -37,6 +37,40 @@ from pyspark.sql import DataFrame, SparkSession
 _SNAP_RE = re.compile(r"^v(\d+)\.json$")
 
 
+class SnapshotConflictError(RuntimeError):
+    """Two writers raced to publish the same snapshot version; the loser
+    fails (Iceberg's optimistic-concurrency commit conflict) instead of
+    silently clobbering the winner's manifest."""
+
+
+def _mode_of(manifest: dict) -> str:
+    """The commit's MODE (append / overwrite_partitions / replace_all),
+    independent of its display label. Pre-r03 manifests recorded only
+    ``operation`` (op_label or mode), so fall back: the two rewrite
+    labels in use then were 'replace_all' and 'compact'."""
+    mode = manifest.get("mode")
+    if mode is not None:
+        return mode
+    op = manifest.get("operation")
+    return "replace_all" if op in ("replace_all", "compact") else (op or "append")
+
+
+def snapshot_info(path: str, version: int) -> dict:
+    """Commit metadata for one snapshot (no file list): version, parent,
+    mode, operation label, partition_by, n_files. ``mode`` drives
+    machine decisions (is this a full rewrite?); ``operation`` is the
+    human label (e.g. 'compact', 'rebuild')."""
+    m = _load_manifest(path, version)
+    return {
+        "version": m["version"],
+        "parent": m.get("parent"),
+        "mode": _mode_of(m),
+        "operation": m.get("operation"),
+        "partition_by": m.get("partition_by"),
+        "n_files": len(m.get("files", [])),
+    }
+
+
 def _snap_dir(path: str) -> str:
     return os.path.join(path, "_snapshots")
 
@@ -159,9 +193,11 @@ def commit(
     manifest = {
         "version": version,
         "parent": parent,
-        # op_label distinguishes content-preserving rewrites ("compact")
-        # from arbitrary replace_all commits — incremental consumers may
-        # skip the former but must re-baseline on the latter
+        # mode is the machine-readable commit kind (diff guards and the
+        # ingest batcher key off it); operation is purely a display
+        # label — commit(mode="replace_all", op_label="rebuild") must
+        # still be seen as a rewrite by every incremental consumer
+        "mode": mode,
         "operation": op_label or mode,
         "partition_by": partition_by,
         # recorded so an all-files-dropped snapshot stays readable as an
@@ -172,7 +208,20 @@ def commit(
     tmp = os.path.join(_snap_dir(path), f".v{version}.json.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(_snap_dir(path), f"v{version}.json"))
+    final = os.path.join(_snap_dir(path), f"v{version}.json")
+    try:
+        # exclusive publish: os.link fails with EEXIST if another writer
+        # already claimed v{n} — the loser's data files become orphans
+        # (age-based GC territory) instead of the winner's manifest
+        # being clobbered by the old os.replace
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise SnapshotConflictError(
+            f"snapshot v{version} at {path} was concurrently committed by "
+            "another writer; re-read the table and retry the commit"
+        ) from None
+    os.unlink(tmp)
     return version
 
 
@@ -244,13 +293,18 @@ def read_snapshot_diff(
     # crossing a replace snapshot and make the caller re-baseline.
     for v in versions:
         if from_version < v <= to_v:
-            m_op = _load_manifest(path, v).get("operation")
-            if m_op in ("replace_all", "compact"):
+            m = _load_manifest(path, v)
+            if _mode_of(m) == "replace_all":
+                # guard on MODE, not the display label: a
+                # commit(mode="replace_all", op_label="rebuild") is just
+                # as much a full rewrite as one labeled "compact"
                 raise ValueError(
                     f"diff range ({from_version}, {to_v}] crosses the "
-                    f"{m_op} commit v{v}, which rewrites every file — "
-                    "file-level additions are meaningless; re-baseline "
-                    f"the consumer's watermark at or after v{v}"
+                    f"replace_all commit v{v} "
+                    f"(label {m.get('operation')!r}), which rewrites "
+                    "every file — file-level additions are meaningless; "
+                    "re-baseline the consumer's watermark at or after "
+                    f"v{v}"
                 )
     base = set(_load_manifest(path, from_version)["files"])
     target = _load_manifest(path, to_v)

@@ -199,6 +199,78 @@ def test_diff_guards(spark, tmpdir_scratch):
         read_snapshot_diff(spark, tbl, 2, 1)
 
 
+def test_diff_guard_keys_on_mode_not_label(spark, tmpdir_scratch):
+    """A relabeled full rewrite (mode=replace_all, op_label='rebuild')
+    must trip the incremental-diff guard exactly like an unlabeled one —
+    otherwise the diff re-surfaces the whole rewritten table as
+    additions and downstream ingest duplicates every row."""
+    from ocr_application_spark.sources.snapshots import (
+        read_snapshot_diff,
+        snapshot_info,
+    )
+
+    tbl = tmpdir_scratch + "/tbl"
+    v1 = commit(_pages(spark, range(3), "a"), tbl)
+    v2 = commit(
+        _pages(spark, range(3), "a2"), tbl, mode="replace_all", op_label="rebuild"
+    )
+    info = snapshot_info(tbl, v2)
+    assert info["mode"] == "replace_all" and info["operation"] == "rebuild"
+    with pytest.raises(ValueError, match="replace_all commit"):
+        read_snapshot_diff(spark, tbl, v1, v2)
+    # legacy manifests (no 'mode' field) fall back to the label; the two
+    # rewrite labels in use pre-mode were 'replace_all' and 'compact'
+    import json as _json
+
+    mpath = tbl + f"/_snapshots/v{v2}.json"
+    m = _json.load(open(mpath))
+    del m["mode"]
+    m["operation"] = "compact"
+    _json.dump(m, open(mpath, "w"))
+    assert snapshot_info(tbl, v2)["mode"] == "replace_all"
+    with pytest.raises(ValueError, match="replace_all commit"):
+        read_snapshot_diff(spark, tbl, v1, v2)
+
+
+def test_concurrent_commit_loses_loudly(spark, tmpdir_scratch):
+    """Two writers racing to the same version: the second publish must
+    raise SnapshotConflictError and leave the winner's manifest intact
+    (the old os.replace silently clobbered it)."""
+    import json as _json
+
+    from ocr_application_spark.sources.snapshots import SnapshotConflictError
+
+    tbl = tmpdir_scratch + "/tbl"
+    commit(_pages(spark, range(2), "w1"), tbl)
+    winner = _json.load(open(tbl + "/_snapshots/v1.json"))
+    # a racing writer that also computed version 1 publishes second:
+    # simulate by rolling the table dir back to "no snapshots" is not
+    # possible without deleting, so drive commit() directly against a
+    # pre-existing v2 manifest claimed by a faster writer
+    fake = dict(winner, version=2, parent=1, operation="fast-writer")
+    _json.dump(fake, open(tbl + "/_snapshots/v2.json", "w"))
+    with pytest.raises(SnapshotConflictError):
+        # sees [1, 2] is wrong — snapshot_versions now includes the fake
+        # v2, so force the race window: compute from parent=1
+        import ocr_application_spark.sources.snapshots as snap
+
+        real_versions = snap.snapshot_versions
+
+        def stale(path):
+            return [1]  # the loser read the log before v2 appeared
+
+        snap.snapshot_versions = stale
+        try:
+            commit(_pages(spark, [9], "loser"), tbl)
+        finally:
+            snap.snapshot_versions = real_versions
+    # winner's v2 manifest untouched
+    assert _json.load(open(tbl + "/_snapshots/v2.json"))["operation"] == "fast-writer"
+    # and no temp manifests linger
+    snapdir = tbl + "/_snapshots"
+    assert all(not f.endswith(".tmp") for f in os.listdir(snapdir))
+
+
 def test_compact_preserves_rows_and_shrinks_files(spark, tmpdir_scratch):
     from ocr_application_spark.sources.snapshots import compact
 
