@@ -103,3 +103,97 @@ def test_ar1_exact_fit_edge_branches():
     assert phi == -1.0 and mu == 2.0
     assert h1 == 2.0 + (3.0 - 2.0) * -1.0  # mean-reverting flip
     assert h3 == 2.0 + (3.0 - 2.0) * -1.0  # odd power
+
+
+def test_ma1_exact_edge_branches():
+    """Pin the MA(1) moment estimator's branches: no residuals, interior
+    closed form, the |r1| > 1/2 invertibility clamp (both signs), and
+    the zero-residual series."""
+    import math
+
+    from ocr_application_spark.operators.forecast import _ma1_exact, _ratio_q30
+
+    # the quantized ratio itself: exact round-half-away at 2^-30
+    assert _ratio_q30(-40000, 40000) == -1.0
+    assert _ratio_q30(1, 2) == 0.5
+    assert abs(_ratio_q30(2, 5) - 0.4) < 2**-30
+
+    # one diff -> no residual pairs at all
+    assert _ma1_exact([7], 0.0, 7.0) == (0.0, 0.0)
+
+    # phi=0, mu=0 makes residuals the raw diffs; q=[2000,1000,0]:
+    # sqq=2e6, sq2=5e6 -> r1=q30(0.4) interior
+    theta, ecur = _ma1_exact([0, 2, 1, 0], 0.0, 0.0)
+    r1 = _ratio_q30(2_000_000, 5_000_000)
+    assert theta == (1.0 - math.sqrt(1.0 - 4.0 * (r1 * r1))) / (2.0 * r1)
+    assert ecur == 0.0  # last residual is exactly 0
+
+    # alternating spikes: r1 = -2/3 -> clamp to -1.0
+    theta, ecur = _ma1_exact([0, 1000, -1000, 1000, -1000], 0.0, 0.0)
+    assert theta == -1.0 and ecur == -10.0
+    # mirrored sign clamps to +1.0
+    theta, _ = _ma1_exact([0, 1000, 1000, 1000], 0.0, 0.0)
+    assert theta == 1.0
+
+    # perfectly-fit AR residuals are all zero -> sq2 = 0 -> theta 0
+    assert _ma1_exact([100, 100, 100], 1.0, 100.0) == (0.0, 0.0)
+
+
+def test_arima_oracle_survives_adversarial_series(spark, tmpdir_scratch):
+    """The ARIMA(1,1,1)-analog oracle must mirror the kernel bit-for-bit
+    on series the driver fixtures never exercise: constant (zero
+    diffs), single/two-month, alternating spikes that clamp theta at
+    the invertibility boundary, linear ramps (zero residuals), and
+    values sitting on quantization rounding edges."""
+    import datetime
+
+    import duckdb
+
+    from ocr_application_spark.operators import forecast as fc
+    from tests.oracle_harness import compare
+
+    def series(event_type, values):
+        return [
+            (i, datetime.datetime(2020, 1 + i, 15), 0, event_type, v, "")
+            for i, v in enumerate(values)
+        ]
+
+    rows = (
+        series("const", [5.0] * 6)
+        + series("single", [123.45])
+        + series("two", [1.0, 3.0])
+        + series("alt", [0.0, 10.0, -10.0, 10.0, -10.0, 10.0])
+        + series("ramp", [1.0, 2.0, 3.0, 4.0, 5.0])
+        + series("edge", [0.005, 0.015, 0.115, 2.005, 0.005, 7.775])
+        + series("walk", [100.0, 103.7, 99.2, 104.9, 101.1, 108.3, 97.6])
+    )
+    # seeded random walks at magnitudes that push the residual
+    # autocorrelation sums (and the AR num/den) far beyond 2^53 — the
+    # regime where DuckDB's raw hugeint->double cast mis-rounds and only
+    # the quantized-ratio path stays bit-identical
+    import random
+
+    rng = random.Random(20260817)
+    for s in range(6):
+        vals, y = [], 5e7
+        for _ in range(rng.randint(4, 11)):
+            y += rng.uniform(-2e7, 2e7)
+            vals.append(round(y, 2))
+        rows += series(f"big{s}", vals)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    path = tmpdir_scratch + "/events.parquet"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.sql(f"create view events as select * from '{path}/*.parquet'")
+    errs, max_delta = compare(
+        fc.forecast_arima_like(spark, tmpdir_scratch),
+        con,
+        fc.ORACLES["forecast_arima_like"],
+        "forecast_arima_like_adversarial",
+        float_rtol=0.0,  # the fit is engineered bit-identical
+    )
+    con.close()
+    assert not errs, f"{errs} (max float delta {max_delta:.2e})"
