@@ -72,13 +72,16 @@ def train_codebook(spark: SparkSession, sf_dir: str, k: int = K_CELLS) -> np.nda
     return cent
 
 
-def _centroid_udfs(spark: SparkSession, cent: np.ndarray):
+def _centroid_udfs(spark: SparkSession, cent: np.ndarray, nprobe: int = N_PROBE):
     """The ONE implementation of centroid assignment/probing, shared by
     the in-memory and on-disk paths (a divergence here would break their
     equivalence test for reasons unrelated to storage). Broadcast once,
-    deserialized lazily per worker."""
+    deserialized lazily per worker. ``nprobe`` is the recall/cost dial:
+    candidates scanned scale with nprobe/k (recall curve in PERF.md);
+    nprobe == k degenerates to exact brute force (the oracle hook)."""
     bc = spark.sparkContext.broadcast(cent.tobytes())
     k_cells, dim = cent.shape
+    nprobe = max(1, min(int(nprobe), k_cells))
 
     def _normed(emb: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         c = np.frombuffer(bc.value, dtype=np.float64).reshape(k_cells, dim)
@@ -94,7 +97,7 @@ def _centroid_udfs(spark: SparkSession, cent: np.ndarray):
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(emb: pd.Series) -> pd.Series:
         x, c = _normed(emb)
-        order = np.argsort(-(x @ c.T), axis=1)[:, :N_PROBE].astype("int32")
+        order = np.argsort(-(x @ c.T), axis=1)[:, :nprobe].astype("int32")
         return pd.Series(list(order))
 
     return cell_of, probe_cells
@@ -134,10 +137,14 @@ def _topk(cand: DataFrame) -> DataFrame:
     )
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k: assign all vectors to cells, probe the query's N_PROBE
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = N_PROBE
+) -> DataFrame:
+    """IVF top-k: assign all vectors to cells, probe the query's nprobe
     nearest cells, exact cosine within candidates, top-k per query."""
-    cell_of, probe_cells = _centroid_udfs(spark, train_codebook(spark, sf_dir))
+    cell_of, probe_cells = _centroid_udfs(
+        spark, train_codebook(spark, sf_dir), nprobe=nprobe
+    )
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     indexed = e.select("vec_id", "embedding", cell_of("embedding").alias("cell"))
     queries = _probe_queries(spark, sf_dir, probe_cells)
@@ -148,6 +155,59 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_ivf_topk"] = ann_ivf_topk  # rows-only: approximate by design
+
+
+def ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF machinery under an EXACT oracle: probe ALL k cells, so
+    codebook training, cell assignment, the probe explode, the cell
+    equi-join and the per-query ranking must together recover exactly
+    the brute-force top-k — value-checked against the same DuckDB SQL
+    as ann_cosine_topk. Scoring uses the quantized-exact cosine
+    (integer dot products, one final div+sqrt on identical inputs) so
+    ranks can't flip on a cross-engine ulp; the nprobe<k production
+    path shares every stage but the scorer, whose float/quantized twin
+    equivalence is bounded by the recall pytest."""
+    from ocr_application_spark.operators.similarity import _dot, _quant
+
+    cell_of, probe_cells = _centroid_udfs(
+        spark, train_codebook(spark, sf_dir), nprobe=K_CELLS
+    )
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    indexed = e.select(
+        "vec_id", _quant(F.col("embedding")).alias("cv"), cell_of("embedding").alias("cell")
+    ).withColumn("cn", _dot(F.col("cv"), F.col("cv")))
+    queries = (
+        _probe_queries(spark, sf_dir, probe_cells)
+        .withColumn("qv", _quant(F.col("q_emb")))
+        .withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+        .drop("q_emb")
+    )
+    cand = queries.join(indexed, "cell").filter(F.col("q_id") != F.col("vec_id"))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("qn").cast("double") * F.col("cn").cast("double")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        cand.withColumn("dot", _dot(F.col("qv"), F.col("cv")))
+        .select("q_id", F.col("vec_id").alias("cand_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K_TOP)
+        .select("q_id", "cand_id", "rank", F.col("cos").alias("cos_sim"))
+    )
+
+
+QUERIES["ann_ivf_exhaustive"] = ann_ivf_exhaustive
+
+
+def _exhaustive_oracle() -> str:
+    # full probing must equal brute force, so the oracle IS the
+    # brute-force SQL (shared spec with ann_cosine_topk — same _K, _QMOD)
+    from ocr_application_spark.operators.similarity import ORACLES as SIM_ORACLES
+
+    return SIM_ORACLES["ann_cosine_topk"]
+
+
+ORACLES["ann_ivf_exhaustive"] = _exhaustive_oracle()
 
 
 # --- the on-disk inverted file (what "IVF" means at 100 TB) -----------------
@@ -170,7 +230,11 @@ def build_inverted_file(spark: SparkSession, sf_dir: str, path: str) -> np.ndarr
 
 
 def probe_inverted_file(
-    spark: SparkSession, sf_dir: str, path: str, cent: np.ndarray
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    cent: np.ndarray,
+    nprobe: int = N_PROBE,
 ) -> DataFrame:
     """Query against the on-disk inverted file. The probe set (query ->
     nprobe cells) is broadcast into the join against the cell-partitioned
@@ -179,7 +243,7 @@ def probe_inverted_file(
     ``dynamicpruning`` partition filter (asserted in tests). Semantics
     are identical to ``ann_ivf_topk``; only the candidate source moves
     from an in-memory assignment to the pruned storage layout."""
-    _, probe_cells = _centroid_udfs(spark, cent)
+    _, probe_cells = _centroid_udfs(spark, cent, nprobe=nprobe)
     queries = _probe_queries(spark, sf_dir, probe_cells)
     indexed = spark.read.parquet(path)
     cand = indexed.join(F.broadcast(queries), "cell").filter(F.col("q_id") != F.col("vec_id"))

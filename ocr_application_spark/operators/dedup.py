@@ -375,14 +375,22 @@ _COMPONENTS_ORACLE = f"""
 """
 
 
-def propagate_components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+def propagate_components(
+    pairs: DataFrame, nodes: DataFrame, fallback_to_star: bool = True
+) -> DataFrame:
     """Min-label propagation over an undirected pair graph.
 
     ``pairs(doc_a, doc_b)`` -> ``(doc_id, rep)`` with rep = smallest
     doc_id in the node's connected component; ``nodes(doc_id)`` supplies
     the universe (nodes absent from any pair become singletons,
-    rep = doc_id). Raises if the component diameter exceeds
-    ``_CC_MAX_ITERS`` (silent partial labels would be wrong answers).
+    rep = doc_id). If the component diameter exceeds ``_CC_MAX_ITERS``
+    (a poisoned crawl chaining near-dups into a long path WILL happen
+    at 10^12 docs), the default is to fall back automatically to the
+    O(log n)-round star contraction — same (doc_id, rep) contract, same
+    oracle — rather than make the operator a landmine a user must know
+    the escape hatch for; pass ``fallback_to_star=False`` to get the
+    loud RuntimeError instead (silent partial labels are never an
+    option).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -447,8 +455,19 @@ def propagate_components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
             break
     else:
         # never converged: silently returning partial labels would hand
-        # the caller (and the driver gate) wrong components — fail loud
+        # the caller (and the driver gate) wrong components
         edges.unpersist()
+        if fallback_to_star:
+            import warnings
+
+            warnings.warn(
+                f"propagate_components hit the {_CC_MAX_ITERS}-superstep "
+                "cap (component diameter too large — adversarial near-dup "
+                "chain?); falling back to O(log n) star contraction",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return propagate_components_star(pairs, nodes)
         raise RuntimeError(
             f"dedup_components did not converge: component diameter exceeds "
             f"the {_CC_MAX_ITERS}-superstep cap; raise _CC_MAX_ITERS or use "

@@ -231,3 +231,33 @@ def test_propagate_components_matches_union_find(spark):
         for engine in (propagate_components, propagate_components_star):
             got = {r.doc_id: r.rep for r in engine(pairs, nodes).collect()}
             assert got == expected, f"{engine.__name__}: {name}"
+
+
+def test_adversarial_chain_falls_back_to_star(spark, monkeypatch):
+    """The poisoned-crawl case: a pair graph chained into a path far
+    longer than the propagation superstep cap. Propagation alone must
+    refuse (RuntimeError, never partial labels); the DEFAULT must
+    auto-fall-back to star contraction and return the exact components.
+    (Cap monkeypatched down so the test doesn't burn 50 real supersteps;
+    the fallback logic is identical at any cap.)"""
+    import warnings
+
+    import ocr_application_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "_CC_MAX_ITERS", 5)
+    n = 30  # path diameter 29 >> cap 5
+    es = [(i, i + 1) for i in range(n - 1)]
+    expected = _uf_components(n, es)  # everything -> rep 0
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(es, "doc_a long, doc_b long")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dd.propagate_components(pairs, nodes, fallback_to_star=False)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {r.doc_id: r.rep for r in dd.propagate_components(pairs, nodes).collect()}
+    assert got == expected
+    assert any("star contraction" in str(w.message) for w in caught)

@@ -5,23 +5,52 @@ import __spark_entry__ as entrymod
 SF = "/root/testdata/sf0.001"
 
 
+def _recall_vs(exact_sets, rows):
+    sets = {}
+    for r in rows:
+        sets.setdefault(r.q_id, set()).add(r.cand_id)
+    hits = sum(len(exact_sets[q] & sets.get(q, set())) for q in exact_sets)
+    return hits / sum(len(v) for v in exact_sets.values())
+
+
 def test_ivf_recall_against_brute_force(spark):
     Q = entrymod.queries()
     exact = Q["ann_cosine_topk"](spark, SF).collect()
-    ivf = Q["ann_ivf_topk"](spark, SF).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r.q_id, set()).add(r.cand_id)
-    ivf_sets = {}
-    for r in ivf:
-        ivf_sets.setdefault(r.q_id, set()).add(r.cand_id)
-    assert set(ivf_sets) == set(exact_sets)  # every query answered
-    hits = sum(len(exact_sets[q] & ivf_sets.get(q, set())) for q in exact_sets)
-    total = sum(len(v) for v in exact_sets.values())
-    recall = hits / total
+
+    ivf = Q["ann_ivf_topk"](spark, SF).collect()
+    assert {r.q_id for r in ivf} == set(exact_sets)  # every query answered
+    recall = _recall_vs(exact_sets, ivf)
     # random 64-d corpus is the worst case for IVF; probing 4/16 cells
     # must still find a substantial share of true top-5
     assert recall >= 0.35, f"IVF recall {recall:.2f}"
+
+
+def test_ivf_recall_curve_over_nprobe(spark):
+    """nprobe is the recall/cost dial: recall must be (weakly) monotone
+    in nprobe, and probing all 16 cells must recover (almost) everything
+    — 'almost' only because ann_ivf_topk ranks by float cosine while the
+    brute-force reference ranks by quantized cosine, so rank-5/6 ties
+    may land differently. The per-nprobe numbers feed PERF.md's curve."""
+    from ocr_application_spark.operators.ann_ivf import K_CELLS, ann_ivf_topk
+
+    Q = entrymod.queries()
+    exact = Q["ann_cosine_topk"](spark, SF).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.q_id, set()).add(r.cand_id)
+
+    recalls = {}
+    for nprobe in (1, 2, 4, 8, K_CELLS):
+        recalls[nprobe] = _recall_vs(
+            exact_sets, ann_ivf_topk(spark, SF, nprobe=nprobe).collect()
+        )
+    vals = [recalls[n] for n in sorted(recalls)]
+    assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:])), recalls
+    assert recalls[K_CELLS] >= 0.98, recalls
+    assert recalls[1] > 0.0, recalls
 
 
 def test_ivf_inverted_file_prunes_and_matches(spark, tmpdir_scratch):
