@@ -36,6 +36,7 @@ def _modules():
         reference_ops,
         similarity,
         skew,
+        snapshots_entry,
         sweep_merge,
         tarification_entry,
         textfns,
@@ -52,6 +53,7 @@ def _modules():
         kernels_entry,
         urlops,
         tarification_entry,
+        snapshots_entry,
         sweep_merge,
         ann_ivf,
         reference_ops,

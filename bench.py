@@ -113,6 +113,9 @@ def main() -> None:
             "streaming_extract_digest",
             "dedup_components",
             "text_vocabulary",
+            "snapshot_merge_upsert",
+            "forecast_ar1",
+            "ann_ivf_exhaustive",
         ]
 
         def run(name: str) -> None:

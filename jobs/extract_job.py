@@ -130,7 +130,10 @@ def _run_snapshot_ingest(spark, args) -> None:
                     continue
                 target = nxt
                 for v in sorted(v for v in versions if v > nxt):
-                    if snapshot_info(tbl, v)["mode"] == "replace_all":
+                    # stop before any content-rewriting commit (full
+                    # rewrite or copy-on-write merge) — diffs across
+                    # them are refused by read_snapshot_diff
+                    if snapshot_info(tbl, v)["mode"] in ("replace_all", "merge"):
                         break
                     target = v
         try:

@@ -1,0 +1,78 @@
+"""Driver-gate query for the snapshot MERGE/upsert lifecycle.
+
+``snapshot_merge_upsert`` drives the REAL snapshot machinery end-to-end
+inside one gate query — commit a base table, ``merge_pages`` an update
+set (matched keys replaced copy-on-write, new keys appended), read the
+latest snapshot back — and the DuckDB oracle reconstructs the expected
+table algebraically (anti-join + union), so the manifest planning, the
+affected-file detection and the survivor rewrite are all value-checked,
+not just pytest-pinned (reference analog: recrawl upsert into the
+pages store; see SURVEY.md §2 S7 topic/DDL management).
+
+Deterministic + hermetic: the scratch table is rebuilt from the
+documents fixture on every call (same inputs -> same bytes), and lives
+under the gitignored scratch root.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+_ORACLE = """
+with base as (
+  select doc_id, substr(text, 1, 40) as payload, 'base' as src
+  from documents where doc_id % 4 != 3
+),
+upd as (
+  select doc_id, 'U:' || substr(text, 1, 20) as payload, 'upd' as src
+  from documents where doc_id % 8 in (0, 3)
+)
+select doc_id, payload, src from base
+where doc_id not in (select doc_id from upd)
+union all
+select doc_id, payload, src from upd
+"""
+
+
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit base rows (doc_id % 4 != 3), merge updates whose keys are
+    doc_id % 8 in {0, 3} — %8==0 rows exist in base (matched -> replaced
+    copy-on-write), %8==3 rows do not (appended) — then read the merged
+    snapshot. The oracle computes the same table with pure SQL."""
+    from ocr_application_spark.sources.snapshots import (
+        commit,
+        merge_pages,
+        read_snapshot,
+    )
+    from ocr_application_spark.sources.webpages import default_scratch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 4 != 3).select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("payload"),
+        F.lit("base").alias("src"),
+    )
+    upd = docs.filter((F.col("doc_id") % 8).isin(0, 3)).select(
+        "doc_id",
+        F.concat(F.lit("U:"), F.substring("text", 1, 20)).alias("payload"),
+        F.lit("upd").alias("src"),
+    )
+    tbl = os.path.join(default_scratch(), "gate_merge_upsert")
+    shutil.rmtree(tbl, ignore_errors=True)
+    # two base commits -> several files, so the merge exercises the
+    # copy-on-write split (some files rewritten, some carried verbatim)
+    commit(base.filter(F.col("doc_id") % 2 == 0), tbl)
+    commit(base.filter(F.col("doc_id") % 2 == 1), tbl)
+    merge_pages(spark, tbl, upd, key=("doc_id",))
+    return read_snapshot(spark, tbl)
+
+
+QUERIES["snapshot_merge_upsert"] = snapshot_merge_upsert
+ORACLES["snapshot_merge_upsert"] = _ORACLE

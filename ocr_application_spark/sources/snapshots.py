@@ -33,6 +33,7 @@ import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SNAP_RE = re.compile(r"^v(\d+)\.json$")
 
@@ -109,6 +110,7 @@ def commit(
     partition_by: str | None = None,
     replace_partitions: list | None = None,
     op_label: str | None = None,
+    replace_files: list | None = None,
 ) -> int:
     """Write ``df`` as a new immutable commit and publish the next
     snapshot. ``mode``:
@@ -119,12 +121,20 @@ def commit(
       values) are dropped from the new manifest (bytes untouched);
     * ``replace_all`` — the new files ARE the table (full logical
       rewrite; prior snapshots stay readable until expired) — what
-      compaction commits.
+      compaction commits;
+    * ``merge`` — copy-on-write partial rewrite (what ``merge_pages``
+      commits): the explicit ``replace_files`` drop from the visible
+      set and the new files take their place. Every replace_files entry
+      must be visible in the parent snapshot — a stale merge (another
+      writer already rewrote the file) must fail, not silently drop a
+      file that is no longer there.
     """
-    if mode not in ("append", "overwrite_partitions", "replace_all"):
+    if mode not in ("append", "overwrite_partitions", "replace_all", "merge"):
         raise ValueError(f"unknown commit mode {mode!r}")
     if mode == "overwrite_partitions" and (not partition_by or replace_partitions is None):
         raise ValueError("overwrite_partitions needs partition_by + replace_partitions")
+    if mode == "merge" and replace_files is None:
+        raise ValueError("merge needs replace_files (may be empty)")
     if mode == "overwrite_partitions":
         for v in replace_partitions:
             seg = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
@@ -153,6 +163,16 @@ def commit(
         if parent and mode != "replace_all"
         else []
     )
+    if mode == "merge":
+        missing = sorted(set(replace_files) - set(visible))
+        if missing:
+            raise ValueError(
+                f"merge conflict: {len(missing)} replace_files not visible "
+                f"in parent snapshot (e.g. {missing[0]!r}) — the table "
+                "changed under the merge; re-read and retry"
+            )
+        dropped_set = set(replace_files)
+        visible = [f for f in visible if f not in dropped_set]
     if mode == "overwrite_partitions":
         data_root = _data_dir(path)
         # match on paths RELATIVE to the data root (a table rooted at a
@@ -294,17 +314,20 @@ def read_snapshot_diff(
     for v in versions:
         if from_version < v <= to_v:
             m = _load_manifest(path, v)
-            if _mode_of(m) == "replace_all":
+            mode = _mode_of(m)
+            if mode in ("replace_all", "merge"):
                 # guard on MODE, not the display label: a
                 # commit(mode="replace_all", op_label="rebuild") is just
-                # as much a full rewrite as one labeled "compact"
+                # as much a full rewrite as one labeled "compact"; a
+                # merge rewrites SOME files, whose surviving rows would
+                # re-surface as phantom "additions"
                 raise ValueError(
                     f"diff range ({from_version}, {to_v}] crosses the "
-                    f"replace_all commit v{v} "
+                    f"{mode} commit v{v} "
                     f"(label {m.get('operation')!r}), which rewrites "
-                    "every file — file-level additions are meaningless; "
-                    "re-baseline the consumer's watermark at or after "
-                    f"v{v}"
+                    "file contents — file-level additions are "
+                    "meaningless; re-baseline the consumer's watermark "
+                    f"at or after v{v}"
                 )
     base = set(_load_manifest(path, from_version)["files"])
     target = _load_manifest(path, to_v)
@@ -315,6 +338,71 @@ def read_snapshot_diff(
         schema = T.StructType.fromJson(json.loads(target["schema"]))
         return spark.createDataFrame([], schema)
     return _read_files(spark, path, new_files)
+
+
+def merge_pages(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: tuple = ("url",),
+    partition_by: str | None = None,
+) -> int:
+    """Row-level upsert (Iceberg ``MERGE INTO`` analog, copy-on-write):
+    rows in ``updates`` replace current rows with the same ``key``;
+    unmatched keys append. The incremental-crawl case: a recrawl of the
+    same canonical url arrives with a newer warc_ts and must supersede
+    the old page without rewriting the whole table.
+
+    Copy-on-write at file granularity, like Iceberg's CoW MERGE: only
+    data files that actually contain a matched key are rewritten
+    (matched rows replaced, surviving neighbors carried over); all
+    other files are referenced unchanged by the new manifest, and prior
+    snapshots still time-travel. The affected-file list is a driver
+    collect bounded by the table's FILE count (never rows) — the same
+    write-amplification unit Iceberg pays. Incremental consumers see a
+    content rewrite: ``read_snapshot_diff`` refuses ranges crossing a
+    merge commit (surviving rows would re-surface as phantom
+    additions), so ingest watermarks must re-baseline across it.
+
+    ``updates`` must be unique per key (multi-row matches are an error,
+    as in Iceberg's MERGE cardinality check).
+    """
+    key = list(key)
+    n_dups = (
+        updates.groupBy(*key).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if n_dups:
+        raise ValueError(
+            f"updates contain duplicate {key} keys — MERGE requires one "
+            "update row per key (Iceberg cardinality violation)"
+        )
+    cur = read_snapshot(spark, path)
+    # which files contain a matched key: semi-join against the update
+    # keys, then the distinct source-file set (file-count bounded)
+    affected = sorted(
+        r.f
+        for r in cur.withColumn("f", F.input_file_name())
+        .join(F.broadcast(updates.select(*key).distinct()), key, "left_semi")
+        .select("f")
+        .distinct()
+        .collect()
+    )
+    affected = [f.removeprefix("file://") for f in affected]
+    if affected:
+        survivors = _read_files(spark, path, affected).join(
+            F.broadcast(updates.select(*key).distinct()), key, "left_anti"
+        )
+        new_rows = survivors.unionByName(updates)
+    else:
+        new_rows = updates
+    return commit(
+        new_rows,
+        path,
+        mode="merge",
+        partition_by=partition_by,
+        op_label="merge",
+        replace_files=affected,
+    )
 
 
 def compact(

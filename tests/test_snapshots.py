@@ -271,6 +271,65 @@ def test_concurrent_commit_loses_loudly(spark, tmpdir_scratch):
     assert all(not f.endswith(".tmp") for f in os.listdir(snapdir))
 
 
+def test_merge_upserts_and_time_travels(spark, tmpdir_scratch):
+    """MERGE INTO analog: matched keys replaced, new keys appended,
+    untouched files referenced unchanged (copy-on-write at file
+    granularity), old snapshots still read pre-merge rows."""
+    import json as _json
+
+    from ocr_application_spark.sources.snapshots import merge_pages, snapshot_info
+
+    tbl = tmpdir_scratch + "/tbl"
+    # two separate commits -> multiple files; bucket partitioning
+    commit(_pages(spark, range(4), "a"), tbl, partition_by="bucket")
+    v2 = commit(_pages(spark, range(4, 8), "b"), tbl, partition_by="bucket")
+
+    updates = spark.createDataFrame(
+        [(1, "UPDATED-1", 1), (6, "UPDATED-6", 0), (100, "NEW-100", 0)],
+        "doc_id long, payload string, bucket int",
+    )
+    vm = merge_pages(spark, tbl, updates, key=("doc_id",), partition_by="bucket")
+    assert snapshot_info(tbl, vm)["mode"] == "merge"
+
+    got = {r.doc_id: r.payload for r in read_snapshot(spark, tbl).collect()}
+    assert got[1] == "UPDATED-1" and got[6] == "UPDATED-6"
+    assert got[100] == "NEW-100"
+    assert got[0] == "a-0" and got[7] == "b-7"
+    assert len(got) == 9
+
+    # pre-merge snapshot unchanged (time travel)
+    old = {r.doc_id: r.payload for r in read_snapshot(spark, tbl, v2).collect()}
+    assert old[1] == "a-1" and old[6] == "b-6" and 100 not in old
+
+    # copy-on-write: files NOT containing a matched key survive in the
+    # new manifest verbatim
+    m_old = _json.load(open(tbl + f"/_snapshots/v{v2}.json"))
+    m_new = _json.load(open(tbl + f"/_snapshots/v{vm}.json"))
+    carried = set(m_old["files"]) & set(m_new["files"])
+    assert carried, "merge must not rewrite untouched files"
+    assert set(m_new["files"]) - set(m_old["files"]), "merge wrote new files"
+
+
+def test_merge_guards(spark, tmpdir_scratch):
+    from ocr_application_spark.sources.snapshots import merge_pages, read_snapshot_diff
+
+    tbl = tmpdir_scratch + "/tbl"
+    v1 = commit(_pages(spark, range(3), "a"), tbl)
+    # duplicate update keys refuse (Iceberg cardinality check)
+    dup = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 1)], "doc_id long, payload string, bucket int"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_pages(spark, tbl, dup, key=("doc_id",))
+    # diff ranges crossing a merge refuse (phantom-addition hazard)
+    ok = spark.createDataFrame(
+        [(1, "x", 1)], "doc_id long, payload string, bucket int"
+    )
+    vm = merge_pages(spark, tbl, ok, key=("doc_id",))
+    with pytest.raises(ValueError, match="merge commit"):
+        read_snapshot_diff(spark, tbl, v1, vm)
+
+
 def test_compact_preserves_rows_and_shrinks_files(spark, tmpdir_scratch):
     from ocr_application_spark.sources.snapshots import compact
 
