@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _modules():
     from ocr_application_spark.operators import (
         ann_ivf,
+        curation,
         dedup,
         forecast,
         kernels_entry,
@@ -62,6 +63,7 @@ def _modules():
         similarity,
         forecast,
         skew,
+        curation,
         tpch,
     ]
 

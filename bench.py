@@ -116,6 +116,8 @@ def main() -> None:
             "snapshot_merge_upsert",
             "forecast_ar1",
             "ann_ivf_exhaustive",
+            "text_pii_scrub",
+            "decontaminate_13gram",
         ]
 
         def run(name: str) -> None:

@@ -241,3 +241,23 @@ def test_vocabulary_top_k_is_take_ordered(spark):
     # the whole vocabulary through one partition
     plan = plan_of(spark, "text_vocabulary")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pii_scrub_is_pure_jvm_narrow_scan(spark):
+    # the redaction pass must be a single narrow projection: no Python
+    # eval, no exchange, and the scan pruned to exactly (doc_id, text)
+    plan = plan_of(spark, "text_pii_scrub")
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {
+        "struct", "doc_id", "text"
+    }, m and m.group(1)
+
+
+def test_decontaminate_broadcasts_benchmark_no_python(spark):
+    # gram join: benchmark side broadcasts; everything stays JVM-side
+    plan = plan_of(spark, "decontaminate_13gram")
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
