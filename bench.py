@@ -118,6 +118,8 @@ def main() -> None:
             "ann_ivf_exhaustive",
             "text_pii_scrub",
             "decontaminate_13gram",
+            "dedup_paragraphs",
+            "sample_stratified",
         ]
 
         def run(name: str) -> None:

@@ -186,3 +186,134 @@ def decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["decontaminate_13gram"] = decontaminate_13gram
 ORACLES["decontaminate_13gram"] = _DECON_ORACLE
+
+
+# --- paragraph-level exact dedup (Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better", the ExactSubstr-lite
+# variant): drop every repeated 25-word chunk corpus-wide except its
+# first occurrence (smallest (doc_id, idx)), and rebuild each document
+# from its surviving chunks. Chunking is the SAME 25-word convention as
+# the extraction chunker, so the SQL mirror is already battle-tested.
+#
+# Scale shape: the keeper per chunk-hash is computed with groupBy(h) +
+# min(struct(doc_id, idx)) — a partial-aggregating (map-side combined)
+# reduction — NOT a row_number window over h: a boilerplate chunk with
+# 10^9 occurrences would funnel one window partition through one task,
+# while min() combines locally. The oracle keeps the naive window form,
+# proving the skew-safe rewrite is semantics-preserving (same pattern
+# as operators/skew.py).
+_PARA_ORACLE = """
+with toks as (
+  select doc_id, string_split(text, ' ') as t from documents
+),
+chunks as (
+  select doc_id, u.j as idx,
+         array_to_string(t[u.j*25+1 : least((u.j+1)*25, len(t))], ' ') as c
+  from toks, unnest(range(0, cast(ceil(len(t) / 25.0) as int))) u(j)
+),
+ranked as (
+  select doc_id, idx, c,
+         row_number() over (partition by md5(c) order by doc_id, idx) as rn
+  from chunks
+)
+select doc_id,
+       count(*) as n_chunks,
+       cast(sum(case when rn > 1 then 1 else 0 end) as bigint) as n_dropped,
+       sha256(coalesce(
+         string_agg(c, chr(10) order by idx) filter (where rn = 1), ''
+       )) as digest
+from ranked group by 1
+"""
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide chunk dedup: (doc_id, n_chunks, n_dropped, digest of
+    the surviving text). Keeper = min(struct(doc_id, idx)) per chunk
+    hash via map-side-combined aggregation (see module header for why
+    not a window)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size("w") / F.lit(25.0)).cast("int")
+    chunks = (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nchunks - 1),
+                    lambda j: F.array_join(F.slice(F.col("w"), j * 25 + 1, 25), " "),
+                )
+            ).alias("idx", "c"),
+        )
+        .withColumn("h", F.md5("c"))
+    )
+    keeper = chunks.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first")
+    )
+    kept = (
+        chunks.join(keeper, "h")
+        .withColumn(
+            "is_first",
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("idx") == F.col("first.idx")),
+        )
+    )
+    surviving = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("is_first"), F.struct("idx", "c"))
+                )
+            ),
+            lambda s: s["c"],
+        ),
+        "\n",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(~F.col("is_first"), 1).otherwise(0)).alias("n_dropped"),
+        F.sha2(surviving, 256).alias("digest"),
+    )
+
+
+QUERIES["dedup_paragraphs"] = dedup_paragraphs
+ORACLES["dedup_paragraphs"] = _PARA_ORACLE
+
+
+# --- deterministic stratified sampling: reproducible training-mixture
+# draws. Per language stratum, the sample is the _SAMPLE_N docs with the
+# smallest md5(doc_id) — uniform-in-expectation, seedless, and EXACTLY
+# reproducible on any engine / any partitioning (the property a 100 TB
+# mixture rebuild needs: re-running the pipeline must pick the same
+# docs, or every downstream cache invalidates).
+_SAMPLE_N = 40
+
+_SAMPLE_ORACLE = f"""
+select lang, doc_id, rk from (
+  select lang, doc_id,
+         row_number() over (
+           partition by lang order by md5(cast(doc_id as varchar)), doc_id
+         ) as rk
+  from documents
+) t where rk <= {_SAMPLE_N}
+"""
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sample of {_SAMPLE_N}: rank by
+    md5(doc_id) within each stratum (WindowGroupLimit pushes the rank
+    cut before the full sort, so each stratum tops out distributed)."""
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _SAMPLE_N)
+    )
+
+
+QUERIES["sample_stratified"] = sample_stratified
+ORACLES["sample_stratified"] = _SAMPLE_ORACLE

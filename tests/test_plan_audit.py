@@ -261,3 +261,21 @@ def test_decontaminate_broadcasts_benchmark_no_python(spark):
     assert "EvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_paragraph_dedup_keeper_is_aggregation_not_window(spark):
+    # the keeper per chunk-hash must be a partial-aggregating groupBy
+    # (map-side combine; skew-safe on mega-duplicated boilerplate), not
+    # a row_number window over the hash
+    plan = plan_of(spark, "dedup_paragraphs")
+    assert "EvalPython" not in plan, plan
+    # exactly one Window allowed: none (the doc rebuild is an agg too)
+    assert "(1) Window" not in plan and "WindowExec" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    # the per-stratum top-N must push the rank cut (WindowGroupLimit)
+    # below the sort so each stratum tops out distributed
+    plan = plan_of(spark, "sample_stratified")
+    assert "WindowGroupLimit" in plan, plan
