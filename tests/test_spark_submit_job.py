@@ -99,3 +99,39 @@ def test_spark_submit_synth_and_incremental(spark, tmpdir_scratch):
     ] == 4
     assert df.select("url").distinct().count() == 280
     assert {r.ingest_v for r in df.select("ingest_v").distinct().collect()} == {1, 2, 4}
+
+    # a MERGE (copy-on-write rewrite) in the source: incremental ingest
+    # must refuse loudly with the rebaseline recipe — surviving rows
+    # re-surfacing as diff "additions" would duplicate them downstream
+    from ocr_application_spark.sources.snapshots import merge_pages
+
+    merge_pages(spark, tbl, synth_pages(spark, 5), key=("url",))  # v5
+    r = subprocess.run(
+        [
+            _SPARK_SUBMIT, "--master", "local[4]",
+            "--py-files", "dist/ocr_application_spark.zip",
+            "jobs/extract_job.py", *inc_args,
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert r.returncode != 0
+    assert "--rebaseline 5" in (r.stdout + r.stderr)
+    # watermark unchanged by the refused run
+    assert json.load(open(tmpdir_scratch + "/ilin/_ingest_state.json"))[
+        "processed_version"
+    ] == 4
+
+    # operator recovery: rebaseline AT the merge commit, then a later
+    # append still ingests incrementally
+    out = _submit(inc_args + ["--rebaseline", "5"])
+    assert "rebaselined watermark at v5" in out
+    commit(synth_pages(spark, 290), tbl)  # v6: 280 recrawls + 10 new
+    _submit(inc_args)
+    df = spark.read.parquet(tmpdir_scratch + "/iout")
+    assert json.load(open(tmpdir_scratch + "/ilin/_ingest_state.json"))[
+        "processed_version"
+    ] == 6
+    assert {r.ingest_v for r in df.select("ingest_v").distinct().collect()} == {
+        1, 2, 4, 6,
+    }
+    assert df.select("url").distinct().count() == 290
