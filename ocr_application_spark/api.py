@@ -39,12 +39,20 @@ from ocr_application_spark.pipeline import (  # noqa: F401
     run_to_table,
     verify_digests as verify,
 )
+from ocr_application_spark.operators.curation import (  # noqa: F401
+    decontaminate_13gram,
+    dedup_paragraphs,
+    sample_stratified,
+    text_pii_scrub,
+)
 from ocr_application_spark.sources.snapshots import (  # noqa: F401
     commit as commit_snapshot,
     compact as compact_table,
     expire_snapshots,
+    merge_pages,
     read_snapshot,
     read_snapshot_diff,
+    snapshot_info,
     snapshot_versions,
 )
 from ocr_application_spark.sources.webpages import (  # noqa: F401

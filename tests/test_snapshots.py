@@ -330,6 +330,41 @@ def test_merge_guards(spark, tmpdir_scratch):
         read_snapshot_diff(spark, tbl, v1, vm)
 
 
+def test_merge_matches_dict_upsert_reference(spark, tmpdir_scratch):
+    """Seeded randomized merges == a plain python dict upsert: multiple
+    base commits (multiple files), then successive merges with mixed
+    matched/new keys; after each merge the table must equal the dict.
+    (Seeded loop, not hypothesis: every case is real Spark jobs.)"""
+    import random
+
+    from ocr_application_spark.sources.snapshots import merge_pages
+
+    rng = random.Random(20260817)
+    for case in range(3):
+        tbl = tmpdir_scratch + f"/tbl{case}"
+        ref = {}
+        for c in range(rng.randint(1, 3)):
+            ids = rng.sample(range(40), rng.randint(3, 12))
+            rows = [(i, f"c{c}-{i}", i % 2) for i in ids if i not in ref]
+            if not rows:
+                continue
+            for i, p, b in rows:
+                ref[i] = p
+            commit(_pages_rows(spark, rows), tbl)
+        for m in range(2):
+            ids = rng.sample(range(50), rng.randint(1, 8))
+            rows = [(i, f"m{m}-{i}", i % 2) for i in ids]
+            for i, p, b in rows:
+                ref[i] = p
+            merge_pages(spark, tbl, _pages_rows(spark, rows), key=("doc_id",))
+            got = {r.doc_id: r.payload for r in read_snapshot(spark, tbl).collect()}
+            assert got == ref, f"case {case} merge {m}"
+
+
+def _pages_rows(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, payload string, bucket int")
+
+
 def test_compact_preserves_rows_and_shrinks_files(spark, tmpdir_scratch):
     from ocr_application_spark.sources.snapshots import compact
 
