@@ -68,11 +68,33 @@ def _modules():
     ]
 
 
+# Rotated to the back of the queries() ordering this round so the four
+# new curation operators (never driver-checked) land inside the driver's
+# 50-entry window. Every name here was driver-green in CORRECTNESS_r02
+# and its implementation is unchanged since (local oracle parity still
+# covers them in tests/test_oracle_parity.py); ann_ivf_topk is rows-only
+# and its value-checked twin ann_ivf_exhaustive stays in-window.
+_ROTATED_BACK = (
+    "ann_ivf_topk",
+    "dedup_simhash",
+    "text_fingerprint",
+    "ann_lsh_buckets",
+    "emb_neardup_components",
+)
+
+
+def _rotate(entries: dict) -> dict:
+    back = {n: entries[n] for n in _ROTATED_BACK if n in entries}
+    front = {n: v for n, v in entries.items() if n not in back}
+    front.update(back)
+    return front
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     for m in _modules():
         out.update(m.QUERIES)
-    return out
+    return _rotate(out)
 
 
 def oracle_sql() -> dict[str, str]:

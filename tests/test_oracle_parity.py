@@ -38,6 +38,42 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_driver_window_covers_flagships_and_new_ops():
+    """The driver's correctness gate samples queries()[:50]; pin the
+    window so adding a query can't silently evict a flagship or a
+    never-driver-checked operator. Everything outside must be either a
+    plan-audited TPC-H demonstrator or an explicitly rotated-back name
+    that was driver-green in a prior round."""
+    names = list(_QUERIES)
+    window, outside = set(names[:50]), set(names[50:])
+    must_cover = {
+        "pipeline_extract_digest",
+        "streaming_extract_digest",
+        "classify_docwrap",
+        "tarification_pipeline",
+        "snapshot_merge_upsert",
+        "ann_ivf_exhaustive",
+        "forecast_arima_like",
+        "dedup_components",
+        "dedup_components_star",
+        "text_pii_scrub",
+        "decontaminate_13gram",
+        "dedup_paragraphs",
+        "sample_stratified",
+        "url_canonicalize",
+        "url_canonical_dupes",
+    }
+    assert must_cover <= window, must_cover - window
+    tpch_demos = {n for n in names if n.startswith(("q1", "q3", "q4", "q5", "q6", "q7"))} | {
+        "topk_orders_per_customer",
+        "events_sessionize",
+        "pivot_lang_by_source",
+        "events_retention_cohorts",
+    }
+    allowed_outside = tpch_demos | set(entrymod._ROTATED_BACK)
+    assert outside <= allowed_outside, outside - allowed_outside
+
+
 def test_digest_oracle_survives_adversarial_text(spark, tmpdir_scratch):
     """The flagship digest oracle must mirror the kernel on text the
     clean driver fixtures never exercise: whitespace runs, empty and
