@@ -68,18 +68,23 @@ def _modules():
     ]
 
 
-# Rotated to the back of the queries() ordering this round so the four
+# Rotated to the back of the queries() ordering this round so the seven
 # new curation operators (never driver-checked) land inside the driver's
 # 50-entry window. Every name here was driver-green in CORRECTNESS_r02
 # and its implementation is unchanged since (local oracle parity still
 # covers them in tests/test_oracle_parity.py); ann_ivf_topk is rows-only
-# and its value-checked twin ann_ivf_exhaustive stays in-window.
+# and its value-checked twin ann_ivf_exhaustive stays in-window;
+# forecast_arima_like (changed this round: MA(1) term) stays in-window
+# while its unchanged linear/AR(1) siblings rotate out.
 _ROTATED_BACK = (
     "ann_ivf_topk",
     "dedup_simhash",
     "text_fingerprint",
     "ann_lsh_buckets",
     "emb_neardup_components",
+    "forecast_linear",
+    "forecast_ar1",
+    "skew_salted_host_stats",
 )
 
 

@@ -120,6 +120,9 @@ def main() -> None:
             "decontaminate_13gram",
             "dedup_paragraphs",
             "sample_stratified",
+            "text_gopher_repetition",
+            "seq_pack",
+            "sample_domain_mix",
         ]
 
         def run(name: str) -> None:

@@ -317,3 +317,243 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sample_stratified"] = sample_stratified
 ORACLES["sample_stratified"] = _SAMPLE_ORACLE
+
+
+# --- Gopher-style repetition quality rules (Rae et al. 2021, table A1):
+# documents dominated by a single repeated 2-gram or by duplicated
+# 5-grams are machine-generated boilerplate and get dropped before
+# training. Fractions are reported in integer basis points via exact
+# integer division (div / //) — never a raw float ratio — so the two
+# engines agree bit-for-bit (CLAUDE.md float invariant).
+#
+#   top2gram_char_bp  = 1e4 * (heaviest 2-gram coverage in chars) / doc chars
+#   dup5gram_char_bp  = 1e4 * (chars in 5-grams occurring >= 2x)    / doc chars
+#
+# "coverage in chars" counts count(g) * length(g) per distinct gram —
+# overlapping occurrences count each time, a deterministic proxy for
+# Gopher's character-attribution rule that both engines compute
+# identically. Thresholds mirror Gopher: top-2-gram <= 20%, duplicate
+# 5-grams <= 30%.
+#
+# Scale shape: explode -> groupBy(doc_id, gram) -> re-aggregate per doc.
+# The gram shuffle is keyed on (doc_id, gram) so a single hot gram
+# never funnels one partition; both aggregations map-side combine. No
+# window, no UDF, no driver collect.
+_GOPHER_ORACLE = """
+with t as (
+  select doc_id, length(text) as n_chars_t, string_split(text, ' ') as w
+  from documents
+),
+g2 as (
+  select doc_id, array_to_string(w[i+1 : i+2], ' ') as g
+  from t, unnest(range(0, len(w) - 1)) u(i) where len(w) >= 2
+),
+c2 as (
+  select doc_id, max(cnt * length(g)) as cov2
+  from (select doc_id, g, count(*) as cnt from g2 group by 1, 2)
+  group by 1
+),
+g5 as (
+  select doc_id, array_to_string(w[i+1 : i+5], ' ') as g
+  from t, unnest(range(0, len(w) - 4)) u(i) where len(w) >= 5
+),
+c5 as (
+  select doc_id, sum(cnt * length(g)) as cov5
+  from (select doc_id, g, count(*) as cnt from g5 group by 1, 2)
+  where cnt >= 2 group by 1
+),
+bp as (
+  select t.doc_id,
+         cast(case when n_chars_t = 0 then 0
+              else (10000 * coalesce(cov2, 0)) // n_chars_t end as bigint)
+           as top2gram_char_bp,
+         cast(case when n_chars_t = 0 then 0
+              else (10000 * coalesce(cov5, 0)) // n_chars_t end as bigint)
+           as dup5gram_char_bp
+  from t left join c2 using (doc_id) left join c5 using (doc_id)
+)
+select doc_id, top2gram_char_bp, dup5gram_char_bp,
+       (top2gram_char_bp <= 2000 and dup5gram_char_bp <= 3000) as keep
+from bp
+"""
+
+
+def _gram_coverage(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) occurrence counts for word n-grams, as the
+    exploded-equi-key aggregation (see module comment for why)."""
+    w = F.split(F.col("text"), " ")
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - n),
+                    lambda i: F.array_join(F.slice(F.col("w"), i + 1, n), " "),
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition stats in exact basis points + the Gopher
+    keep/drop verdict (top-2-gram <= 20%, dup-5-grams <= 30%)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select("doc_id", F.length("text").alias("n_chars_t"))
+    c2 = (
+        _gram_coverage(docs, 2)
+        .groupBy("doc_id")
+        .agg(F.max(F.col("cnt") * F.length("g")).alias("cov2"))
+    )
+    c5 = (
+        _gram_coverage(docs, 5)
+        .filter(F.col("cnt") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("g")).alias("cov5"))
+    )
+
+    def bp(cov):
+        return F.when(F.col("n_chars_t") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr(f"div(10000 * coalesce({cov}, 0), n_chars_t)")
+        )
+
+    out = (
+        base.join(c2, "doc_id", "left")
+        .join(c5, "doc_id", "left")
+        .select(
+            "doc_id",
+            bp("cov2").alias("top2gram_char_bp"),
+            bp("cov5").alias("dup5gram_char_bp"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top2gram_char_bp") <= 2000) & (F.col("dup5gram_char_bp") <= 3000),
+    )
+
+
+QUERIES["text_gopher_repetition"] = text_gopher_repetition
+ORACLES["text_gopher_repetition"] = _GOPHER_ORACLE
+
+
+# --- sequence packing (concat-and-chunk, the GPT-style pretraining
+# layout): documents are concatenated in canonical order and cut into
+# fixed _SEQ_LEN-token training sequences; each doc reports the
+# sequence range it lands in. Packing is PER SHARD (doc_id % _N_SHARDS)
+# — the window's cumulative sum partitions on shard, so at 100 TB each
+# shard packs independently in one task instead of serializing the
+# whole corpus through a single global window (exactly how real
+# pipelines pack per output file). All arithmetic is integer-exact.
+_SEQ_LEN = 512
+_N_SHARDS = 32
+
+_PACK_ORACLE = f"""
+with t as (
+  select doc_id, doc_id % {_N_SHARDS} as shard,
+         cast(len(string_split(text, ' ')) as bigint) as n_tokens
+  from documents
+),
+c as (
+  select *, sum(n_tokens) over (
+    partition by shard order by doc_id
+    rows between unbounded preceding and current row) as cum
+  from t
+)
+select doc_id, shard, n_tokens,
+       (cum - n_tokens) // {_SEQ_LEN} as first_seq,
+       (cum - 1) // {_SEQ_LEN} as last_seq,
+       (cum - 1) // {_SEQ_LEN} - (cum - n_tokens) // {_SEQ_LEN} + 1 as n_seqs
+from c
+"""
+
+
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc packed-sequence assignment: (shard, n_tokens, first_seq,
+    last_seq, n_seqs) under concat-and-chunk at {_SEQ_LEN} tokens."""
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    first_seq = F.expr(f"div(cum - n_tokens, {_SEQ_LEN})")
+    last_seq = F.expr(f"div(cum - 1, {_SEQ_LEN})")
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).alias("n_seqs"),
+    )
+
+
+QUERIES["seq_pack"] = seq_pack
+ORACLES["seq_pack"] = _PACK_ORACLE
+
+
+# --- domain-mixture sampling: per-source target rates (the training
+# recipe's "mix web at 25%, curated at 100%" dial), drawn with a
+# seedless deterministic coin so any engine / any partitioning / any
+# re-run selects the SAME documents. The coin is the first 8 hex chars
+# of md5(doc_id ':' source) compared as a STRING against the rate
+# threshold in hex — lowercase fixed-width hex orders identically to
+# the integer it encodes in both engines' binary collation, so no
+# int-parsing builtin has to exist on both sides. Rates cycle by
+# source number: src%4 = 0 -> 25%, 1 -> 50%, 2 -> 75%, 3 -> 100%.
+# Plan shape: scan + filter, zero shuffles, zero UDFs.
+_MIX_ORACLE = """
+with t as (
+  select doc_id, source,
+         cast(substr(source, 4) as int) % 4 as r,
+         substr(md5(cast(doc_id as varchar) || ':' || source), 1, 8) as u
+  from documents
+)
+select doc_id, source, cast((r + 1) * 2500 as int) as rate_bp
+from t
+where r = 3 or u < case r when 0 then '40000000'
+                          when 1 then '80000000'
+                          else 'c0000000' end
+"""
+
+
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mixture draw over the `source` column;
+    returns the selected (doc_id, source, rate_bp) rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = (F.substring("source", 4, 10).cast("int") % 4).alias("r")
+    u = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))),
+        1,
+        8,
+    )
+    t = docs.select("doc_id", "source", r, u.alias("u"))
+    thresh = (
+        F.when(F.col("r") == 0, "40000000")
+        .when(F.col("r") == 1, "80000000")
+        .otherwise("c0000000")
+    )
+    return (
+        t.filter((F.col("r") == 3) | (F.col("u") < thresh))
+        .select(
+            "doc_id",
+            "source",
+            ((F.col("r") + 1) * 2500).cast("int").alias("rate_bp"),
+        )
+    )
+
+
+QUERIES["sample_domain_mix"] = sample_domain_mix
+ORACLES["sample_domain_mix"] = _MIX_ORACLE

@@ -60,6 +60,9 @@ def test_driver_window_covers_flagships_and_new_ops():
         "decontaminate_13gram",
         "dedup_paragraphs",
         "sample_stratified",
+        "text_gopher_repetition",
+        "seq_pack",
+        "sample_domain_mix",
         "url_canonicalize",
         "url_canonical_dupes",
     }

@@ -279,3 +279,32 @@ def test_stratified_sample_uses_window_group_limit(spark):
     # below the sort so each stratum tops out distributed
     plan = plan_of(spark, "sample_stratified")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_gopher_repetition_is_jvm_agg_no_window(spark):
+    # gram coverage must be explode -> (doc_id, gram) hash-aggregate
+    # (map-side combine, hot grams spread by the doc_id key component),
+    # never a per-doc window or Python eval
+    plan = plan_of(spark, "text_gopher_repetition")
+    assert "EvalPython" not in plan, plan
+    assert "WindowExec" not in plan and "(1) Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_seq_pack_window_is_shard_partitioned(spark):
+    # the cumulative token sum must partition by shard — a global
+    # (unpartitioned) running sum would serialize the whole corpus
+    # through one task at 100 TB
+    plan = plan_of(spark, "seq_pack")
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition(shard" in plan, plan
+    assert "windowspecdefinition(doc_id" not in plan, plan
+
+
+def test_domain_mix_is_zero_shuffle_scan_filter(spark):
+    # the mixture draw is a pure scan+filter: no exchange, no Python,
+    # and the md5 coin evaluated inside the filter
+    plan = plan_of(spark, "sample_domain_mix")
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
