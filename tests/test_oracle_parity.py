@@ -236,3 +236,42 @@ def test_arima_oracle_survives_adversarial_series(spark, tmpdir_scratch):
     )
     con.close()
     assert not errs, f"{errs} (max float delta {max_delta:.2e})"
+
+
+def test_curation_oracles_survive_adversarial_text(spark, tmpdir_scratch):
+    """The three newest curation oracles (Gopher repetition, sequence
+    packing, domain mix) must mirror Spark on text shapes the driver
+    fixtures never exercise: empty/whitespace-only docs, single words,
+    n-gram boundary lengths (exactly 2 / exactly 5 words), pathological
+    all-same-word repetition, multi-space runs (empty tokens), unicode,
+    and >32-bit doc_ids (shard modulo + md5 coin)."""
+    import duckdb
+    import pandas as pd
+
+    from ocr_application_spark.operators import curation as cu
+    from tests.oracle_harness import compare
+
+    rows = [
+        (0, "", "en", "src0", 0),
+        (1, "   ", "en", "src1", 0),
+        (2, "solo", "en", "src2", 0),
+        (3, "two words", "en", "src3", 0),
+        (4, "five words exactly in here", "en", "src0", 0),
+        (5, "x " * 29 + "x", "en", "src1", 0),  # one token repeated 30x
+        (6, "a b " * 15 + "tail", "en", "src2", 0),  # dominant 2-gram
+        (7, ("p q r s t " * 4) + "unique close", "en", "src3", 0),  # dup 5-grams
+        (8, "multi  space   runs  here", "en", "src0", 0),  # empty tokens
+        (9, "déjà vu über naïve café résumé", "fr", "src1", 0),
+        (123456789012, "big id doc body words", "en", "src15", 0),
+        (10, "ls ps  tokens with unicode seps", "en", "src2", 0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(f"{tmpdir_scratch}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{tmpdir_scratch}/documents.parquet'")
+    for name in ("text_gopher_repetition", "seq_pack", "sample_domain_mix"):
+        errs, delta = compare(
+            cu.QUERIES[name](spark, tmpdir_scratch), con, cu.ORACLES[name], name
+        )
+        assert not errs, f"{name}: {errs} (max float rel delta {delta:.2e})"
+    con.close()
