@@ -68,7 +68,7 @@ def _modules():
     ]
 
 
-# Rotated to the back of the queries() ordering this round so the seven
+# Rotated to the back of the queries() ordering this round so the nine
 # new curation operators (never driver-checked) land inside the driver's
 # 50-entry window. Every name here was driver-green in CORRECTNESS_r02
 # and its implementation is unchanged since (local oracle parity still
@@ -85,6 +85,8 @@ _ROTATED_BACK = (
     "forecast_linear",
     "forecast_ar1",
     "skew_salted_host_stats",
+    "w3_topk_area",
+    "j4_iou_dedup",
 )
 
 

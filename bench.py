@@ -123,6 +123,8 @@ def main() -> None:
             "text_gopher_repetition",
             "seq_pack",
             "sample_domain_mix",
+            "text_rank_quality",
+            "dedup_span_ratio",
         ]
 
         def run(name: str) -> None:

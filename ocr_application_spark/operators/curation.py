@@ -557,3 +557,217 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sample_domain_mix"] = sample_domain_mix
 ORACLES["sample_domain_mix"] = _MIX_ORACLE
+
+
+# --- frequency-rank quality score (the CCNet perplexity-filter analog,
+# Wenzek et al. 2020): CCNet scores each document with a small LM
+# trained on a trusted corpus and keeps the low-perplexity head. A
+# KenLM has no place in a cross-engine exact oracle, so the same
+# signal is built from frequency RANKS instead of log-probs: rank the
+# top _VOCAB_V tokens by corpus term frequency (total (tf desc, token)
+# tie-break -> deterministic cut), give out-of-vocabulary tokens the
+# penalty rank _VOCAB_V+1, and score each doc by its mean token rank —
+# natural text is dominated by head tokens (low mean rank), gibberish
+# and boilerplate by tail/OOV tokens (high mean rank). Ranks are
+# integers, so the score is EXACT integer arithmetic in basis points
+# (div // — CLAUDE.md float invariant), never a float log-sum.
+#
+#   mean_rank_bp = 1e4 * sum(rank) / (n_tokens * (_VOCAB_V+1))  in [~0, 1e4]
+#   oov_bp       = 1e4 * n_oov / n_tokens
+#   keep         = n_tokens > 0 and mean_rank_bp <= 7200 and oov_bp <= 4500
+#
+# _VOCAB_V is 16 at fixture scale (the synthetic corpus has ~31
+# distinct tokens, so the cut must land inside the vocabulary for the
+# verdict to be non-vacuous — both keeps and drops occur at sf0.01); a
+# production corpus would use 10^4-10^5 with the identical plan.
+#
+# Scale shape: the tf aggregation shuffles O(vocab) (map-side combine
+# over tokens), the top-V cut is TakeOrderedAndProject (never a global
+# window over the full vocabulary), the V-row rank table BROADCASTS to
+# the token stream, and the per-doc aggregation map-side combines on
+# doc_id. Zero UDFs, zero driver collect, no window over corpus data.
+_VOCAB_V = 16
+
+_RANKQ_ORACLE = f"""
+with tok as (
+  select doc_id, token
+  from (select doc_id, unnest(string_split(text, ' ')) as token from documents)
+  where token != ''
+),
+tf as (select token, count(*) as tf from tok group by 1),
+ranked as (
+  select token, row_number() over (order by tf desc, token) as rank from tf
+),
+vocab as (select token, rank from ranked where rank <= {_VOCAB_V}),
+per as (
+  select t.doc_id,
+         count(*) as n_tokens,
+         sum(coalesce(v.rank, {_VOCAB_V + 1})) as sum_rank,
+         sum(case when v.rank is null then 1 else 0 end) as n_oov
+  from tok t left join vocab v using (token)
+  group by 1
+)
+select d.doc_id,
+       cast(coalesce(n_tokens, 0) as bigint) as n_tokens,
+       cast(coalesce(sum_rank, 0) as bigint) as sum_rank,
+       cast(coalesce(n_oov, 0) as bigint) as n_oov,
+       cast(case when coalesce(n_tokens, 0) = 0 then 10000
+            else (10000 * sum_rank) // (n_tokens * {_VOCAB_V + 1}) end
+            as bigint) as mean_rank_bp,
+       cast(case when coalesce(n_tokens, 0) = 0 then 10000
+            else (10000 * n_oov) // n_tokens end as bigint) as oov_bp,
+       (coalesce(n_tokens, 0) > 0
+        and (10000 * sum_rank) // (n_tokens * {_VOCAB_V + 1}) <= 7200
+        and (10000 * n_oov) // n_tokens <= 4500) as keep
+from documents d left join per using (doc_id)
+"""
+
+
+def text_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc frequency-rank quality score in exact basis points +
+    keep/drop verdict (see module comment: CCNet analog over ranks)."""
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    # top-V via orderBy+limit -> TakeOrderedAndProject; the rank window
+    # then runs over exactly _VOCAB_V survivors (bounded, not corpus)
+    top = tf.orderBy(F.desc("tf"), "token").limit(_VOCAB_V)
+    w = Window.orderBy(F.desc("tf"), "token")
+    vocab = top.select("token", F.row_number().over(w).alias("rank"))
+    per = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("rank"), F.lit(_VOCAB_V + 1))).alias("sum_rank"),
+            F.sum(F.when(F.col("rank").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    j = docs.select("doc_id").join(per, "doc_id", "left")
+    n_tokens = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+    mean_rank_bp = F.when(n_tokens == 0, F.lit(10000).cast("long")).otherwise(
+        F.expr(f"div(10000 * sum_rank, n_tokens * {_VOCAB_V + 1})")
+    )
+    oov_bp = F.when(n_tokens == 0, F.lit(10000).cast("long")).otherwise(
+        F.expr("div(10000 * n_oov, n_tokens)")
+    )
+    return j.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.coalesce(F.col("sum_rank"), F.lit(0)).cast("long").alias("sum_rank"),
+        F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+        mean_rank_bp.alias("mean_rank_bp"),
+        oov_bp.alias("oov_bp"),
+        ((n_tokens > 0) & (mean_rank_bp <= 7200) & (oov_bp <= 4500)).alias("keep"),
+    )
+
+
+QUERIES["text_rank_quality"] = text_rank_quality
+ORACLES["text_rank_quality"] = _RANKQ_ORACLE
+
+
+# --- exact-substring duplication ratio (the ExactSubstr signal of Lee
+# et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better"): chunk-boundary dedup (dedup_paragraphs) misses duplication
+# that is SHIFTED relative to the chunk grid; sliding windows catch it.
+# Every _SPAN_W-token window at stride _SPAN_S is hashed (64-bit md5
+# prefix — same function both engines, collisions identical and
+# negligible), windows whose hash occurs >= 2 times ANYWHERE in the
+# corpus (other docs or elsewhere in the same doc) are duplicated
+# spans, and each doc reports its duplicated-window fraction in exact
+# basis points. Lee et al. build a suffix array; at 10^12 docs the
+# equivalent Spark-native shape is this explode -> count -> join-back,
+# whose shuffles are keyed on the 64-bit window hash (uniform by
+# construction — boilerplate mega-dups concentrate COUNT, which
+# map-side combines, not rows per partition).
+#
+# Stride trades recall for cost: S=1 is the full suffix-array signal at
+# W x the rows; S=W/2 guarantees any duplicated run >= 1.5W tokens
+# still produces an aligned duplicate window pair, at 1/S the rows.
+_SPAN_W = 10
+_SPAN_S = 5
+
+_SPANDUP_ORACLE = f"""
+with t as (
+  select doc_id, list_filter(string_split(text, ' '), x -> x != '') as w
+  from documents
+),
+wins as (
+  select doc_id,
+         substr(md5(array_to_string(
+           w[i * {_SPAN_S} + 1 : i * {_SPAN_S} + {_SPAN_W}], ' ')), 1, 16) as h
+  from t, unnest(range(0, (len(w) - {_SPAN_W}) // {_SPAN_S} + 1)) u(i)
+  where len(w) >= {_SPAN_W}
+),
+cnt as (select h, count(*) as c from wins group by 1),
+per as (
+  select w.doc_id, count(*) as n_windows,
+         sum(case when c.c >= 2 then 1 else 0 end) as n_dup
+  from wins w join cnt c using (h) group by 1
+)
+select d.doc_id,
+       cast(coalesce(n_windows, 0) as bigint) as n_windows,
+       cast(coalesce(n_dup, 0) as bigint) as n_dup_windows,
+       cast(case when coalesce(n_windows, 0) = 0 then 0
+            else (10000 * n_dup) // n_windows end as bigint) as dup_bp,
+       coalesce(n_dup, 0) > 0 as has_dup
+from documents d left join per using (doc_id)
+"""
+
+
+def dedup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span stats: sliding {_SPAN_W}-token windows at
+    stride {_SPAN_S}, duplication in exact basis points."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_win = F.floor((F.size("w") - _SPAN_W) / _SPAN_S) + 1
+    wins = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_win.cast("int") - 1),
+                    lambda i: F.substring(
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("w"), i * _SPAN_S + 1, _SPAN_W), " "
+                            )
+                        ),
+                        1,
+                        16,
+                    ),
+                )
+            ).alias("h"),
+        )
+    )
+    cnt = wins.groupBy("h").agg(F.count("*").alias("c"))
+    per = (
+        wins.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    j = docs.select("doc_id").join(per, "doc_id", "left")
+    n_windows = F.coalesce(F.col("n_windows"), F.lit(0)).cast("long")
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+    return j.select(
+        "doc_id",
+        n_windows.alias("n_windows"),
+        n_dup.alias("n_dup_windows"),
+        F.when(n_windows == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("div(10000 * n_dup, n_windows)"))
+        .alias("dup_bp"),
+        (n_dup > 0).alias("has_dup"),
+    )
+
+
+QUERIES["dedup_span_ratio"] = dedup_span_ratio
+ORACLES["dedup_span_ratio"] = _SPANDUP_ORACLE

@@ -63,6 +63,8 @@ def test_driver_window_covers_flagships_and_new_ops():
         "text_gopher_repetition",
         "seq_pack",
         "sample_domain_mix",
+        "text_rank_quality",
+        "dedup_span_ratio",
         "url_canonicalize",
         "url_canonical_dupes",
     }
@@ -269,7 +271,13 @@ def test_curation_oracles_survive_adversarial_text(spark, tmpdir_scratch):
     pdf.to_parquet(f"{tmpdir_scratch}/documents.parquet")
     con = duckdb.connect()
     con.sql(f"create view documents as select * from '{tmpdir_scratch}/documents.parquet'")
-    for name in ("text_gopher_repetition", "seq_pack", "sample_domain_mix"):
+    for name in (
+        "text_gopher_repetition",
+        "seq_pack",
+        "sample_domain_mix",
+        "text_rank_quality",
+        "dedup_span_ratio",
+    ):
         errs, delta = compare(
             cu.QUERIES[name](spark, tmpdir_scratch), con, cu.ORACLES[name], name
         )

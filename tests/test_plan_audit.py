@@ -308,3 +308,26 @@ def test_domain_mix_is_zero_shuffle_scan_filter(spark):
     plan = plan_of(spark, "sample_domain_mix")
     assert "EvalPython" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_rank_quality_broadcasts_vocab_no_corpus_window(spark):
+    # the V-row rank table must broadcast to the token stream (a
+    # shuffle join keyed on `token` would funnel hot head tokens), the
+    # top-V cut must be TakeOrderedAndProject (never a global window
+    # over the full vocabulary), and the only window runs over the V
+    # post-limit survivors
+    plan = plan_of(spark, "text_rank_quality")
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_span_ratio_joins_on_hash_no_python(spark):
+    # sliding-window hashing stays in JVM array HOFs; the dup-count
+    # join is an equi-join on the 64-bit window hash (uniform key),
+    # never a cartesian or a Python eval
+    plan = plan_of(spark, "dedup_span_ratio")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
