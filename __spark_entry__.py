@@ -87,6 +87,7 @@ _ROTATED_BACK = (
     "skew_salted_host_stats",
     "w3_topk_area",
     "j4_iou_dedup",
+    "a6_doc_bbox",
 )
 
 

@@ -125,6 +125,7 @@ def main() -> None:
             "sample_domain_mix",
             "text_rank_quality",
             "dedup_span_ratio",
+            "boilerplate_strip_source",
         ]
 
         def run(name: str) -> None:

@@ -771,3 +771,133 @@ def dedup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_span_ratio"] = dedup_span_ratio
 ORACLES["dedup_span_ratio"] = _SPANDUP_ORACLE
+
+
+# --- per-source boilerplate-chunk removal (the RefinedWeb / CCNet
+# host-level boilerplate discipline): chunks of text that recur across
+# MANY DISTINCT documents of the same source are template furniture
+# (nav, cookie banners, footers), not content — remove them from every
+# document and return the cleaned text. The host analog in the fixture
+# schema is the `source` column. Chunks are the aligned _BP_W-token
+# grid (last chunk may be short); a chunk is boilerplate within a
+# source when it appears in >= _BP_DF distinct documents of that
+# source. The op returns the RECONSTRUCTED text (kept chunks rejoined
+# in order) plus its sha256 — the oracle therefore pins the cleaned
+# BYTES, not just counts.
+#
+# Scale shape: explode -> groupBy(source, chunk-hash) distinct-doc
+# count (map-side combine; the key carries source so one global
+# template chunk cannot funnel a partition) -> join back on
+# (source, h) -> per-doc re-aggregation. Reassembly is
+# collect_list(struct(i, chunk)) + array_sort + array_join — list
+# state is bounded by document length, there is no window and no UDF.
+_BP_W = 5
+_BP_DF = 2
+
+_BOILER_ORACLE = f"""
+with t as (
+  select doc_id, source,
+         list_filter(string_split(text, ' '), x -> x != '') as w
+  from documents
+),
+ex as (
+  select doc_id, source, i,
+         array_to_string(w[i * {_BP_W} + 1 : i * {_BP_W} + {_BP_W}], ' ') as c
+  from t, unnest(range(0, (len(w) + {_BP_W} - 1) // {_BP_W})) u(i)
+),
+freq as (
+  select source, substr(md5(c), 1, 16) as h, count(distinct doc_id) as src_df
+  from ex group by 1, 2
+),
+boiler as (select source, h from freq where src_df >= {_BP_DF}),
+kept as (
+  select e.doc_id, e.i, e.c, b.h is not null as is_boiler
+  from (select *, substr(md5(c), 1, 16) as h from ex) e
+  left join boiler b using (source, h)
+),
+per as (
+  select doc_id, count(*) as n_chunks,
+         sum(case when is_boiler then 1 else 0 end) as n_dropped,
+         coalesce(string_agg(case when not is_boiler then c end, ' '
+                             order by i), '') as cleaned
+  from kept group by 1
+)
+select d.doc_id,
+       cast(coalesce(n_chunks, 0) as bigint) as n_chunks,
+       cast(coalesce(n_dropped, 0) as bigint) as n_dropped,
+       length(coalesce(cleaned, '')) as n_chars_clean,
+       sha256(coalesce(cleaned, '')) as digest
+from documents d left join per using (doc_id)
+"""
+
+
+def boilerplate_strip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove chunks recurring in >= {_BP_DF} distinct docs of the same
+    source; return cleaned-text sha256 + chunk counts per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_chunks = F.floor((F.size("w") + _BP_W - 1) / _BP_W).cast("int")
+    ex = (
+        docs.select("doc_id", "source", w.alias("w"))
+        # token-less docs must emit NO chunks (duck range(0,0) is empty;
+        # Spark sequence(0,-1) would DESCEND and fabricate two chunks)
+        .filter(F.size("w") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.array_join(
+                            F.slice(F.col("w"), i * _BP_W + 1, _BP_W), " "
+                        ).alias("c"),
+                    ),
+                )
+            ).alias("ch"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("ch.i").alias("i"),
+            F.col("ch.c").alias("c"),
+            F.substring(F.md5("ch.c"), 1, 16).alias("h"),
+        )
+    )
+    freq = ex.groupBy("source", "h").agg(
+        F.countDistinct("doc_id").alias("src_df")
+    )
+    boiler = freq.filter(F.col("src_df") >= _BP_DF).select("source", "h")
+    kept = ex.join(boiler.withColumn("is_boiler", F.lit(True)), ["source", "h"], "left")
+    per = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_boiler").isNull(),
+                            F.struct(F.col("i"), F.col("c")),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    j = docs.select("doc_id").join(per, "doc_id", "left")
+    cleaned = F.coalesce(F.col("cleaned"), F.lit(""))
+    return j.select(
+        "doc_id",
+        F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        F.length(cleaned).alias("n_chars_clean"),
+        F.sha2(cleaned, 256).alias("digest"),
+    )
+
+
+QUERIES["boilerplate_strip_source"] = boilerplate_strip_source
+ORACLES["boilerplate_strip_source"] = _BOILER_ORACLE

@@ -65,6 +65,7 @@ def test_driver_window_covers_flagships_and_new_ops():
         "sample_domain_mix",
         "text_rank_quality",
         "dedup_span_ratio",
+        "boilerplate_strip_source",
         "url_canonicalize",
         "url_canonical_dupes",
     }
@@ -277,6 +278,7 @@ def test_curation_oracles_survive_adversarial_text(spark, tmpdir_scratch):
         "sample_domain_mix",
         "text_rank_quality",
         "dedup_span_ratio",
+        "boilerplate_strip_source",
     ):
         errs, delta = compare(
             cu.QUERIES[name](spark, tmpdir_scratch), con, cu.ORACLES[name], name

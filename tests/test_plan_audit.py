@@ -331,3 +331,14 @@ def test_span_ratio_joins_on_hash_no_python(spark):
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_boilerplate_strip_is_jvm_reassembly_no_window(spark):
+    # chunking + reassembly stay in JVM array HOFs (collect_list +
+    # array_sort, bounded by document length — not a window over the
+    # corpus); the boilerplate join is an equi-join on (source, hash)
+    plan = plan_of(spark, "boilerplate_strip_source")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowExec" not in plan and "(1) Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
