@@ -88,6 +88,7 @@ _ROTATED_BACK = (
     "w3_topk_area",
     "j4_iou_dedup",
     "a6_doc_bbox",
+    "a4_monthly_sums",
 )
 
 

@@ -57,7 +57,13 @@ def main() -> None:
     shutil.rmtree(pages_path, ignore_errors=True)
     try:
         synth_pages(spark, n_docs, slices=max(64, 4 * cpus)).write.parquet(pages_path)
-        pages = spark.read.parquet(pages_path)
+        # one task wave, sized to cores: at this corpus size per-task
+        # dispatch overhead (~12 ms JVM->python round trip) rivals
+        # per-task compute, so 2 waves of half-size tasks measured ~40%
+        # slower (1.47 s vs 1.02 s at 48k docs / 32 cores). At 100 TB the
+        # natural file splits dwarf dispatch cost and no coalesce is
+        # needed — this is measurement hygiene, not a scale tactic.
+        pages = spark.read.parquet(pages_path).coalesce(cpus)
         extract_job = extract_pages(pages).filter(F.col("status") == "success")
         extract_job.count()  # warm (spawn python workers, JIT scan paths)
 
@@ -126,6 +132,7 @@ def main() -> None:
             "text_rank_quality",
             "dedup_span_ratio",
             "boilerplate_strip_source",
+            "url_holdout_split",
         ]
 
         def run(name: str) -> None:

@@ -203,3 +203,52 @@ def url_canonical_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_raw"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_raw") > 1)
     )
+
+
+# --- leakage-safe train/valid/test holdout split -----------------------------
+# Eval contamination begins at SPLIT time: if two raw crawls of the
+# same logical document (case/port/utm/param-order noise) can land in
+# different splits, the "held-out" set isn't held out. The split is
+# therefore a pure function of the CANONICAL url — every raw variant
+# of a document deterministically lands in the same split, on any
+# engine, any partitioning, any re-run. The coin is the first 8 hex
+# chars of md5(canonical url) compared as a fixed-width lowercase hex
+# string (binary collation == numeric order, same trick as
+# sample_domain_mix): < 'e6666666' -> train (~90%), < 'f3333333' ->
+# valid (~5%), else test (~5%). Zero shuffles, zero UDFs — a narrow
+# scan projection that runs at full scan speed on 100 TB.
+_HOLDOUT_SQL_SPLIT = """
+  case when substr(md5({c}), 1, 8) < 'e6666666' then 'train'
+       when substr(md5({c}), 1, 8) < 'f3333333' then 'valid'
+       else 'test' end
+"""
+
+
+@_q(
+    "url_holdout_split",
+    f"""
+    with raw as (
+      select doc_id, {_RAW_SQL} as url_raw from documents
+    ),
+    canon as (
+      select doc_id, {_CANON_SQL.format(u='url_raw')} as url_canonical from raw
+    )
+    select doc_id, url_canonical,
+           {_HOLDOUT_SQL_SPLIT.format(c='url_canonical')} as split
+    from canon
+    """,
+)
+def url_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url_canonical, split) under the deterministic
+    canonical-url holdout coin (see module comment above)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    canon = d.select("doc_id", canonical_url(_raw_url()).alias("url_canonical"))
+    u = F.substring(F.md5(F.col("url_canonical")), 1, 8)
+    return canon.select(
+        "doc_id",
+        "url_canonical",
+        F.when(u < "e6666666", "train")
+        .when(u < "f3333333", "valid")
+        .otherwise("test")
+        .alias("split"),
+    )

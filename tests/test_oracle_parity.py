@@ -66,6 +66,7 @@ def test_driver_window_covers_flagships_and_new_ops():
         "text_rank_quality",
         "dedup_span_ratio",
         "boilerplate_strip_source",
+        "url_holdout_split",
         "url_canonicalize",
         "url_canonical_dupes",
     }
