@@ -135,3 +135,49 @@ def test_spark_submit_synth_and_incremental(spark, tmpdir_scratch):
         1, 2, 4, 6,
     }
     assert df.select("url").distinct().count() == 290
+
+
+@pytest.mark.slow
+def test_spark_submit_curate_job(spark, tmpdir_scratch):
+    """Packaged curation funnel: clean -> Gopher -> rank-quality -> PII
+    scrub -> holdout split via the real spark-submit + zip artifact.
+    The stage metrics must form a monotone funnel and the curated
+    output must be split-partitioned with scrubbed text."""
+    if not os.path.exists(_SPARK_SUBMIT):
+        pytest.skip("spark-submit binary not found")
+    subprocess.run(["bash", "scripts/package.sh"], cwd="/root/repo", check=True)
+    r = subprocess.run(
+        [
+            _SPARK_SUBMIT, "--master", "local[4]",
+            "--py-files", "dist/ocr_application_spark.zip",
+            "jobs/curate_job.py",
+            "--input", "/root/testdata/sf0.001",
+            "--output", tmpdir_scratch + "/curated",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = [json.loads(l) for l in r.stdout.splitlines()
+             if l.startswith('{"stage"')]
+    stages = [l["stage"] for l in lines]
+    assert stages == [
+        "clean_lang_quality_dedup", "gopher_repetition", "rank_quality", "write",
+    ]
+    # monotone funnel, each stage's rows_in == previous rows_out
+    assert lines[0]["rows_in"] == 500
+    for prev, cur in zip(lines, lines[1:-1]):
+        assert cur["rows_in"] == prev["rows_out"]
+        assert cur["rows_out"] <= cur["rows_in"]
+    assert lines[-1]["rows_out"] == lines[-2]["rows_out"] > 0
+    out = spark.read.parquet(tmpdir_scratch + "/curated")
+    assert set(out.columns) == {"doc_id", "text", "lang", "source",
+                                "n_chars", "split"}
+    splits = {row["split"] for row in out.select("split").distinct().collect()}
+    assert splits <= {"train", "valid", "test"} and "train" in splits
+    # the curated rows are exactly the docs every gate kept, and the
+    # split coin is reproducible from doc_id alone
+    from pyspark.sql import functions as F
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    expect = (F.when(coin < "e6666666", "train")
+              .when(coin < "f3333333", "valid").otherwise("test"))
+    assert out.filter(F.col("split") != expect).count() == 0
