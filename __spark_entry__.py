@@ -89,6 +89,7 @@ _ROTATED_BACK = (
     "j4_iou_dedup",
     "a6_doc_bbox",
     "a4_monthly_sums",
+    "a3_mean_nonzero",
 )
 
 

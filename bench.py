@@ -133,6 +133,7 @@ def main() -> None:
             "dedup_span_ratio",
             "boilerplate_strip_source",
             "url_holdout_split",
+            "sample_token_budget",
         ]
 
         def run(name: str) -> None:

@@ -901,3 +901,78 @@ def boilerplate_strip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["boilerplate_strip_source"] = boilerplate_strip_source
 ORACLES["boilerplate_strip_source"] = _BOILER_ORACLE
+
+
+# --- token-budget sampling (the training-recipe dial in token space):
+# "take ~B tokens from every source" is how a data recipe is actually
+# specified — budgets are in TOKENS, not documents, because sources
+# have wildly different document lengths. The scalable form is NOT a
+# per-source running-sum window (that would serialize each source's
+# 10^10 rows through one task): compute each source's total token
+# count T_s (one map-side-combined aggregation), broadcast the tiny
+# per-source table, and keep documents whose deterministic md5 coin
+# falls under the integer threshold floor(B * 2^32 / T_s) — an
+# expected-B-token sample, selected identically on any engine, any
+# partitioning, any re-run. All arithmetic is exact bigint (div //);
+# the threshold travels as fixed-width lowercase hex compared as a
+# string (binary collation == numeric order, same trick as
+# sample_domain_mix). Sources already under budget keep everything.
+#
+# Token counts use the corpus-wide single-space convention
+# (length(text) - length(replace(text,' ','')) + 1 — identical string
+# arithmetic both engines, whitespace-only docs count their empties).
+_BUDGET_TOKENS = 800
+
+_TOKBUDGET_ORACLE = f"""
+with d as (
+  select doc_id, source,
+         cast(length(text) - length(replace(text, ' ', '')) + 1 as bigint)
+           as n_tokens,
+         substr(md5(cast(doc_id as varchar) || ':budget'), 1, 8) as coin
+  from documents
+),
+tot as (select source, sum(n_tokens) as t from d group by 1)
+select d.doc_id, d.source, d.n_tokens,
+       cast(case when t <= {_BUDGET_TOKENS} then 10000
+            else ({_BUDGET_TOKENS} * 10000) // t end as bigint) as rate_bp
+from d join tot using (source)
+where t <= {_BUDGET_TOKENS}
+   or coin < lpad(lower(to_hex(({_BUDGET_TOKENS} * 4294967296) // t)), 8, '0')
+"""
+
+
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-{_BUDGET_TOKENS}-token deterministic sample per source
+    (see module comment: broadcast per-source totals, md5-hex coin)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    coin = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":budget"))), 1, 8
+    )
+    d = docs.select(
+        "doc_id", "source", n_tokens.alias("n_tokens"), coin.alias("coin")
+    )
+    tot = d.groupBy("source").agg(F.sum("n_tokens").alias("t"))
+    j = d.join(F.broadcast(tot), "source")
+    under = F.col("t") <= _BUDGET_TOKENS
+    thresh = F.expr(
+        f"lpad(lower(hex(div({_BUDGET_TOKENS} * 4294967296, t))), 8, '0')"
+    )
+    return (
+        j.filter(under | (F.col("coin") < thresh))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.when(under, F.lit(10000).cast("long"))
+            .otherwise(F.expr(f"div({_BUDGET_TOKENS} * 10000, t)"))
+            .alias("rate_bp"),
+        )
+    )
+
+
+QUERIES["sample_token_budget"] = sample_token_budget
+ORACLES["sample_token_budget"] = _TOKBUDGET_ORACLE

@@ -66,6 +66,7 @@ def test_driver_window_covers_flagships_and_new_ops():
         "text_rank_quality",
         "dedup_span_ratio",
         "boilerplate_strip_source",
+        "sample_token_budget",
         "url_holdout_split",
         "url_canonicalize",
         "url_canonical_dupes",
@@ -280,6 +281,7 @@ def test_curation_oracles_survive_adversarial_text(spark, tmpdir_scratch):
         "text_rank_quality",
         "dedup_span_ratio",
         "boilerplate_strip_source",
+        "sample_token_budget",
     ):
         errs, delta = compare(
             cu.QUERIES[name](spark, tmpdir_scratch), con, cu.ORACLES[name], name
