@@ -90,6 +90,9 @@ _ROTATED_BACK = (
     "a6_doc_bbox",
     "a4_monthly_sums",
     "a3_mean_nonzero",
+    "w4_top1_argmax",
+    "f7_table_size_filter",
+    "text_token_stats",
 )
 
 

@@ -134,6 +134,9 @@ def main() -> None:
             "boilerplate_strip_source",
             "url_holdout_split",
             "sample_token_budget",
+            "text_gopher_quality",
+            "text_c4_line_filter",
+            "shard_shuffle",
         ]
 
         def run(name: str) -> None:

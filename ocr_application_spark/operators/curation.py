@@ -976,3 +976,251 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sample_token_budget"] = sample_token_budget
 ORACLES["sample_token_budget"] = _TOKBUDGET_ORACLE
+
+
+# --- Gopher quality rule card (Rae et al. 2021, appendix A1.1): the
+# per-document heuristic gates every MassiveText-descended pipeline
+# applies before anything expensive runs. Unlike text_quality_score
+# (one blended score), this emits each rule as its OWN boolean so a
+# recipe can flip rules independently and audits can count per-rule
+# kill rates. Every ratio rule is evaluated in EXACT integer form
+# (cross-multiplied: 3*n_words <= sum_len, not sum_len/n_words >= 3)
+# so no float division ever happens on either engine. Zero-shuffle
+# scan projection — at 100 TB this is a single map stage, and the
+# boolean card is what the corpus-clean join consumes downstream.
+#
+# Rules (thresholds are the published Gopher ones):
+#   r_wordcount  50 <= n_words <= 100000
+#   r_meanlen    3 <= mean word length <= 10
+#   r_symbols    symbol-word ("#" or "...") to word ratio <= 0.1
+#   r_alpha      >= 80% of words contain an alphabetic character
+#   r_stop       contains >= 2 distinct of the 8 Gopher stop words
+_GOPHER_STOPS = "'the','be','to','of','and','that','have','with'"
+
+_GOPHERQ_ORACLE = f"""
+with t as (
+  select doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') as w
+  from documents
+),
+m as (
+  select doc_id,
+         cast(len(w) as bigint) as n_words,
+         cast(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+              as bigint) as sum_len,
+         cast(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+              as bigint) as n_alpha,
+         cast(len(list_filter(w, x -> contains(x, '#')
+                                   or contains(x, '...')))
+              as bigint) as n_sym,
+         cast(len(list_intersect(list_distinct(w),
+                                 [{_GOPHER_STOPS}])) as bigint) as n_stop
+  from t
+)
+select doc_id, n_words, sum_len, n_alpha, n_sym, n_stop,
+       n_words between 50 and 100000 as r_wordcount,
+       3 * n_words <= sum_len and sum_len <= 10 * n_words as r_meanlen,
+       10 * n_sym <= n_words as r_symbols,
+       5 * n_alpha >= 4 * n_words as r_alpha,
+       n_stop >= 2 as r_stop,
+       (n_words between 50 and 100000)
+         and (3 * n_words <= sum_len and sum_len <= 10 * n_words)
+         and (10 * n_sym <= n_words)
+         and (5 * n_alpha >= 4 * n_words)
+         and (n_stop >= 2) as keep
+from m
+"""
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule Gopher quality booleans (exact-integer ratio forms);
+    see module comment for the rule card."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    stops = F.array(*[F.lit(s.strip("'")) for s in _GOPHER_STOPS.split(",")])
+    m = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(w, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+            F.lit(0).cast("long"),
+        ).alias("sum_len"),
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(
+            F.filter(
+                w,
+                lambda x: x.contains("#") | x.contains("..."),
+            )
+        )
+        .cast("long")
+        .alias("n_sym"),
+        F.size(F.array_intersect(F.array_distinct(w), stops))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    r_wc = F.col("n_words").between(50, 100000)
+    r_ml = (3 * F.col("n_words") <= F.col("sum_len")) & (
+        F.col("sum_len") <= 10 * F.col("n_words")
+    )
+    r_sy = 10 * F.col("n_sym") <= F.col("n_words")
+    r_al = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    r_st = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id", "n_words", "sum_len", "n_alpha", "n_sym", "n_stop",
+        r_wc.alias("r_wordcount"),
+        r_ml.alias("r_meanlen"),
+        r_sy.alias("r_symbols"),
+        r_al.alias("r_alpha"),
+        r_st.alias("r_stop"),
+        (r_wc & r_ml & r_sy & r_al & r_st).alias("keep"),
+    )
+
+
+QUERIES["text_gopher_quality"] = text_gopher_quality
+ORACLES["text_gopher_quality"] = _GOPHERQ_ORACLE
+
+
+# --- C4 line-level filter (Raffel et al. 2020, section 2.2): the
+# line-rule pass that built C4 from Common Crawl. A line survives iff
+# it (1) ends in a terminal punctuation mark, (2) has >= 5 words, and
+# (3) contains none of the junk markers (lorem ipsum / javascript /
+# curly brace / cookie notice, matched case-insensitively). The
+# document survives iff >= 3 lines survive. The op returns the
+# RECONSTRUCTED text (kept lines rejoined with the original newline,
+# order preserved) as a sha256, so the oracle pins the cleaned BYTES.
+#
+# Scale shape: split -> list-filter -> rejoin is a zero-shuffle scan
+# projection (no explode, no window, no re-aggregation join like the
+# boilerplate op needs — line decisions are local to the document).
+# At 100 TB this is one map stage fused into whole-stage codegen.
+_C4_MIN_LINE_WORDS = 5
+_C4_MIN_KEPT_LINES = 3
+# regex dialect intersection (Java / RE2): char class + $ anchor
+_C4_TERMINAL = '[.!?"]$'
+
+_C4_ORACLE = f"""
+with t as (
+  select doc_id, string_split(text, chr(10)) as ls from documents
+),
+k as (
+  select doc_id, len(ls) as n_lines,
+         list_filter(ls, x ->
+             regexp_matches(x, '{_C4_TERMINAL}')
+             and len(list_filter(string_split(x, ' '), y -> y != ''))
+                 >= {_C4_MIN_LINE_WORDS}
+             and not contains(lower(x), 'lorem ipsum')
+             and not contains(lower(x), 'javascript')
+             and not contains(lower(x), '{{')
+             and not contains(lower(x), 'cookie')) as kept
+  from t
+)
+select doc_id,
+       cast(n_lines as bigint) as n_lines,
+       cast(len(kept) as bigint) as n_kept,
+       len(kept) >= {_C4_MIN_KEPT_LINES} as doc_keep,
+       -- duck array_to_string([]) is NULL (Spark array_join gives ''):
+       length(coalesce(array_to_string(kept, chr(10)), '')) as n_chars_clean,
+       sha256(coalesce(array_to_string(kept, chr(10)), '')) as digest
+from k
+"""
+
+
+def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line rules: terminal punctuation + >=5 words + junk markers;
+    byte-exact kept-line reconstruction digest (see module comment)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ls = F.split(F.col("text"), "\n")
+
+    def _line_ok(x):
+        words = F.filter(F.split(x, " "), lambda y: y != "")
+        low = F.lower(x)
+        return (
+            x.rlike(_C4_TERMINAL)
+            & (F.size(words) >= _C4_MIN_LINE_WORDS)
+            & ~low.contains("lorem ipsum")
+            & ~low.contains("javascript")
+            & ~low.contains("{")
+            & ~low.contains("cookie")
+        )
+
+    k = docs.select(
+        "doc_id",
+        F.size(ls).cast("long").alias("n_lines"),
+        F.filter(ls, _line_ok).alias("kept"),
+    )
+    cleaned = F.array_join(F.col("kept"), "\n")
+    return k.select(
+        "doc_id",
+        "n_lines",
+        F.size("kept").cast("long").alias("n_kept"),
+        (F.size("kept") >= _C4_MIN_KEPT_LINES).alias("doc_keep"),
+        F.length(cleaned).alias("n_chars_clean"),
+        F.sha2(cleaned, 256).alias("digest"),
+    )
+
+
+QUERIES["text_c4_line_filter"] = text_c4_line_filter
+ORACLES["text_c4_line_filter"] = _C4_ORACLE
+
+
+# --- deterministic global shuffle into training shards: the last step
+# before tokenized corpus hits the trainer. orderBy(rand()) is both
+# non-deterministic (re-runs scatter differently, killing resume and
+# ablation comparability) and a single global sort; instead each doc
+# gets a shard from its md5 coin's top 60 bits (mod N_SHARDS) and a
+# within-shard position by (coin, doc_id) order — a pure function of
+# doc_id, identical on any engine / partitioning / re-run, and the
+# per-shard sorts run independently (at 100 TB you set N_SHARDS to
+# tens of thousands, one output file per shard, so no task ever sorts
+# more than corpus/N_SHARDS rows; the row_number window partitions BY
+# the shard key, so this is a hash exchange + per-partition sort, not
+# a global one). Same hex->bigint bridge as dedup.py's _H60 columns.
+_SHUF_SHARDS = 8
+
+_SHARD_ORACLE = f"""
+with c as (
+  select doc_id,
+         md5(cast(doc_id as varchar) || ':shard') as coin
+  from documents
+)
+select doc_id,
+       cast(cast(concat('0x', substr(coin, 1, 15)) as ubigint)
+            % {_SHUF_SHARDS} as bigint) as shard,
+       cast(row_number() over (
+            partition by cast(cast(concat('0x', substr(coin, 1, 15))
+                          as ubigint) % {_SHUF_SHARDS} as bigint)
+            order by coin, doc_id) as bigint) as pos
+from c
+"""
+
+
+def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle: md5-coin shard + within-shard position
+    (pure function of doc_id; see module comment for the scale shape)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import Window
+
+    coin = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard")))
+    c = docs.select("doc_id", coin.alias("coin"))
+    shard = (
+        F.conv(F.substring("coin", 1, 15), 16, 10).cast("bigint") % _SHUF_SHARDS
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy("coin", "doc_id")
+    return (
+        c.select("doc_id", "coin", shard)
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
+QUERIES["shard_shuffle"] = shard_shuffle
+ORACLES["shard_shuffle"] = _SHARD_ORACLE

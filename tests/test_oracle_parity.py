@@ -67,6 +67,9 @@ def test_driver_window_covers_flagships_and_new_ops():
         "dedup_span_ratio",
         "boilerplate_strip_source",
         "sample_token_budget",
+        "text_gopher_quality",
+        "text_c4_line_filter",
+        "shard_shuffle",
         "url_holdout_split",
         "url_canonicalize",
         "url_canonical_dupes",
@@ -269,6 +272,36 @@ def test_curation_oracles_survive_adversarial_text(spark, tmpdir_scratch):
         (9, "déjà vu über naïve café résumé", "fr", "src1", 0),
         (123456789012, "big id doc body words", "en", "src15", 0),
         (10, "ls ps  tokens with unicode seps", "en", "src2", 0),
+        # multi-line + junk markers (C4 line rules), stopword-dense,
+        # symbol-heavy, and long-word docs (Gopher rule card)
+        (
+            11,
+            "The lines of this doc end well.\nshort.\n"
+            "Enable javascript to proceed now ok.\n"
+            "We have that cookie banner text here.\n"
+            "A fine long line with the words!\n"
+            "Another fine long line of have words?\n"
+            "braces { here with many more words.\n"
+            "lorem ipsum dolor sit amet yes indeed.",
+            "en",
+            "src3",
+            0,
+        ),
+        (12, "the be to of and that have with " * 8 + "end.", "en", "src0", 0),
+        (
+            13,
+            "#### ### ...... symbols # everywhere ... " * 4 + "the end of that",
+            "en",
+            "src1",
+            0,
+        ),
+        (
+            14,
+            "supercalifragilisticexpialidocious " * 60 + "the of",
+            "en",
+            "src2",
+            0,
+        ),
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
     pdf.to_parquet(f"{tmpdir_scratch}/documents.parquet")
@@ -282,6 +315,9 @@ def test_curation_oracles_survive_adversarial_text(spark, tmpdir_scratch):
         "dedup_span_ratio",
         "boilerplate_strip_source",
         "sample_token_budget",
+        "text_gopher_quality",
+        "text_c4_line_filter",
+        "shard_shuffle",
     ):
         errs, delta = compare(
             cu.QUERIES[name](spark, tmpdir_scratch), con, cu.ORACLES[name], name
