@@ -6,6 +6,8 @@ data. It composes the oracle-verified curation operators into the
 decision chain a real pretraining pipeline ships —
 
     clean (language + quality + exact-dup survivor)   operators/textfns.py
+    -> C4 line rules (opt-in, rebuilds text)          curation.text_c4_line_filter
+    -> Gopher quality rule card (opt-in)              curation.text_gopher_quality
     -> Gopher repetition gates                        operators/curation.py
     -> frequency-rank (perplexity-analog) quality     operators/curation.py
     -> PII scrub (email/phone/IPv4 redaction)         same regex trio as
@@ -13,6 +15,7 @@ decision chain a real pretraining pipeline ships —
     -> deterministic train/valid/test holdout         md5-hex coin, same
                                                       discipline as
                                                       urlops.url_holdout_split
+    -> deterministic trainer shard assignment         curation.shard_coin/_of
 
 — writes the curated corpus partitioned by split, and prints one JSON
 metrics line per stage (rows_in, rows_out, dropped) plus a final
@@ -42,17 +45,38 @@ import json
 from pyspark.sql import functions as F
 
 
-def curate(spark, input_dir: str):
+#: default gate chain; "c4" and "gopher_quality" are opt-in dials — the
+#: C4 line rules and the full Gopher rule card assume prose-shaped text
+#: (terminal punctuation, English stop words), so a recipe flips them on
+#: per corpus rather than eating a 100% kill rate on corpora they don't
+#: fit (exactly how C4/MassiveText pipelines stage their own gates).
+DEFAULT_GATES = ("clean", "repetition", "rank")
+ALL_GATES = ("clean", "c4", "gopher_quality", "repetition", "rank")
+
+
+def curate(spark, input_dir: str, gates=DEFAULT_GATES, n_shards: int = 8):
     """Return (curated DataFrame, stage-metrics list). ``input_dir``
-    must contain documents.parquet (the input_hint documents shape)."""
+    must contain documents.parquet (the input_hint documents shape).
+    ``gates`` picks the decision chain (subset of ALL_GATES, order
+    fixed); when "c4" is on, surviving documents are REBUILT from their
+    surviving lines before the scrub."""
     from ocr_application_spark.operators.curation import (
         _RE_EMAIL,
         _RE_IP,
         _RE_PHONE,
+        c4_kept_lines,
+        shard_coin,
+        shard_of,
+        text_c4_line_filter,
+        text_gopher_quality,
         text_gopher_repetition,
         text_rank_quality,
     )
     from ocr_application_spark.operators.textfns import corpus_clean_pipeline
+
+    unknown = set(gates) - set(ALL_GATES)
+    if unknown:
+        raise ValueError(f"unknown gates: {sorted(unknown)}")
 
     docs = spark.read.parquet(f"{input_dir}/documents.parquet")
     rows_in = docs.count()
@@ -75,16 +99,36 @@ def curate(spark, input_dir: str):
         return out
 
     cur = docs.select("doc_id")
-    cur = gate("clean_lang_quality_dedup", corpus_clean_pipeline(spark, input_dir),
-               cur, keep_col="kept")
-    cur = gate("gopher_repetition", text_gopher_repetition(spark, input_dir), cur)
-    cur = gate("rank_quality", text_rank_quality(spark, input_dir), cur)
+    if "clean" in gates:
+        cur = gate("clean_lang_quality_dedup",
+                   corpus_clean_pipeline(spark, input_dir), cur,
+                   keep_col="kept")
+    if "c4" in gates:
+        cur = gate("c4_line_rules", text_c4_line_filter(spark, input_dir),
+                   cur, keep_col="doc_keep")
+    if "gopher_quality" in gates:
+        cur = gate("gopher_quality", text_gopher_quality(spark, input_dir),
+                   cur)
+    if "repetition" in gates:
+        cur = gate("gopher_repetition",
+                   text_gopher_repetition(spark, input_dir), cur)
+    if "rank" in gates:
+        cur = gate("rank_quality", text_rank_quality(spark, input_dir), cur)
+
+    # when the c4 gate ran, the shipped text is the line-filtered
+    # reconstruction (kept lines rejoined in order) — the same bytes the
+    # operator's oracle pins via sha256
+    body = (
+        F.array_join(c4_kept_lines(F.col("text")), "\n")
+        if "c4" in gates
+        else F.col("text")
+    )
 
     # PII scrub rewrites the surviving text in place (same fixed
     # email -> phone -> IP order as the oracle-checked operator)
     scrubbed = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col("text"), _RE_EMAIL, "<EMAIL>"),
+            F.regexp_replace(body, _RE_EMAIL, "<EMAIL>"),
             _RE_PHONE, "<PHONE>"),
         _RE_IP, "<IP>")
 
@@ -106,6 +150,10 @@ def curate(spark, input_dir: str):
             "source",
             F.length(scrubbed).alias("n_chars"),
             split.alias("split"),
+            # trainer hand-off: deterministic shard from the shuffle
+            # coin (pure function of doc_id — same spec as the
+            # shard_shuffle operator), so re-runs regroup identically
+            shard_of(shard_coin(F.col("doc_id")), n_shards).alias("shard"),
         )
     )
     return curated, metrics
@@ -116,13 +164,20 @@ def main() -> None:
     ap.add_argument("--input", required=True,
                     help="directory containing documents.parquet")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--gates", default=",".join(DEFAULT_GATES),
+                    help=f"comma list from {ALL_GATES} (order is fixed; "
+                         "'c4' rebuilds text from surviving lines)")
+    ap.add_argument("--shards", type=int, default=8,
+                    help="trainer hand-off shard count (deterministic)")
     args = ap.parse_args()
 
     from ocr_application_spark.session import get_spark
 
     spark = get_spark("curate_job")
     try:
-        curated, metrics = curate(spark, args.input)
+        gates = tuple(g for g in args.gates.split(",") if g)
+        curated, metrics = curate(spark, args.input, gates=gates,
+                                  n_shards=args.shards)
         (
             curated.write.mode("overwrite")
             .partitionBy("split")

@@ -1131,28 +1131,34 @@ from k
 """
 
 
+def _c4_line_ok(x):
+    """The per-line C4 keep predicate (shared by the queries() operator
+    and jobs/curate_job.py's opt-in c4 gate)."""
+    words = F.filter(F.split(x, " "), lambda y: y != "")
+    low = F.lower(x)
+    return (
+        x.rlike(_C4_TERMINAL)
+        & (F.size(words) >= _C4_MIN_LINE_WORDS)
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("javascript")
+        & ~low.contains("{")
+        & ~low.contains("cookie")
+    )
+
+
+def c4_kept_lines(text_col):
+    """Array of surviving lines for ``text_col``, original order."""
+    return F.filter(F.split(text_col, "\n"), _c4_line_ok)
+
+
 def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line rules: terminal punctuation + >=5 words + junk markers;
     byte-exact kept-line reconstruction digest (see module comment)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ls = F.split(F.col("text"), "\n")
-
-    def _line_ok(x):
-        words = F.filter(F.split(x, " "), lambda y: y != "")
-        low = F.lower(x)
-        return (
-            x.rlike(_C4_TERMINAL)
-            & (F.size(words) >= _C4_MIN_LINE_WORDS)
-            & ~low.contains("lorem ipsum")
-            & ~low.contains("javascript")
-            & ~low.contains("{")
-            & ~low.contains("cookie")
-        )
-
     k = docs.select(
         "doc_id",
-        F.size(ls).cast("long").alias("n_lines"),
-        F.filter(ls, _line_ok).alias("kept"),
+        F.size(F.split(F.col("text"), "\n")).cast("long").alias("n_lines"),
+        c4_kept_lines(F.col("text")).alias("kept"),
     )
     cleaned = F.array_join(F.col("kept"), "\n")
     return k.select(
@@ -1200,17 +1206,25 @@ from c
 """
 
 
+def shard_coin(doc_id_col):
+    """The md5 shuffle coin (shared with jobs/curate_job.py)."""
+    return F.md5(F.concat(doc_id_col.cast("string"), F.lit(":shard")))
+
+
+def shard_of(coin_col, n_shards: int):
+    """Shard from the coin's top 60 bits (same hex bridge as dedup's
+    _H60 columns — exact on both engines)."""
+    return F.conv(F.substring(coin_col, 1, 15), 16, 10).cast("bigint") % n_shards
+
+
 def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shuffle: md5-coin shard + within-shard position
     (pure function of doc_id; see module comment for the scale shape)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from pyspark.sql import Window
 
-    coin = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard")))
-    c = docs.select("doc_id", coin.alias("coin"))
-    shard = (
-        F.conv(F.substring("coin", 1, 15), 16, 10).cast("bigint") % _SHUF_SHARDS
-    ).alias("shard")
+    c = docs.select("doc_id", shard_coin(F.col("doc_id")).alias("coin"))
+    shard = shard_of(F.col("coin"), _SHUF_SHARDS).alias("shard")
     w = Window.partitionBy("shard").orderBy("coin", "doc_id")
     return (
         c.select("doc_id", "coin", shard)

@@ -171,7 +171,7 @@ def test_spark_submit_curate_job(spark, tmpdir_scratch):
     assert lines[-1]["rows_out"] == lines[-2]["rows_out"] > 0
     out = spark.read.parquet(tmpdir_scratch + "/curated")
     assert set(out.columns) == {"doc_id", "text", "lang", "source",
-                                "n_chars", "split"}
+                                "n_chars", "split", "shard"}
     splits = {row["split"] for row in out.select("split").distinct().collect()}
     assert splits <= {"train", "valid", "test"} and "train" in splits
     # the curated rows are exactly the docs every gate kept, and the
@@ -181,3 +181,108 @@ def test_spark_submit_curate_job(spark, tmpdir_scratch):
     expect = (F.when(coin < "e6666666", "train")
               .when(coin < "f3333333", "valid").otherwise("test"))
     assert out.filter(F.col("split") != expect).count() == 0
+    # the trainer shard is the same pure function of doc_id as the
+    # shard_shuffle operator
+    shard_expect = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint") % 8
+    )
+    assert out.filter(F.col("shard") != shard_expect).count() == 0
+
+
+def test_curate_optin_gates_rebuild_text(spark, tmpdir_scratch):
+    """The opt-in c4 + gopher_quality gates must (a) drop exactly the
+    docs their rules condemn and (b) rebuild each surviving document
+    from its surviving lines — checked against an independent Python
+    twin of the line rules. Unknown gate names must fail loudly."""
+    import re
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from jobs.curate_job import ALL_GATES, curate
+
+    # prose generator: rotating word banks so no 2-/5-gram repeats
+    # (survives gopher_repetition), a small head vocabulary + the Gopher
+    # stop words so the rank/rule-card gates pass, junk lines that the
+    # c4 rules strip from the rebuilt text
+    tails = (
+        "river stone market garden window travel yellow copper bridge "
+        "candle forest meadow silver hammer basket lantern orchard harbor "
+        "village wagon barrel cellar chimney saddle kettle ribbon ladder "
+        "anchor marble velvet walnut falcon timber canvas pepper saffron "
+        "compass harvest quarry signal"
+    ).split()
+    heads = "water light sound earth music metal paper glass".split()
+    pairs = [("the", "of"), ("and", "with"), ("that", "be"), ("have", "to")]
+
+    def doc_text(i):
+        lines = []
+        for j in range(8):
+            t = lambda k: tails[(i * 7 + j * 5 + k * 3) % len(tails)]
+            h = lambda k: heads[(i + 3 * j + k) % len(heads)]
+            s1, s2 = pairs[j % 4]
+            ws = [t(0), s1, h(0), h(1), h(2), s2, h(3), t(1)]
+            lines.append(" ".join(ws) + ".")
+        lines.insert(2, "enable javascript in your browser")
+        lines.insert(5, "tiny.")
+        return "\n".join(lines)
+
+    rows = [(i, doc_text(i), "en", f"src{i % 3}", 0) for i in range(40)]
+    # die at clean (no stop words, exact dups of each other)
+    rows += [(100 + i, "no punctuation anywhere here", "en", "src0", 28)
+             for i in range(4)]
+    # dies at c4 (good prose words, but a single unpunctuated line)
+    rows += [(200, doc_text(3).replace("\n", " ").replace(".", ""),
+              "en", "src1", 0)]
+    # dies at gopher_quality (symbol-heavy words flip r_symbols; its
+    # lines still end in '.', so c4 passes it through)
+    sym = "\n".join(
+        " ".join(["###"] * 3 + [w for p in pairs for w in p][:2]
+                 + [tails[(k * 11 + j) % len(tails)] for k in range(3)]) + "."
+        for j in range(8)
+    )
+    rows += [(201, sym, "en", "src2", 0)]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf.to_parquet(f"{tmpdir_scratch}/documents.parquet")
+
+    with _pytest.raises(ValueError, match="unknown gates"):
+        curate(spark, tmpdir_scratch, gates=("clean", "nope"))
+
+    curated, metrics = curate(spark, tmpdir_scratch, gates=ALL_GATES)
+    stages = {m["stage"]: m for m in metrics}
+    assert list(stages) == [
+        "clean_lang_quality_dedup", "c4_line_rules", "gopher_quality",
+        "gopher_repetition", "rank_quality",
+    ]
+    for prev, cur in zip(metrics, metrics[1:]):
+        assert cur["rows_in"] == prev["rows_out"]
+        assert cur["rows_out"] <= cur["rows_in"]
+    assert stages["c4_line_rules"]["dropped"] >= 1       # doc 200
+    assert stages["gopher_quality"]["dropped"] >= 1      # doc 201
+
+    def line_ok(line: str) -> bool:
+        low = line.lower()
+        return (
+            re.search(r'[.!?"]$', line) is not None
+            and len([w for w in line.split(" ") if w]) >= 5
+            and "lorem ipsum" not in low
+            and "javascript" not in low
+            and "{" not in low
+            and "cookie" not in low
+        )
+
+    got = curated.select("doc_id", "text").collect()
+    assert {r["doc_id"] for r in got} == set(range(40))
+    for r in got:
+        expected = "\n".join(
+            l for l in doc_text(r["doc_id"]).split("\n") if line_ok(l)
+        )
+        assert r["text"] == expected
