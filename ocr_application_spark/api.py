@@ -43,6 +43,10 @@ from ocr_application_spark.operators.curation import (  # noqa: F401
     decontaminate_13gram,
     dedup_paragraphs,
     sample_stratified,
+    sample_token_budget,
+    shard_shuffle,
+    text_c4_line_filter,
+    text_gopher_quality,
     text_pii_scrub,
 )
 from ocr_application_spark.sources.snapshots import (  # noqa: F401

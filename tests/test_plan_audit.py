@@ -342,3 +342,25 @@ def test_boilerplate_strip_is_jvm_reassembly_no_window(spark):
     assert "CartesianProduct" not in plan, plan
     assert "WindowExec" not in plan and "(1) Window" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_gopher_rule_card_and_c4_are_zero_exchange_scans(spark):
+    # both are pure scan projections (array HOFs + integer compares /
+    # list-filter + rejoin): no exchange, no window, no Python — at
+    # 100 TB each is one map stage fused into whole-stage codegen
+    for name in ("text_gopher_quality", "text_c4_line_filter"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, (name, plan)
+        assert "EvalPython" not in plan, (name, plan)
+        assert "WindowExec" not in plan and "(1) Window" not in plan, name
+
+
+def test_shard_shuffle_is_one_exchange_per_shard_sort(spark):
+    # deterministic shuffle = ONE hash exchange on the shard key plus a
+    # per-shard (partitioned) sort for row_number — never a global sort
+    plan = plan_of(spark, "shard_shuffle")
+    assert plan.count("hashpartitioning(shard") == 1, plan
+    assert "rangepartitioning" not in plan, plan  # no global sort
+    assert "EvalPython" not in plan, plan
+    # the window is PARTITIONED by shard (not a single-partition window)
+    assert re.search(r"windowspecdefinition\(shard", plan), plan
