@@ -68,8 +68,8 @@ def _modules():
     ]
 
 
-# Rotated to the back of the queries() ordering this round so the nine
-# new curation operators (never driver-checked) land inside the driver's
+# Rotated to the back of the queries() ordering so every round-3
+# curation operator (never driver-checked) lands inside the driver's
 # 50-entry window. Every name here was driver-green in CORRECTNESS_r02
 # and its implementation is unchanged since (local oracle parity still
 # covers them in tests/test_oracle_parity.py); ann_ivf_topk is rows-only
@@ -93,6 +93,8 @@ _ROTATED_BACK = (
     "w4_top1_argmax",
     "f7_table_size_filter",
     "text_token_stats",
+    "text_langid_heuristic",
+    "text_quality_score",
 )
 
 

@@ -137,6 +137,8 @@ def main() -> None:
             "text_gopher_quality",
             "text_c4_line_filter",
             "shard_shuffle",
+            "url_crawl_filter",
+            "sample_epochs_weighted",
         ]
 
         def run(name: str) -> None:

@@ -42,12 +42,17 @@ from ocr_application_spark.pipeline import (  # noqa: F401
 from ocr_application_spark.operators.curation import (  # noqa: F401
     decontaminate_13gram,
     dedup_paragraphs,
+    sample_epochs_weighted,
     sample_stratified,
     sample_token_budget,
     shard_shuffle,
     text_c4_line_filter,
     text_gopher_quality,
     text_pii_scrub,
+)
+from ocr_application_spark.operators.urlops import (  # noqa: F401
+    canonical_url,
+    url_crawl_filter,
 )
 from ocr_application_spark.sources.snapshots import (  # noqa: F401
     commit as commit_snapshot,

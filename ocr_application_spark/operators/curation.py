@@ -1238,3 +1238,84 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["shard_shuffle"] = shard_shuffle
 ORACLES["shard_shuffle"] = _SHARD_ORACLE
+
+
+# --- epoch-weighted source upsampling (the data-recipe repeat dial:
+# LLaMA/FineWeb-style recipes repeat high-quality sources fractional
+# numbers of epochs, e.g. Wikipedia x2.5, web x0.9). A weight w = p/q
+# (exact rational, here derived deterministically from the source name
+# so the fixture exercises the whole 0.1..3.0 range; production passes
+# its own table) turns into per-document copy counts:
+#   n_copies = p // q  +  (coin < floor((p % q) * 2^32 / q) as hex)
+# — integer part for everyone, fractional part decided by the same
+# fixed-width md5-hex coin discipline as the samplers above. Every
+# arithmetic step is exact bigint, so any engine, any partitioning,
+# any re-run produces the IDENTICAL multiset of copies; expected copy
+# mass per source is exactly w * n_s. Rows explode via sequence() —
+# list state bounded by ceil(w), no window, no UDF, no shuffle at all.
+_EPOCH_Q = 10  # weights are tenths: p in 1..30 -> w in 0.1..3.0
+
+_EPOCHS_ORACLE = f"""
+with w as (
+  select doc_id, source,
+         1 + cast(cast(concat('0x', substr(md5(source), 1, 15)) as ubigint)
+                  % 30 as bigint) as p,
+         substr(md5(cast(doc_id as varchar) || ':epoch'), 1, 8) as coin
+  from documents
+),
+c as (
+  select doc_id, source, p,
+         (p // {_EPOCH_Q})
+         + case when coin < lpad(lower(to_hex(
+                    ((p % {_EPOCH_Q}) * 4294967296) // {_EPOCH_Q})), 8, '0')
+                then 1 else 0 end as n_copies
+  from w
+)
+select doc_id, source, cast(p as bigint) as weight_tenths,
+       cast(n_copies as bigint) as n_copies,
+       cast(copy as bigint) as copy
+from c, unnest(range(1, n_copies + 1)) u(copy)
+"""
+
+
+def sample_epochs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (doc, epoch copy) under exact-rational per-source
+    weights (see module comment: integer part + md5-coin fractional)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = 1 + (
+        F.conv(F.substring(F.md5("source"), 1, 15), 16, 10).cast("bigint") % 30
+    )
+    coin = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch"))), 1, 8
+    )
+    w = docs.select(
+        "doc_id", "source", p.alias("p"), coin.alias("coin")
+    )
+    frac_hex = F.expr(
+        f"lpad(lower(hex(div((p % {_EPOCH_Q}) * 4294967296, {_EPOCH_Q}))), 8, '0')"
+    )
+    c = w.select(
+        "doc_id",
+        "source",
+        "p",
+        (
+            F.expr(f"div(p, {_EPOCH_Q})")
+            + F.when(F.col("coin") < frac_hex, 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return (
+        c.filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.col("p").cast("long").alias("weight_tenths"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies").cast("long"))
+            ).alias("copy"),
+        )
+    )
+
+
+QUERIES["sample_epochs_weighted"] = sample_epochs_weighted
+ORACLES["sample_epochs_weighted"] = _EPOCHS_ORACLE

@@ -252,3 +252,129 @@ def url_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --- crawl-frontier URL filtering (the RefinedWeb §3.1 / C4 discipline:
+# kill bad documents by their URL BEFORE fetching or parsing a byte —
+# at crawl scale the URL filter is the cheapest gate in the pipeline).
+# Four rule families, each its own boolean so kill rates are auditable
+# per rule:
+#   r_domain  host (after canonicalization's case/www handling) is not
+#             on the blocklist (fixture: Host7/Host8 play the role of
+#             the spam-domain list; production swaps in the real list —
+#             the broadcast-join shape is identical at any list size)
+#   r_ext     path does not end in a non-text asset extension
+#   r_path    no junk path segments (/tag/, /search, /login, /cart)
+#   r_query   no session-id query params (sessionid=, phpsessid=, sid=)
+# All string predicates run on the LOWERCASED url — pure scan
+# projection except the tiny blocklist broadcast. The fixture url is
+# the shared _RAW_SQL synthesis plus deterministic junk injection
+# (same engine-identical string building as the PII fixture).
+_URLF_JUNK_SQL = """
+    (case when doc_id % 11 = 0 then '/tag/archive' else '' end
+     || case when doc_id % 13 = 0 then '/img.jpg' else '' end)
+"""
+
+_URLF_SESSION_SQL = """
+    (case when doc_id % 17 = 0 then '&PHPSESSID=deadbeef' else '' end)
+"""
+
+_BLOCKED_HOSTS = ("host7.example.com", "host8.example.com")
+
+_URLF_ORACLE = f"""
+with u as (
+  select doc_id,
+         lower({_RAW_SQL} || {_URLF_JUNK_SQL} || {_URLF_SESSION_SQL})
+           as url_l
+  from documents
+),
+h as (
+  select doc_id, url_l,
+         replace(string_split(string_split(url_l, '://')[2], '/')[1],
+                 'www.', '') as hostport
+  from u
+),
+r as (
+  select doc_id, url_l,
+         string_split(hostport, ':')[1] as host,
+         string_split(string_split(url_l, '?')[1], '://')[2] as prequery
+  from h
+)
+select doc_id, host,
+       host not in ('{_BLOCKED_HOSTS[0]}', '{_BLOCKED_HOSTS[1]}')
+         as r_domain,
+       not (prequery like '%.jpg' or prequery like '%.png'
+            or prequery like '%.gif' or prequery like '%.css'
+            or prequery like '%.js' or prequery like '%.zip') as r_ext,
+       not (contains(prequery, '/tag/') or contains(prequery, '/search')
+            or contains(prequery, '/login') or contains(prequery, '/cart'))
+         as r_path,
+       not (contains(url_l, 'sessionid=') or contains(url_l, 'phpsessid=')
+            or contains(url_l, '&sid=') or contains(url_l, '?sid='))
+         as r_query,
+       (host not in ('{_BLOCKED_HOSTS[0]}', '{_BLOCKED_HOSTS[1]}'))
+         and not (prequery like '%.jpg' or prequery like '%.png'
+                  or prequery like '%.gif' or prequery like '%.css'
+                  or prequery like '%.js' or prequery like '%.zip')
+         and not (contains(prequery, '/tag/') or contains(prequery, '/search')
+                  or contains(prequery, '/login')
+                  or contains(prequery, '/cart'))
+         and not (contains(url_l, 'sessionid=')
+                  or contains(url_l, 'phpsessid=')
+                  or contains(url_l, '&sid=') or contains(url_l, '?sid='))
+         as keep
+from r
+"""
+
+
+@_q("url_crawl_filter", _URLF_ORACLE)
+def url_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL crawl-filter rule booleans + keep verdict (see module
+    comment: domain blocklist, asset extension, junk path, session id)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    junk = F.concat(
+        F.when(did % 11 == 0, F.lit("/tag/archive")).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit("/img.jpg")).otherwise(F.lit("")),
+    )
+    sess = F.when(did % 17 == 0, F.lit("&PHPSESSID=deadbeef")).otherwise(
+        F.lit("")
+    )
+    url_l = F.lower(F.concat(_raw_url(), junk, sess))
+    hostport = F.replace(
+        F.split(F.split(url_l, "://").getItem(1), "/").getItem(0),
+        F.lit("www."),
+        F.lit(""),
+    )
+    host = F.split(hostport, ":").getItem(0)
+    prequery = F.split(F.split(url_l, r"\?").getItem(0), "://").getItem(1)
+    r_domain = ~host.isin(*_BLOCKED_HOSTS)
+    r_ext = ~(
+        prequery.endswith(".jpg")
+        | prequery.endswith(".png")
+        | prequery.endswith(".gif")
+        | prequery.endswith(".css")
+        | prequery.endswith(".js")
+        | prequery.endswith(".zip")
+    )
+    r_path = ~(
+        prequery.contains("/tag/")
+        | prequery.contains("/search")
+        | prequery.contains("/login")
+        | prequery.contains("/cart")
+    )
+    r_query = ~(
+        url_l.contains("sessionid=")
+        | url_l.contains("phpsessid=")
+        | url_l.contains("&sid=")
+        | url_l.contains("?sid=")
+    )
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        r_domain.alias("r_domain"),
+        r_ext.alias("r_ext"),
+        r_path.alias("r_path"),
+        r_query.alias("r_query"),
+        (r_domain & r_ext & r_path & r_query).alias("keep"),
+    )
