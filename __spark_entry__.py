@@ -95,6 +95,7 @@ _ROTATED_BACK = (
     "text_token_stats",
     "text_langid_heuristic",
     "text_quality_score",
+    "dedup_exact",
 )
 
 

@@ -139,6 +139,7 @@ def main() -> None:
             "shard_shuffle",
             "url_crawl_filter",
             "sample_epochs_weighted",
+            "dedup_consecutive_lines",
         ]
 
         def run(name: str) -> None:

@@ -41,6 +41,7 @@ from ocr_application_spark.pipeline import (  # noqa: F401
 )
 from ocr_application_spark.operators.curation import (  # noqa: F401
     decontaminate_13gram,
+    dedup_consecutive_lines,
     dedup_paragraphs,
     sample_epochs_weighted,
     sample_stratified,

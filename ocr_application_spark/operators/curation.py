@@ -1319,3 +1319,61 @@ def sample_epochs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sample_epochs_weighted"] = sample_epochs_weighted
 ORACLES["sample_epochs_weighted"] = _EPOCHS_ORACLE
+
+
+# --- consecutive-duplicate-line collapse (the Dolma / RedPajama
+# within-document repetition cleanup: crawled pages carry runs of the
+# same line — nav items, pagination, chat scroll artifacts — that
+# survive document-level dedup because the DOCUMENT is unique). Runs of
+# byte-identical consecutive lines collapse to their first occurrence;
+# the document is REBUILT and pinned by sha256, like the other
+# text-rewriting oracles. Zero-shuffle scan projection: the keep
+# decision for line i is local (compare to line i-1 via an
+# index-lambda; the i == 0 branch short-circuits before the 1-based
+# element_at can see index 0, on both engines).
+_LINEDEDUP_ORACLE = """
+with t as (
+  select doc_id, string_split(text, chr(10)) as ls from documents
+),
+k as (
+  select doc_id, len(ls) as n_lines,
+         list_filter(ls, (x, i) -> i = 1 or x != ls[i - 1]) as kept
+  from t
+)
+select doc_id,
+       cast(n_lines as bigint) as n_lines,
+       cast(len(kept) as bigint) as n_kept,
+       length(coalesce(array_to_string(kept, chr(10)), '')) as n_chars_clean,
+       sha256(coalesce(array_to_string(kept, chr(10)), '')) as digest
+from k
+"""
+
+
+def dedup_consecutive_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse runs of identical consecutive lines; byte-exact rebuilt
+    text via sha256 (see module comment)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select("doc_id", F.split(F.col("text"), "\n").alias("ls"))
+    kept = F.filter(
+        F.col("ls"),
+        lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+            x != F.element_at(F.col("ls"), i)
+        ),
+    )
+    k = t.select(
+        "doc_id",
+        F.size("ls").cast("long").alias("n_lines"),
+        kept.alias("kept"),
+    )
+    cleaned = F.array_join(F.col("kept"), "\n")
+    return k.select(
+        "doc_id",
+        "n_lines",
+        F.size("kept").cast("long").alias("n_kept"),
+        F.length(cleaned).alias("n_chars_clean"),
+        F.sha2(cleaned, 256).alias("digest"),
+    )
+
+
+QUERIES["dedup_consecutive_lines"] = dedup_consecutive_lines
+ORACLES["dedup_consecutive_lines"] = _LINEDEDUP_ORACLE

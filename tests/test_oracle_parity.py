@@ -72,6 +72,7 @@ def test_driver_window_covers_flagships_and_new_ops():
         "shard_shuffle",
         "url_crawl_filter",
         "sample_epochs_weighted",
+        "dedup_consecutive_lines",
         "url_holdout_split",
         "url_canonicalize",
         "url_canonical_dupes",
@@ -321,6 +322,7 @@ def test_curation_oracles_survive_adversarial_text(spark, tmpdir_scratch):
         "text_c4_line_filter",
         "shard_shuffle",
         "sample_epochs_weighted",
+        "dedup_consecutive_lines",
     ):
         errs, delta = compare(
             cu.QUERIES[name](spark, tmpdir_scratch), con, cu.ORACLES[name], name
