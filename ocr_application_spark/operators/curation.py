@@ -1032,14 +1032,19 @@ from m
 """
 
 
-def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-rule Gopher quality booleans (exact-integer ratio forms);
-    see module comment for the rule card."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def gopher_quality_frame(docs: DataFrame, extra: dict | None = None) -> DataFrame:
+    """The rule card over ANY (doc_id, text) frame — batch or streaming
+    (every expression is a stateless projection, so the same plan runs
+    unchanged under readStream; streaming/stream.py builds on this).
+    ``extra`` maps output-column name -> Column computed from ``docs``'s
+    columns; they ride along in the same projection (streams cannot
+    self-join to re-attach text-derived columns afterwards)."""
+    extra = extra or {}
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     stops = F.array(*[F.lit(s.strip("'")) for s in _GOPHER_STOPS.split(",")])
     m = docs.select(
         "doc_id",
+        *[c.alias(n) for n, c in extra.items()],
         F.size(w).cast("long").alias("n_words"),
         F.coalesce(
             F.aggregate(
@@ -1079,6 +1084,15 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_al.alias("r_alpha"),
         r_st.alias("r_stop"),
         (r_wc & r_ml & r_sy & r_al & r_st).alias("keep"),
+        *extra.keys(),
+    )
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule Gopher quality booleans (exact-integer ratio forms);
+    see module comment for the rule card."""
+    return gopher_quality_frame(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
 
 

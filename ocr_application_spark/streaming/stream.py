@@ -170,3 +170,64 @@ def run_stream_to_table(
         .start()
     )
     return q
+
+
+# --- streaming curation ------------------------------------------------------
+
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def stream_documents(
+    spark: SparkSession, input_path: str, max_files: int = 8
+) -> DataFrame:
+    """File-source stream of the input_hint documents table (the crawl
+    feed for the curation chain)."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_path)
+    )
+
+
+def stream_curate(docs: DataFrame) -> DataFrame:
+    """Curation verdicts on a STREAM (or batch frame — same code): the
+    Gopher rule card + C4 line rules + the PII-scrubbed digest as ONE
+    stateless projection. The expressions are the batch operators' own
+    (curation.gopher_quality_frame / c4_kept_lines / the regex trio
+    ride along via the card's ``extra`` projection — streams cannot
+    self-join to re-attach text-derived columns), so per-doc values are
+    identical to batch by construction and tests/test_streaming.py pins
+    stream == batch at the value level. Stateless means no watermark
+    and scan-bound throughput; stream_dedup_urls composes in front for
+    recrawl-dedup when the feed carries urls."""
+    from ocr_application_spark.operators.curation import (
+        _RE_EMAIL,
+        _RE_IP,
+        _RE_PHONE,
+        _C4_MIN_KEPT_LINES,
+        c4_kept_lines,
+        gopher_quality_frame,
+    )
+
+    kept = c4_kept_lines(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _RE_EMAIL, "<EMAIL>"),
+            _RE_PHONE,
+            "<PHONE>",
+        ),
+        _RE_IP,
+        "<IP>",
+    )
+    out = gopher_quality_frame(
+        docs,
+        extra={
+            "c4_kept_lines": F.size(kept).cast("long"),
+            "c4_keep": F.size(kept) >= _C4_MIN_KEPT_LINES,
+            "c4_digest": F.sha2(F.array_join(kept, "\n"), 256),
+            "scrub_digest": F.sha2(scrubbed, 256),
+        },
+    )
+    return out.withColumnRenamed("keep", "gopher_keep")

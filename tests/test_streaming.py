@@ -124,3 +124,56 @@ def test_stream_dedup_urls(spark, tmpdir_scratch):
     rows = spark.sql("select url_canonical, count(*) n from dedup_out group by 1").collect()
     assert len(rows) == N  # every logical page survives exactly once
     assert all(r.n == 1 for r in rows)
+
+
+def test_stream_curate_matches_batch(spark, tmpdir_scratch):
+    """The curation verdict stream (Gopher rule card + C4 line rules +
+    PII-scrub digest as one stateless projection) must be value-identical
+    to the batch form of the same expressions — every column, including
+    the reconstruction digests, on text with lines/junk/PII/unicode."""
+    import shutil
+
+    from ocr_application_spark.streaming.stream import (
+        stream_curate,
+        stream_documents,
+    )
+
+    src = tmpdir_scratch + "/docs_curate"
+    rows = [
+        (0, "", "en", "s0", 0),
+        (
+            1,
+            "A proper first line with enough words.\nshort.\n"
+            "Enable javascript to continue browsing now.\n"
+            "The quick brown fox jumps over the lazy dog and that is that.\n"
+            "Second proper line with plenty of words here!\n"
+            "Third proper line with plenty of words too?",
+            "en",
+            "s1",
+            0,
+        ),
+        (2, "mail me at spam@mail.example or call 415-555-0000 now.", "en", "s2", 0),
+        (3, "déjà vu über café " * 20, "fr", "s3", 0),
+        (4, "#### ### ... " * 30 + "the end of that have with", "en", "s0", 0),
+        (123456789012, "big id doc body words " * 10, "en", "s1", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(src)
+
+    batch = stream_curate(spark.read.parquet(src))
+    q = (
+        stream_curate(stream_documents(spark, src))
+        .writeStream.format("memory")
+        .queryName("curate_out")
+        .option("checkpointLocation", tmpdir_scratch + "/ckpt_curate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.table("curate_out")
+    assert got.count() == len(rows)
+    # exact multiset equality across every column (digests included)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    shutil.rmtree(tmpdir_scratch + "/ckpt_curate", ignore_errors=True)
