@@ -132,3 +132,27 @@ def test_quarantine_routes_to_explicit_path(spark, tmpdir_scratch, monkeypatch):
     assert out_n + q.count() == 60
     assert set(q.select("status").distinct().toPandas()["status"]) == {"error:oversize"}
     assert not os.path.exists(tmpdir_scratch + "/out_quarantine")
+
+
+def test_normalize_kernel_matches_core_bytes(spark, tmpdir_scratch):
+    """The standalone normalize stage (SURVEY §2.8 ``normalize(df)``)
+    must reproduce core.decode_html + repair_mojibake byte-for-byte per
+    url, and agree with the fused extraction kernel's decode (same core
+    functions by construction)."""
+    from ocr_application_spark.core.extraction_core import (
+        decode_html,
+        repair_mojibake,
+    )
+    from ocr_application_spark.kernels.normalize import normalize
+    from ocr_application_spark.sources.webpages import synth_pages
+
+    pages = synth_pages(spark, 300)
+    got = {r["url"]: (r["charset"], r["html_norm"]) for r in normalize(pages).collect()}
+    raw = {r["url"]: r["html"] for r in pages.select("url", "html").collect()}
+    assert len(got) == 300
+    for url, payload in raw.items():
+        charset, text = got[url]
+        if payload is None:
+            assert (charset, text) == ("none", "")
+        else:
+            assert text == repair_mojibake(decode_html(bytes(payload)))
