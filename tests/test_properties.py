@@ -261,3 +261,76 @@ def test_adversarial_chain_falls_back_to_star(spark, monkeypatch):
         got = {r.doc_id: r.rep for r in dd.propagate_components(pairs, nodes).collect()}
     assert got == expected
     assert any("star contraction" in str(w.message) for w in caught)
+
+
+def test_text_rewriting_ops_match_python_twins(spark, tmpdir_scratch):
+    """Seeded-random fuzz for the two line-rewriting operators: the
+    Spark output (counts + rebuilt-text sha256) must equal a pure-Python
+    twin on arbitrary text — unicode, control chars, quote/punct edge
+    cases, empty/whitespace lines, long runs. One Spark round trip for
+    the whole corpus (per-example round trips would be minutes)."""
+    import hashlib
+    import random
+    import re
+
+    import pandas as pd
+
+    from ocr_application_spark.operators.curation import (
+        dedup_consecutive_lines,
+        text_c4_line_filter,
+    )
+
+    rng = random.Random(1234)
+    alphabet = (
+        "abcdefgh .!?\"{}éü　 #\t'"
+        "javascript cookie lorem ipsum"
+    )
+    words = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+             for _ in range(60)]
+    docs = []
+    for i in range(300):
+        n_lines = rng.randint(0, 12)
+        lines = []
+        for _ in range(n_lines):
+            ws = [rng.choice(words) for _ in range(rng.randint(0, 9))]
+            line = " ".join(ws)
+            if rng.random() < 0.4:
+                line += rng.choice(".!?\"")
+            if rng.random() < 0.25 and lines:
+                line = lines[-1]  # consecutive duplicate runs
+            lines.append(line)
+        docs.append((i, "\n".join(lines)))
+    pdf = pd.DataFrame(
+        [(i, t, "en", "s", 0) for i, t in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf.to_parquet(f"{tmpdir_scratch}/documents.parquet")
+
+    def sha(s):
+        return hashlib.sha256(s.encode()).hexdigest()
+
+    def c4_line_ok(line):
+        low = line.lower()
+        return (
+            re.search(r'[.!?"]$', line) is not None
+            and len([w for w in line.split(" ") if w]) >= 5
+            and "lorem ipsum" not in low
+            and "javascript" not in low
+            and "{" not in low
+            and "cookie" not in low
+        )
+
+    got_c4 = {r["doc_id"]: r for r in
+              text_c4_line_filter(spark, tmpdir_scratch).collect()}
+    got_ld = {r["doc_id"]: r for r in
+              dedup_consecutive_lines(spark, tmpdir_scratch).collect()}
+    for i, t in docs:
+        ls = t.split("\n")
+        kept = [l for l in ls if c4_line_ok(l)]
+        r = got_c4[i]
+        assert (r["n_lines"], r["n_kept"]) == (len(ls), len(kept)), i
+        assert r["digest"] == sha("\n".join(kept)), i
+        collapsed = [l for j, l in enumerate(ls) if j == 0 or l != ls[j - 1]]
+        r = got_ld[i]
+        assert (r["n_lines"], r["n_kept"]) == (len(ls), len(collapsed)), i
+        assert r["digest"] == sha("\n".join(collapsed)), i
