@@ -57,6 +57,8 @@ from ocr_application_spark.operators.urlops import (  # noqa: F401
     url_crawl_filter,
 )
 from ocr_application_spark.sources.snapshots import (  # noqa: F401
+    SchemaEvolutionError,
+    SnapshotConflictError,
     commit as commit_snapshot,
     compact as compact_table,
     expire_snapshots,

@@ -19,7 +19,15 @@ are reproduced honestly:
 * **overwrite is logical** — ``commit(mode="overwrite_partitions")``
   drops the replaced partitions' files from the new manifest while the
   bytes stay on disk for older snapshots (Iceberg's delete-by-manifest,
-  GC deferred to an expire step).
+  GC deferred to an expire step);
+* **schema evolution is additive and read-time** — an incremental
+  commit may ADD columns (Iceberg add-column); readers align every
+  data file to the snapshot's recorded schema, so pre-evolution files
+  project typed nulls for the later columns and time travel to an old
+  version returns the OLD schema exactly. Dropping or retyping a
+  column on an incremental commit fails loudly
+  (``SchemaEvolutionError``); a full ``replace_all`` rewrite may
+  reshape freely.
 
 On a real cluster, replace this module with Iceberg's ``writeTo``/
 ``VERSION AS OF`` — the call sites are shaped for that swap.
@@ -42,6 +50,40 @@ class SnapshotConflictError(RuntimeError):
     """Two writers raced to publish the same snapshot version; the loser
     fails (Iceberg's optimistic-concurrency commit conflict) instead of
     silently clobbering the winner's manifest."""
+
+
+class SchemaEvolutionError(ValueError):
+    """A commit tried a schema change this emulation cannot honor
+    (dropping or retyping a column). Only ADDITIVE evolution — new
+    columns, Iceberg's add-column — is supported on append /
+    overwrite_partitions / merge commits; a full ``replace_all``
+    rewrite may reshape the schema freely (it owns every visible
+    file)."""
+
+
+def _check_schema_evolution(parent_schema_json: str, new_schema) -> None:
+    """Additive-only guard: every parent field must survive in the new
+    schema with the identical type. New fields are fine (readers of the
+    new snapshot see old files project typed nulls)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    parent = T.StructType.fromJson(_json.loads(parent_schema_json))
+    new_by_name = {f.name: f.dataType for f in new_schema.fields}
+    dropped = [f.name for f in parent.fields if f.name not in new_by_name]
+    retyped = [
+        f"{f.name}: {f.dataType.simpleString()} -> "
+        f"{new_by_name[f.name].simpleString()}"
+        for f in parent.fields
+        if f.name in new_by_name and new_by_name[f.name] != f.dataType
+    ]
+    if dropped or retyped:
+        raise SchemaEvolutionError(
+            "only additive schema evolution is supported on incremental "
+            f"commits (dropped: {dropped}, retyped: {retyped}); use "
+            "mode='replace_all' for a reshaping rewrite"
+        )
 
 
 def _mode_of(manifest: dict) -> str:
@@ -150,6 +192,11 @@ def commit(
                 )
     versions = snapshot_versions(path)
     parent = versions[-1] if versions else None
+    if parent and mode != "replace_all":
+        # additive-only schema evolution (Iceberg add-column analog):
+        # validated BEFORE any bytes are written so a rejected commit
+        # leaves no orphan files
+        _check_schema_evolution(_load_manifest(path, parent)["schema"], df.schema)
     version = (parent or 0) + 1
     commit_dir = os.path.join(_data_dir(path), f"c{version}-{uuid.uuid4().hex[:8]}")
     writer = df.write.mode("error")
@@ -268,10 +315,22 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
 
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         return spark.createDataFrame([], schema)
-    return _read_files(spark, path, files)
+    return _read_files(spark, path, files, schema_json=manifest["schema"])
 
 
-def _read_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
+def _read_files(
+    spark: SparkSession, path: str, files: list[str], schema_json: str | None = None
+) -> DataFrame:
+    """Scan manifest files, each commit subtree with its own basePath,
+    aligned to the manifest's recorded schema: files written before an
+    additive evolution project typed nulls for the later columns (the
+    Iceberg read-time projection), and a type mismatch fails loudly
+    rather than producing a silent cast."""
+    from pyspark.sql import types as T
+
+    target = (
+        T.StructType.fromJson(json.loads(schema_json)).fields if schema_json else None
+    )
     data_root = _data_dir(path)
     by_commit: dict[str, list[str]] = {}
     for f in files:
@@ -281,6 +340,27 @@ def _read_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
     out = None
     for commit_root, group in sorted(by_commit.items()):
         part = spark.read.option("basePath", commit_root).parquet(*group)
+        if target is not None:
+            have = {f.name: f.dataType for f in part.schema.fields}
+            mism = [
+                f"{f.name}: file {have[f.name].simpleString()} vs table "
+                f"{f.dataType.simpleString()}"
+                for f in target
+                if f.name in have and have[f.name] != f.dataType
+            ]
+            if mism:
+                raise SchemaEvolutionError(
+                    f"data files under {commit_root} disagree with the "
+                    f"snapshot schema: {mism}"
+                )
+            part = part.select(
+                *[
+                    F.col(f.name)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target
+                ]
+            )
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -337,7 +417,7 @@ def read_snapshot_diff(
 
         schema = T.StructType.fromJson(json.loads(target["schema"]))
         return spark.createDataFrame([], schema)
-    return _read_files(spark, path, new_files)
+    return _read_files(spark, path, new_files, schema_json=target["schema"])
 
 
 def merge_pages(
@@ -376,6 +456,12 @@ def merge_pages(
             f"updates contain duplicate {key} keys — MERGE requires one "
             "update row per key (Iceberg cardinality violation)"
         )
+    # updates must carry every current table column (a MERGE inserts
+    # full rows); EXTRA update columns are additive evolution — old
+    # files' surviving rows project nulls for them, like any
+    # post-evolution read
+    latest_schema = _load_manifest(path, snapshot_versions(path)[-1])["schema"]
+    _check_schema_evolution(latest_schema, updates.schema)
     cur = read_snapshot(spark, path)
     # which files contain a matched key: semi-join against the update
     # keys, then the distinct source-file set (file-count bounded)
@@ -389,10 +475,12 @@ def merge_pages(
     )
     affected = [f.removeprefix("file://") for f in affected]
     if affected:
-        survivors = _read_files(spark, path, affected).join(
-            F.broadcast(updates.select(*key).distinct()), key, "left_anti"
-        )
-        new_rows = survivors.unionByName(updates)
+        survivors = _read_files(
+            spark, path, affected, schema_json=latest_schema
+        ).join(F.broadcast(updates.select(*key).distinct()), key, "left_anti")
+        # allowMissingColumns fills only the SURVIVOR side (updates were
+        # just validated to be a superset of the table schema)
+        new_rows = survivors.unionByName(updates, allowMissingColumns=True)
     else:
         new_rows = updates
     return commit(

@@ -401,3 +401,66 @@ def test_expire_deletes_only_unreferenced_bytes(spark, tmpdir_scratch):
     assert snapshot_versions(tbl) == [vc]
     with pytest.raises(ValueError):
         expire_snapshots(tbl, keep_last=0)
+
+
+def test_additive_schema_evolution(spark, tmpdir_scratch):
+    """Appending with a NEW column is Iceberg add-column: the latest
+    read projects typed nulls for pre-evolution files, time travel to
+    the old version returns the OLD schema exactly, the incremental
+    diff carries the target schema, and MERGE composes with it. Drops
+    and retypes on incremental commits fail loudly."""
+    from ocr_application_spark.sources.snapshots import (
+        SchemaEvolutionError,
+        merge_pages,
+        read_snapshot_diff,
+    )
+
+    tbl = tmpdir_scratch + "/tbl_evo"
+    commit(_pages(spark, range(10), "t0"), tbl)  # v1: (doc_id, payload)
+    evolved = _pages(spark, range(10, 15), "t1").withColumn(
+        "crawl_depth", F.lit(2).cast("int")
+    )
+    commit(evolved, tbl)  # v2: adds crawl_depth
+
+    cur = read_snapshot(spark, tbl)
+    assert "crawl_depth" in cur.columns and cur.count() == 15
+    # pre-evolution rows project nulls, post-evolution rows keep values
+    assert cur.filter(F.col("crawl_depth").isNull()).count() == 10
+    assert cur.filter(F.col("crawl_depth") == 2).count() == 5
+    # time travel: v1 has the OLD schema exactly (no crawl_depth)
+    assert "crawl_depth" not in read_snapshot(spark, tbl, 1).columns
+    # the diff stream carries the target (evolved) schema
+    diff = read_snapshot_diff(spark, tbl, 1)
+    assert diff.count() == 5 and "crawl_depth" in diff.columns
+
+    # dropping a column on an incremental commit fails loudly...
+    with pytest.raises(SchemaEvolutionError, match="dropped"):
+        commit(_pages(spark, range(20, 22), "t2").drop("payload"), tbl)
+    # ...so does retyping one...
+    with pytest.raises(SchemaEvolutionError, match="retyped"):
+        commit(
+            _pages(spark, range(20, 22), "t2").withColumn(
+                "crawl_depth", F.lit("deep")
+            ),
+            tbl,
+        )
+    # ...and a rejected commit publishes nothing
+    assert snapshot_versions(tbl) == [1, 2]
+    # replace_all may reshape freely
+    commit(_pages(spark, range(3), "t3").drop("payload"), tbl, mode="replace_all")
+    assert set(read_snapshot(spark, tbl).columns) == {"doc_id", "bucket"}
+
+    # MERGE with an additive column: survivors fill null, updates keep it
+    tbl2 = tmpdir_scratch + "/tbl_evo_merge"
+    commit(_pages(spark, range(6), "t0"), tbl2)
+    upd = _pages(spark, range(4, 8), "u").withColumn(
+        "recrawl", F.lit(True)
+    )
+    merge_pages(spark, tbl2, upd, key=("doc_id",))
+    out = read_snapshot(spark, tbl2)
+    assert out.count() == 8
+    assert out.filter(F.col("recrawl")).count() == 4          # the updates
+    assert out.filter(F.col("recrawl").isNull()).count() == 4  # survivors
+    # updates missing a table column are rejected (full-row MERGE)
+    with pytest.raises(SchemaEvolutionError, match="dropped"):
+        merge_pages(spark, tbl2, upd.drop("payload"), key=("doc_id",))
