@@ -52,6 +52,10 @@ from ocr_application_spark.operators.curation import (  # noqa: F401
     text_gopher_quality,
     text_pii_scrub,
 )
+from ocr_application_spark.operators.bpe import (  # noqa: F401
+    bpe_train,
+    word_histogram,
+)
 from ocr_application_spark.operators.urlops import (  # noqa: F401
     canonical_url,
     url_crawl_filter,

@@ -334,3 +334,70 @@ def test_text_rewriting_ops_match_python_twins(spark, tmpdir_scratch):
         r = got_ld[i]
         assert (r["n_lines"], r["n_kept"]) == (len(ls), len(collapsed)), i
         assert r["digest"] == sha("\n".join(collapsed)), i
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Distributed BPE (operators/bpe.py) must learn the EXACT merge
+    sequence a pure-Python reference BPE (Sennrich-style: pair counts
+    over the word histogram, greedy left-to-right apply, deterministic
+    (count desc, pair asc) tie-break) learns on the same corpus, and
+    leave every word tokenized identically."""
+    from collections import Counter
+
+    from ocr_application_spark.operators.bpe import _END, bpe_train
+
+    docs_rows = [
+        (0, "low lower lowest low low slow slower", "en", "s", 0),
+        (1, "new newer newest new news knew", "en", "s", 0),
+        (2, "low new low new slow knew lowest", "en", "s", 0),
+        (3, "", "en", "s", 0),
+        (4, "a aa aaa aaaa", "en", "s", 0),  # overlapping-pair edge
+    ]
+    docs = spark.createDataFrame(
+        docs_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    # --- pure-Python reference ------------------------------------
+    hist = Counter()
+    for _, text, *_ in docs_rows:
+        for w in text.split(" "):
+            if w:
+                hist[w] += 1
+    syms = {w: list(w) + [_END] for w in hist}
+
+    def ref_round():
+        pairs = Counter()
+        for w, n in hist.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += n
+        if not pairs:
+            return None
+        # (count desc, left asc, right asc)
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), c = best
+        for w in syms:
+            s, out = syms[w], []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            syms[w] = out
+        return {"left": a, "right": b, "merged": a + b, "pair_count": c}
+
+    n_merges = 8
+    expected = []
+    for _ in range(n_merges):
+        m = ref_round()
+        if m is None:
+            break
+        expected.append(m)
+
+    got_merges, got_hist = bpe_train(docs, n_merges=n_merges)
+    assert [
+        {k: m[k] for k in ("left", "right", "merged", "pair_count")}
+        for m in got_merges
+    ] == expected
+    got_syms = {r["word"]: list(r["syms"]) for r in got_hist.collect()}
+    assert got_syms == syms
