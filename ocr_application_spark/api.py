@@ -53,6 +53,7 @@ from ocr_application_spark.operators.curation import (  # noqa: F401
     text_pii_scrub,
 )
 from ocr_application_spark.operators.bpe import (  # noqa: F401
+    bpe_apply,
     bpe_train,
     word_histogram,
 )

@@ -401,3 +401,32 @@ def test_bpe_train_matches_python_reference(spark):
     ] == expected
     got_syms = {r["word"]: list(r["syms"]) for r in got_hist.collect()}
     assert got_syms == syms
+
+
+def test_bpe_apply_roundtrips_training_tokenization(spark):
+    """bpe_apply (rank-priority merge loop, broadcast table, per-batch
+    word cache) must tokenize every document EXACTLY as training's
+    final word histogram does — i.e. applying the learned merge table
+    reproduces the tokenization training left behind."""
+    from ocr_application_spark.operators.bpe import bpe_apply, bpe_train
+
+    rows = [
+        (0, "low lower lowest low low slow slower", "en", "s", 0),
+        (1, "new newer newest new news knew", "en", "s", 0),
+        (2, "low new low new slow knew lowest", "en", "s", 0),
+        (3, "", "en", "s", 0),
+        (4, "a aa aaa aaaa", "en", "s", 0),
+        (5, "multi  space   runs", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    merges, hist = bpe_train(docs, n_merges=8)
+    word_toks = {r["word"]: list(r["syms"]) for r in hist.collect()}
+    got = {r["doc_id"]: list(r["tokens"]) for r in bpe_apply(docs, merges).collect()}
+    for doc_id, text, *_ in rows:
+        expect = []
+        for w in text.split(" "):
+            if w:
+                expect.extend(word_toks[w])
+        assert got[doc_id] == expect, doc_id
