@@ -53,6 +53,12 @@ from pyspark.sql import functions as F
 DEFAULT_GATES = ("clean", "repetition", "rank")
 ALL_GATES = ("clean", "c4", "gopher_quality", "repetition", "rank")
 
+# the previous curate() call's surviving-id persist: the returned plan
+# references it, so nothing else frees it — a long-lived session calling
+# curate() repeatedly (tests, notebooks) would accumulate one cached id
+# set per call (same leak class as the tarification_entry fix)
+_last_cur = None
+
 
 def curate(spark, input_dir: str, gates=DEFAULT_GATES, n_shards: int = 8):
     """Return (curated DataFrame, stage-metrics list). ``input_dir``
@@ -77,6 +83,14 @@ def curate(spark, input_dir: str, gates=DEFAULT_GATES, n_shards: int = 8):
     unknown = set(gates) - set(ALL_GATES)
     if unknown:
         raise ValueError(f"unknown gates: {sorted(unknown)}")
+
+    global _last_cur
+    if _last_cur is not None:
+        try:
+            _last_cur.unpersist()
+        except Exception:
+            pass  # prior SparkSession already stopped
+        _last_cur = None
 
     docs = spark.read.parquet(f"{input_dir}/documents.parquet")
     rows_in = docs.count()
@@ -156,6 +170,7 @@ def curate(spark, input_dir: str, gates=DEFAULT_GATES, n_shards: int = 8):
             shard_of(shard_coin(F.col("doc_id")), n_shards).alias("shard"),
         )
     )
+    _last_cur = cur
     return curated, metrics
 
 

@@ -286,3 +286,33 @@ def test_curate_optin_gates_rebuild_text(spark, tmpdir_scratch):
             l for l in doc_text(r["doc_id"]).split("\n") if line_ok(l)
         )
         assert r["text"] == expected
+
+
+def test_curate_releases_previous_invocations_cache(spark, tmpdir_scratch):
+    """Repeated curate() calls in one session must not accumulate cached
+    id-set blocks (the tarification cache-leak class): the number of
+    persisted RDDs stays flat across calls instead of growing by one
+    per invocation. (Asserting via df.storageLevel is confounded by the
+    CacheManager matching the next call's byte-identical plan.)"""
+    import pandas as pd
+
+    from jobs import curate_job
+
+    rows = [(i, f"word{i} the and of text here", "en", "s0", 0) for i in range(30)]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{tmpdir_scratch}/documents.parquet")
+
+    def n_persisted():
+        return spark.sparkContext._jsc.sc().getRDDStorageInfo().__len__()
+
+    curate_job.curate(spark, tmpdir_scratch)
+    n1 = n_persisted()
+    first = curate_job._last_cur
+    assert first is not None
+    curate_job.curate(spark, tmpdir_scratch)
+    assert n_persisted() <= n1  # no accumulation across invocations
+    assert curate_job._last_cur is not first
+    # release the final invocation's cache so later tests start clean
+    curate_job._last_cur.unpersist()
+    curate_job._last_cur = None
