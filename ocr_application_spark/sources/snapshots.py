@@ -338,6 +338,19 @@ def _read_files(
         commit_root = os.path.join(data_root, rel.split(os.sep, 1)[0])
         by_commit.setdefault(commit_root, []).append(f)
     out = None
+    # value-preserving widenings a read may cast silently (Iceberg's
+    # type-promotion set); anything else is a real mismatch and fails.
+    # int->long also covers partition-dir columns, which Spark infers
+    # as int32 even when the written column was long.
+    safe = {
+        ("int", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("float", "double"),
+        ("int", "double"),
+    }
     for commit_root, group in sorted(by_commit.items()):
         part = spark.read.option("basePath", commit_root).parquet(*group)
         if target is not None:
@@ -346,7 +359,10 @@ def _read_files(
                 f"{f.name}: file {have[f.name].simpleString()} vs table "
                 f"{f.dataType.simpleString()}"
                 for f in target
-                if f.name in have and have[f.name] != f.dataType
+                if f.name in have
+                and have[f.name] != f.dataType
+                and (have[f.name].simpleString(), f.dataType.simpleString())
+                not in safe
             ]
             if mism:
                 raise SchemaEvolutionError(
@@ -355,7 +371,7 @@ def _read_files(
                 )
             part = part.select(
                 *[
-                    F.col(f.name)
+                    F.col(f.name).cast(f.dataType)
                     if f.name in have
                     else F.lit(None).cast(f.dataType).alias(f.name)
                     for f in target

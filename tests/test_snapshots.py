@@ -464,3 +464,25 @@ def test_additive_schema_evolution(spark, tmpdir_scratch):
     # updates missing a table column are rejected (full-row MERGE)
     with pytest.raises(SchemaEvolutionError, match="dropped"):
         merge_pages(spark, tbl2, upd.drop("payload"), key=("doc_id",))
+
+
+def test_partitioned_long_column_survives_read_alignment(spark, tmpdir_scratch):
+    """Spark infers partition-dir columns as int32 even when the
+    written column was long; the read-time schema alignment must treat
+    that (and other value-preserving widenings) as a silent cast, not a
+    SchemaEvolutionError."""
+    tbl = tmpdir_scratch + "/tbl_longpart"
+    df = spark.createDataFrame(
+        [(1, "x", 0), (2, "y", 1)], "doc_id long, payload string, shard long"
+    )
+    commit(df, tbl, partition_by="shard")
+    out = read_snapshot(spark, tbl)
+    assert dict(out.dtypes)["shard"] == "bigint"  # manifest type wins
+    assert out.count() == 2
+    # appends across the partition layout still align
+    commit(
+        spark.createDataFrame([(3, "z", 0)], "doc_id long, payload string, shard long"),
+        tbl,
+        partition_by="shard",
+    )
+    assert read_snapshot(spark, tbl).count() == 3
