@@ -77,6 +77,7 @@ def _modules():
 # forecast_arima_like (changed this round: MA(1) term) stays in-window
 # while its unchanged linear/AR(1) siblings rotate out.
 _ROTATED_BACK = (
+    "j3_region_table_antijoin",
     "ann_ivf_topk",
     "dedup_simhash",
     "text_fingerprint",

@@ -57,6 +57,78 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental recrawl ingest against a persisted fingerprint index ---------
+def fingerprint_index_ingest(
+    spark: SparkSession,
+    index_path: str,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_label: str = "fingerprint-ingest",
+) -> tuple[DataFrame, int]:
+    """Dedupe a crawl increment against the PERSISTED corpus fingerprint
+    index (a snapshot table of distinct ``md5(text)`` fingerprints),
+    append only the genuinely novel fingerprints as one snapshot commit,
+    and return ``(verdicts, committed_version)`` where verdicts is
+
+      (doc_id, fingerprint, verdict) with verdict one of
+        'known'            — fingerprint already in the index (recrawl dup)
+        'novel'            — first occurrence corpus-wide; this doc is the
+                             increment's keeper (min doc_id) for the fp
+        'dup_in_increment' — same fp as a lower doc_id in this increment
+
+    The recrawl-scale shape (the point of the operator): the corpus is
+    NEVER re-deduped — each ingest is O(increment) new work. The
+    increment folds to its distinct fingerprints map-side before
+    touching the index, so the increment shuffle is O(distinct inc fps);
+    the index side costs one hash exchange per ingest in path-based
+    parquet (a production deployment keeps the index bucket-stored on
+    fingerprint — Iceberg ``bucket(N, fingerprint)`` or Spark
+    ``bucketBy`` — so only the increment shuffles). The index grows by
+    novel fingerprints only: O(distinct corpus) rows, not O(crawl).
+
+    The verdict plan is pinned to the PRE-commit index version, so
+    re-materializing it after the commit cannot flip rows to 'known';
+    re-running the same increment against the POST-commit index is
+    idempotent on the index (zero novel rows appended).
+
+    Reference analog: recrawl ingest into the pages store, SURVEY.md §2
+    S7 + the exact-dedup family above.
+    """
+    from ocr_application_spark.sources.snapshots import (
+        commit,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    fps = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(text_col).alias("fingerprint")
+    )
+    keeper = fps.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper_doc_id"))
+    versions = snapshot_versions(index_path)
+    if versions:
+        idx = read_snapshot(spark, index_path, version=versions[-1]).select(
+            "fingerprint", F.lit(True).alias("_known")
+        )
+        marked = keeper.join(idx, "fingerprint", "left")
+    else:  # bootstrap: empty index, every keeper is novel
+        marked = keeper.withColumn("_known", F.lit(None).cast("boolean"))
+    novel = marked.filter(F.col("_known").isNull()).select(
+        "fingerprint", "keeper_doc_id"
+    )
+    version = commit(novel, index_path, op_label=op_label)
+    verdicts = fps.join(marked, "fingerprint").select(
+        "doc_id",
+        "fingerprint",
+        F.when(F.col("_known"), F.lit("known"))
+        .when(F.col("doc_id") == F.col("keeper_doc_id"), F.lit("novel"))
+        .otherwise(F.lit("dup_in_increment"))
+        .alias("verdict"),
+    )
+    return verdicts, version
+
+
 # --- shared shingling (word 3-grams) ------------------------------------------
 def _shingle_arr(d: DataFrame) -> DataFrame:
     """doc_id, sh: array of distinct word-3-grams, built as

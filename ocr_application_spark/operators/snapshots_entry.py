@@ -76,3 +76,58 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["snapshot_merge_upsert"] = snapshot_merge_upsert
 ORACLES["snapshot_merge_upsert"] = _ORACLE
+
+
+_INGEST_ORACLE = """
+with base as (
+  select doc_id, text from documents where doc_id % 3 != 0
+),
+inc as (
+  select doc_id, text from documents where doc_id % 3 = 0
+  union all
+  select doc_id + 1000000 as doc_id, text from documents where doc_id % 7 = 0
+),
+idx as (select distinct md5(text) as fingerprint from base),
+fps as (select doc_id, md5(text) as fingerprint from inc),
+keep as (
+  select fingerprint, min(doc_id) as keeper_doc_id from fps group by fingerprint
+)
+select f.doc_id, f.fingerprint,
+       case when f.fingerprint in (select fingerprint from idx) then 'known'
+            when f.doc_id = k.keeper_doc_id then 'novel'
+            else 'dup_in_increment' end as verdict
+from fps f
+join keep k on f.fingerprint = k.fingerprint
+"""
+
+
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl ingest dedup, end-to-end through the REAL snapshot
+    machinery: bootstrap the corpus fingerprint index from a base crawl
+    (doc_id % 3 != 0), then ingest an increment containing (a) the
+    remaining docs and (b) re-crawled clones of base docs (doc_id % 7 ==
+    0, shifted ids, same bytes) — so all three verdict classes occur:
+    clones of base docs are 'known', clones of in-increment docs are
+    'dup_in_increment', the rest split novel/dup by the fixture's own
+    duplicate texts. The oracle reconstructs the verdicts algebraically,
+    so the index commit, version pinning and anti-join are value-checked
+    (library op: ``operators/dedup.fingerprint_index_ingest``)."""
+    from ocr_application_spark.operators.dedup import fingerprint_index_ingest
+    from ocr_application_spark.sources.webpages import default_scratch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    inc = docs.filter(F.col("doc_id") % 3 == 0).unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    idx = os.path.join(default_scratch(), "gate_fp_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    fingerprint_index_ingest(spark, idx, base, op_label="bootstrap")
+    verdicts, _v = fingerprint_index_ingest(spark, idx, inc, op_label="recrawl")
+    return verdicts
+
+
+QUERIES["dedup_incremental_ingest"] = dedup_incremental_ingest
+ORACLES["dedup_incremental_ingest"] = _INGEST_ORACLE

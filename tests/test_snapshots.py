@@ -486,3 +486,40 @@ def test_partitioned_long_column_survives_read_alignment(spark, tmpdir_scratch):
         partition_by="shard",
     )
     assert read_snapshot(spark, tbl).count() == 3
+
+
+def test_fingerprint_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
+    """Incremental recrawl dedup against the persisted fingerprint
+    index: bootstrap commits every distinct fp, a recrawl increment
+    appends only novel fps, verdicts split known / novel /
+    dup_in_increment, and re-ingesting the same increment is idempotent
+    on the index (zero new rows) with every doc now 'known'."""
+    from ocr_application_spark.operators.dedup import fingerprint_index_ingest
+
+    idx = tmpdir_scratch + "/fpidx"
+    base = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    _, v1 = fingerprint_index_ingest(spark, idx, base)
+    assert v1 == 1
+    assert read_snapshot(spark, idx).count() == 2  # alpha, beta (distinct)
+
+    # increment: known recrawl (alpha), a novel pair (gamma twice:
+    # keeper + in-increment dup), and a second known (beta)
+    inc = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "beta")],
+        "doc_id long, text string",
+    )
+    verd, v2 = fingerprint_index_ingest(spark, idx, inc)
+    got = {r["doc_id"]: r["verdict"] for r in verd.collect()}
+    assert got == {10: "known", 11: "novel", 12: "dup_in_increment", 13: "known"}
+    assert v2 == 2
+    assert read_snapshot(spark, idx).count() == 3  # + gamma only
+    # verdict plan is pinned to the pre-commit version: re-materializing
+    # after the commit must not flip 11/12 to 'known'
+    assert {r["doc_id"]: r["verdict"] for r in verd.collect()} == got
+
+    verd2, v3 = fingerprint_index_ingest(spark, idx, inc)
+    assert read_snapshot(spark, idx).count() == 3  # idempotent re-ingest
+    assert {r["verdict"] for r in verd2.collect()} == {"known"}
+    assert snapshot_versions(idx) == [1, 2, 3]
