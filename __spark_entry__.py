@@ -78,6 +78,7 @@ def _modules():
 # while its unchanged linear/AR(1) siblings rotate out.
 _ROTATED_BACK = (
     "j3_region_table_antijoin",
+    "f6_field_keywords",
     "ann_ivf_topk",
     "dedup_simhash",
     "text_fingerprint",

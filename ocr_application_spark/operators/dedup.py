@@ -129,6 +129,98 @@ def fingerprint_index_ingest(
     return verdicts, version
 
 
+def minhash_index_ingest(
+    spark: SparkSession,
+    index_path: str,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_label: str = "minhash-ingest",
+) -> tuple[DataFrame, int]:
+    """NEAR-dup sibling of ``fingerprint_index_ingest``: dedupe a crawl
+    increment against the PERSISTED corpus LSH index — a snapshot table
+    of (doc_id, band_id, sig_a, sig_b) MinHash band buckets of every
+    retained corpus document — append the band rows of the documents
+    that survive, and return ``(verdicts, committed_version)``:
+
+      (doc_id, verdict) with verdict one of
+        'known_neardup'        — some band bucket collides with the index
+                                 (a near-dup of retained corpus content)
+        'neardup_in_increment' — no corpus collision, but a band bucket
+                                 collides with a LOWER doc_id in this
+                                 increment (that content's keeper)
+        'novel'                — no collision (incl. docs too short to
+                                 shingle); these docs' band rows are the
+                                 ones appended to the index
+
+    Same recrawl-scale shape as the exact variant: each ingest is
+    O(increment) new work — one signature hash-agg over the increment
+    (map-side min-combined), a selective equi-join on (band_id, sig_a,
+    sig_b) against the index, and an append of O(novel)·n_bands rows;
+    the corpus is never re-signed. The index side costs one hash
+    exchange per ingest in path-based parquet (production would
+    bucket-store the index on the band key). Band buckets are
+    ``localCheckpoint``-pinned: they feed the index join, the
+    in-increment self-join AND the novel append, and recomputing the
+    signature agg three times would triple the dominant cost.
+
+    Like LSH dedup itself the verdict is approximate BY DESIGN (banding
+    trades recall/precision); what the oracle pins is that the banding,
+    the collision sets and the precedence rule are exactly the
+    documented function of the bytes on any engine.
+    """
+    from ocr_application_spark.sources.snapshots import (
+        commit,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    buck = _band_buckets(d).localCheckpoint()
+    versions = snapshot_versions(index_path)
+    band_key = ["band_id", "sig_a", "sig_b"]
+    if versions:
+        idx = read_snapshot(spark, index_path, version=versions[-1])
+        known = (
+            buck.join(idx.select(*band_key), band_key, "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+    else:  # bootstrap: empty index
+        known = buck.filter(F.lit(False)).select("doc_id")
+    a, b = buck.alias("a"), buck.alias("b")
+    incdup = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig_a") == F.col("b.sig_a"))
+            & (F.col("a.sig_b") == F.col("b.sig_b"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    verdicts = (
+        d.select("doc_id")
+        .distinct()
+        .join(known.withColumn("_k", F.lit(True)), "doc_id", "left")
+        .join(incdup.withColumn("_d", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_k"), F.lit("known_neardup"))
+            .when(F.col("_d"), F.lit("neardup_in_increment"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+        )
+    )
+    novel_rows = buck.join(
+        verdicts.filter(F.col("verdict") == "novel"), "doc_id", "left_semi"
+    )
+    version = commit(novel_rows, index_path, op_label=op_label)
+    return verdicts, version
+
+
 # --- shared shingling (word 3-grams) ------------------------------------------
 def _shingle_arr(d: DataFrame) -> DataFrame:
     """doc_id, sh: array of distinct word-3-grams, built as
@@ -138,7 +230,11 @@ def _shingle_arr(d: DataFrame) -> DataFrame:
     higher-order-function eval — O(words²) per doc, measured 84x slower.)
     Narrow — no shuffle."""
     toks = F.split(F.col("text"), " ")
-    n = F.size(toks) - 2
+    # greatest(.., 0): rows with <3 tokens are filtered below, but
+    # InferFiltersFromGenerate clones this expression into an inferred
+    # size(..)>0 predicate that can evaluate BEFORE the >=3 guard (ANSI
+    # slice throws on negative length) — keep the expression total
+    n = F.greatest(F.size(toks) - 2, F.lit(0))
     sh = F.zip_with(
         F.zip_with(F.slice(toks, 1, n), F.slice(toks, 2, n), lambda x, y: F.concat_ws(" ", x, y)),
         F.slice(toks, 3, n),
@@ -154,15 +250,21 @@ def _shingles(d: DataFrame) -> DataFrame:
     return _shingle_arr(d).select("doc_id", F.explode("sh").alias("shingle"))
 
 
-_SHINGLES_CTE = """
-shingles as (
+def _shingles_sql(src: str) -> str:
+    """DuckDB shingle relation (doc_id, shingle) over any (doc_id, text)
+    source — the oracle twin of ``_shingles``."""
+    return f"""
   select doc_id, unnest(list_distinct(list_transform(
            range(1, len(string_split(text, ' ')) - 1),
            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
                 || ' ' || string_split(text, ' ')[i+2]))) as shingle
-  from documents
+  from {src}
   where len(string_split(text, ' ')) >= 3
-)
+"""
+
+
+_SHINGLES_CTE = f"""
+shingles as ({_shingles_sql("documents")})
 """
 
 
@@ -276,42 +378,31 @@ _MINHASH_SIGS_SQL = ",\n           ".join(
     f"min(({_mh_ab(k)[0]} * {_H32_SQL_DUCK} + {_mh_ab(k)[1]}) % {_MH_P}) as sig{k}"
     for k in range(_N_HASH)
 )
-_BAND_UNION_SQL = " union all ".join(
-    f"select doc_id, {b} as band_id, sig{2 * b} as sig_a, sig{2 * b + 1} as sig_b from sigs"
-    for b in range(_N_HASH // _BAND)
-)
+def _band_union_sql(rel: str) -> str:
+    """DuckDB band-bucket relation (doc_id, band_id, sig_a, sig_b) over a
+    signatures relation — the oracle twin of ``_band_buckets``'s explode."""
+    return " union all ".join(
+        f"select doc_id, {b} as band_id, sig{2 * b} as sig_a, sig{2 * b + 1} as sig_b from {rel}"
+        for b in range(_N_HASH // _BAND)
+    )
 
 
-@_q(
-    "dedup_minhash_lsh",
-    f"""
-    with {_SHINGLES_CTE},
-    sigs as (
-      select doc_id,
-           {_MINHASH_SIGS_SQL}
-      from shingles group by doc_id
-    ),
-    buckets as ({_BAND_UNION_SQL})
-    select distinct a.doc_id as doc_a, b.doc_id as doc_b
-    from buckets a join buckets b
-      on a.band_id = b.band_id and a.sig_a = b.sig_a and a.sig_b = b.sig_b
-     and a.doc_id < b.doc_id
-    """,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: shingle -> one md5 -> 8 arithmetic
-    permutation-min signatures -> 4 bands of 2 -> equi-join on the band's
-    signature pair. One shuffle to aggregate signatures, one selective
-    equi-join — the standard sub-quadratic near-dup plan at corpus scale.
-    Bands explode from one row (a union would recompute the signature
-    subtree per band)."""
+_BAND_UNION_SQL = _band_union_sql("sigs")
+
+
+def _band_buckets(d: DataFrame) -> DataFrame:
+    """(doc_id, band_id, sig_a, sig_b) LSH band buckets of a (doc_id,
+    text) DataFrame: shingle -> one md5 -> 8 arithmetic permutation-min
+    signatures -> 4 bands of 2. One shuffle (the signature hash-agg,
+    map-side min-combined); the band explode is narrow, from one row (a
+    union would recompute the signature subtree per band)."""
     # explode + codegen'd hash-aggregate with 8 min-aggs: whole-stage
     # codegen CSEs the shared md5 subtree, beating both an array_min
     # higher-order rewrite (interpreted lambdas, md5 duplicated by
     # projection collapse) and a single-pass F.aggregate struct
     # accumulator (interpreted per-element eval) — measured 5.1s vs
     # 8.6s vs 9.0s at sf0.1.
-    sh = _shingles(_docs(spark, sf_dir))
+    sh = _shingles(d)
     h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
     sigs = sh.groupBy("doc_id").agg(
         *[
@@ -331,12 +422,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_HASH // _BAND)
         ]
     )
-    buckets = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    return sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id",
         F.col("bb.band_id").alias("band_id"),
         F.col("bb.sig_a").alias("sig_a"),
         F.col("bb.sig_b").alias("sig_b"),
     )
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    with {_SHINGLES_CTE},
+    sigs as (
+      select doc_id,
+           {_MINHASH_SIGS_SQL}
+      from shingles group by doc_id
+    ),
+    buckets as ({_BAND_UNION_SQL})
+    select distinct a.doc_id as doc_a, b.doc_id as doc_b
+    from buckets a join buckets b
+      on a.band_id = b.band_id and a.sig_a = b.sig_a and a.sig_b = b.sig_b
+     and a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: band buckets (see ``_band_buckets``)
+    equi-joined on the band's signature pair. One shuffle to aggregate
+    signatures, one selective equi-join — the standard sub-quadratic
+    near-dup plan at corpus scale."""
+    buckets = _band_buckets(_docs(spark, sf_dir))
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     return (

@@ -131,3 +131,74 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_incremental_ingest"] = dedup_incremental_ingest
 ORACLES["dedup_incremental_ingest"] = _INGEST_ORACLE
+
+
+def _minhash_ingest_oracle() -> str:
+    from ocr_application_spark.operators.dedup import (
+        _MINHASH_SIGS_SQL,
+        _band_union_sql,
+        _shingles_sql,
+    )
+
+    return f"""
+with base as (
+  select doc_id, text from documents where doc_id % 3 != 0
+),
+inc as (
+  select doc_id, text from documents where doc_id % 3 = 0
+  union all
+  select doc_id + 1000000 as doc_id, text from documents where doc_id % 7 = 0
+),
+bsh as ({_shingles_sql("base")}),
+ish as ({_shingles_sql("inc")}),
+bsigs as (select doc_id, {_MINHASH_SIGS_SQL} from bsh group by doc_id),
+isigs as (select doc_id, {_MINHASH_SIGS_SQL} from ish group by doc_id),
+bbuck as ({_band_union_sql("bsigs")}),
+ibuck as ({_band_union_sql("isigs")}),
+known as (
+  select distinct i.doc_id from ibuck i
+  join bbuck b on i.band_id = b.band_id and i.sig_a = b.sig_a and i.sig_b = b.sig_b
+),
+incdup as (
+  select distinct a.doc_id from ibuck a
+  join ibuck b on a.band_id = b.band_id and a.sig_a = b.sig_a
+              and a.sig_b = b.sig_b and b.doc_id < a.doc_id
+)
+select i.doc_id,
+       case when k.doc_id is not null then 'known_neardup'
+            when d.doc_id is not null then 'neardup_in_increment'
+            else 'novel' end as verdict
+from (select distinct doc_id from inc) i
+left join known k on k.doc_id = i.doc_id
+left join incdup d on d.doc_id = i.doc_id
+"""
+
+
+def neardup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup recrawl ingest through the real snapshot machinery (the
+    LSH sibling of ``dedup_incremental_ingest``): bootstrap the corpus
+    MinHash band-bucket index from the base crawl, ingest an increment
+    holding re-crawled clones of base docs ('known_neardup') and clones
+    of in-increment docs ('neardup_in_increment'), return the per-doc
+    verdicts. The oracle rebuilds both sides' signatures, the collision
+    sets and the precedence rule algebraically (library op:
+    ``operators/dedup.minhash_index_ingest``)."""
+    from ocr_application_spark.operators.dedup import minhash_index_ingest
+    from ocr_application_spark.sources.webpages import default_scratch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    inc = docs.filter(F.col("doc_id") % 3 == 0).unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    idx = os.path.join(default_scratch(), "gate_mh_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    minhash_index_ingest(spark, idx, base, op_label="bootstrap")
+    verdicts, _v = minhash_index_ingest(spark, idx, inc, op_label="recrawl")
+    return verdicts
+
+
+QUERIES["neardup_incremental_ingest"] = neardup_incremental_ingest
+ORACLES["neardup_incremental_ingest"] = _minhash_ingest_oracle()

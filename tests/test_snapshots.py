@@ -523,3 +523,51 @@ def test_fingerprint_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
     assert read_snapshot(spark, idx).count() == 3  # idempotent re-ingest
     assert {r["verdict"] for r in verd2.collect()} == {"known"}
     assert snapshot_versions(idx) == [1, 2, 3]
+
+
+def test_minhash_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
+    """Near-dup recrawl ingest against the persisted LSH band index:
+    bootstrap commits every doc's band rows, an increment's verdicts
+    split known_neardup / neardup_in_increment / novel (shingle-less
+    docs default to novel), only novel docs' bands are appended, and
+    re-ingesting the same increment flips its retained docs to known
+    without growing the index."""
+    from ocr_application_spark.operators.dedup import minhash_index_ingest
+
+    idx = tmpdir_scratch + "/mhidx"
+    base = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over"), (2, "lorem ipsum dolor sit amet")],
+        "doc_id long, text string",
+    )
+    _, v1 = minhash_index_ingest(spark, idx, base)
+    assert v1 == 1
+    assert read_snapshot(spark, idx).count() == 8  # 2 docs x 4 bands
+
+    inc = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over"),   # clone of base doc 1
+            (11, "completely different words here now"),  # novel keeper
+            (12, "completely different words here now"),  # in-increment clone
+            (13, "tiny"),                              # <3 words: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    verd, _v2 = minhash_index_ingest(spark, idx, inc)
+    got = {r["doc_id"]: r["verdict"] for r in verd.collect()}
+    assert got == {
+        10: "known_neardup",
+        11: "novel",
+        12: "neardup_in_increment",
+        13: "novel",
+    }
+    assert read_snapshot(spark, idx).count() == 12  # + doc 11's 4 bands only
+
+    verd2, _v3 = minhash_index_ingest(spark, idx, inc)
+    got2 = {r["doc_id"]: r["verdict"] for r in verd2.collect()}
+    assert got2 == {
+        10: "known_neardup",
+        11: "known_neardup",
+        12: "known_neardup",
+        13: "novel",
+    }
+    assert read_snapshot(spark, idx).count() == 12  # idempotent re-ingest
