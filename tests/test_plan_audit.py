@@ -364,3 +364,35 @@ def test_shard_shuffle_is_one_exchange_per_shard_sort(spark):
     assert "EvalPython" not in plan, plan
     # the window is PARTITIONED by shard (not a single-partition window)
     assert re.search(r"windowspecdefinition\(shard", plan), plan
+
+
+def test_fingerprint_ingest_verdicts_no_cartesian_no_python(spark):
+    """Incremental ingest verdicts: keeper agg (map-side combined) +
+    equi-joins against the pinned index — never a cartesian, never a
+    Python eval; the documents scan prunes to (doc_id, text)."""
+    plan = plan_of(spark, "dedup_incremental_ingest")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {
+        "struct",
+        "doc_id",
+        "text",
+        "fingerprint",
+        "keeper_doc_id",
+    }
+
+
+def test_minhash_ingest_verdicts_reuse_checkpointed_bands(spark):
+    """Near-dup ingest verdicts: the band buckets are localCheckpoint-
+    pinned (one signature agg feeds index join + self-join + append), so
+    the verdict plan scans the checkpointed RDD instead of re-signing —
+    and stays cartesian-free and Python-free."""
+    plan = plan_of(spark, "neardup_incremental_ingest")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # the checkpoint reuse: band rows come from ExistingRDD scans — the
+    # expensive signature computation (md5 over exploded shingles) does
+    # NOT reappear in the verdict plan
+    assert "ExistingRDD" in plan
+    assert "md5" not in plan
