@@ -89,9 +89,15 @@ def fingerprint_index_ingest(
     novel fingerprints only: O(distinct corpus) rows, not O(crawl).
 
     The verdict plan is pinned to the PRE-commit index version, so
-    re-materializing it after the commit cannot flip rows to 'known';
-    re-running the same increment against the POST-commit index is
-    idempotent on the index (zero novel rows appended).
+    re-materializing it after the commit cannot flip rows to 'known'.
+    The verdict rule is REPLAY-STABLE (what makes the streaming
+    front-end ``run_stream_ingest`` exactly-once): each fingerprint's
+    corpus representative is ``coalesce(index keeper, increment
+    keeper)`` — a doc the index already records as ITS OWN keeper stays
+    'novel' when the same batch is re-ingested after a crash, instead
+    of flipping to 'known' and being dropped downstream; the index
+    itself appends zero rows on replay (only fingerprints absent from
+    the index are committed).
 
     Reference analog: recrawl ingest into the pages store, SURVEY.md §2
     S7 + the exact-dedup family above.
@@ -109,21 +115,22 @@ def fingerprint_index_ingest(
     versions = snapshot_versions(index_path)
     if versions:
         idx = read_snapshot(spark, index_path, version=versions[-1]).select(
-            "fingerprint", F.lit(True).alias("_known")
+            "fingerprint", F.col("keeper_doc_id").alias("_idx_keeper")
         )
         marked = keeper.join(idx, "fingerprint", "left")
     else:  # bootstrap: empty index, every keeper is novel
-        marked = keeper.withColumn("_known", F.lit(None).cast("boolean"))
-    novel = marked.filter(F.col("_known").isNull()).select(
+        marked = keeper.withColumn("_idx_keeper", F.lit(None).cast("long"))
+    novel = marked.filter(F.col("_idx_keeper").isNull()).select(
         "fingerprint", "keeper_doc_id"
     )
     version = commit(novel, index_path, op_label=op_label)
+    rep = F.coalesce(F.col("_idx_keeper"), F.col("keeper_doc_id"))
     verdicts = fps.join(marked, "fingerprint").select(
         "doc_id",
         "fingerprint",
-        F.when(F.col("_known"), F.lit("known"))
-        .when(F.col("doc_id") == F.col("keeper_doc_id"), F.lit("novel"))
-        .otherwise(F.lit("dup_in_increment"))
+        F.when(rep == F.col("doc_id"), F.lit("novel"))
+        .when(rep == F.col("keeper_doc_id"), F.lit("dup_in_increment"))
+        .otherwise(F.lit("known"))
         .alias("verdict"),
     )
     return verdicts, version
@@ -169,6 +176,14 @@ def minhash_index_ingest(
     trades recall/precision); what the oracle pins is that the banding,
     the collision sets and the precedence rule are exactly the
     documented function of the bytes on any engine.
+
+    Replay-stable like the exact variant: 'known_neardup' counts only
+    collisions with index rows of OTHER docs that are NOT in this batch
+    — so when a crashed epoch re-ingests docs whose own band rows
+    already landed in the index, a doc does not collide with itself (or
+    with its in-batch keeper) into 'known', the verdicts reproduce
+    exactly, and no band row is appended twice (novel docs that already
+    have index rows are skipped).
     """
     from ocr_application_spark.sources.snapshots import (
         commit,
@@ -178,17 +193,24 @@ def minhash_index_ingest(
 
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     buck = _band_buckets(d).localCheckpoint()
+    batch_ids = d.select("doc_id").distinct()
     versions = snapshot_versions(index_path)
     band_key = ["band_id", "sig_a", "sig_b"]
     if versions:
         idx = read_snapshot(spark, index_path, version=versions[-1])
+        # corpus partners = index rows of docs OUTSIDE this batch (a
+        # replayed doc's own rows, or its in-batch keeper's, are not
+        # corpus-level evidence)
+        corpus_idx = idx.join(batch_ids, "doc_id", "left_anti")
         known = (
-            buck.join(idx.select(*band_key), band_key, "left_semi")
+            buck.join(corpus_idx.select(*band_key), band_key, "left_semi")
             .select("doc_id")
             .distinct()
         )
+        idx_present = idx.select("doc_id").distinct()
     else:  # bootstrap: empty index
         known = buck.filter(F.lit(False)).select("doc_id")
+        idx_present = known
     a, b = buck.alias("a"), buck.alias("b")
     incdup = (
         a.join(
@@ -216,7 +238,7 @@ def minhash_index_ingest(
     )
     novel_rows = buck.join(
         verdicts.filter(F.col("verdict") == "novel"), "doc_id", "left_semi"
-    )
+    ).join(idx_present, "doc_id", "left_anti")  # replay: already indexed
     version = commit(novel_rows, index_path, op_label=op_label)
     return verdicts, version
 

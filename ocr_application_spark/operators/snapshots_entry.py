@@ -87,17 +87,22 @@ inc as (
   union all
   select doc_id + 1000000 as doc_id, text from documents where doc_id % 7 = 0
 ),
-idx as (select distinct md5(text) as fingerprint from base),
+idx as (
+  select md5(text) as fingerprint, min(doc_id) as idx_keeper
+  from base group by md5(text)
+),
 fps as (select doc_id, md5(text) as fingerprint from inc),
 keep as (
   select fingerprint, min(doc_id) as keeper_doc_id from fps group by fingerprint
 )
 select f.doc_id, f.fingerprint,
-       case when f.fingerprint in (select fingerprint from idx) then 'known'
-            when f.doc_id = k.keeper_doc_id then 'novel'
-            else 'dup_in_increment' end as verdict
+       case when coalesce(i.idx_keeper, k.keeper_doc_id) = f.doc_id then 'novel'
+            when coalesce(i.idx_keeper, k.keeper_doc_id) = k.keeper_doc_id
+                 then 'dup_in_increment'
+            else 'known' end as verdict
 from fps f
 join keep k on f.fingerprint = k.fingerprint
+left join idx i on i.fingerprint = f.fingerprint
 """
 
 
@@ -156,8 +161,12 @@ isigs as (select doc_id, {_MINHASH_SIGS_SQL} from ish group by doc_id),
 bbuck as ({_band_union_sql("bsigs")}),
 ibuck as ({_band_union_sql("isigs")}),
 known as (
+  -- corpus partners only: index rows of docs outside the batch (the
+  -- replay-stability clause; vacuous here since base/inc ids are
+  -- disjoint, mirrored verbatim from the operator)
   select distinct i.doc_id from ibuck i
   join bbuck b on i.band_id = b.band_id and i.sig_a = b.sig_a and i.sig_b = b.sig_b
+  where b.doc_id not in (select doc_id from inc)
 ),
 incdup as (
   select distinct a.doc_id from ibuck a

@@ -231,3 +231,59 @@ def stream_curate(docs: DataFrame) -> DataFrame:
         },
     )
     return out.withColumnRenamed("keep", "gopher_keep")
+
+
+# --- streaming incremental ingest dedup ---------------------------------------
+def run_stream_ingest(
+    spark: SparkSession,
+    input_path: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_files: int = 8,
+):
+    """Continuous crawl ingestion with corpus-level exact dedup: each
+    micro-batch runs ``operators/dedup.fingerprint_index_ingest``
+    against the persisted fingerprint index (ONE snapshot commit per
+    epoch, novel fingerprints only) and lands the batch's verdict-
+    tagged rows in an epoch-partitioned output table.
+
+    Exactly-once is EARNED the same way ``run_stream_to_table`` earns
+    it, plus one property the index contributes by construction: a
+    crash anywhere between the index commit and the checkpoint commit
+    replays the epoch, and the replayed ingest (a) appends ZERO rows to
+    the index (its fingerprints are already there) and (b) reproduces
+    the SAME verdicts (the replay-stable representative rule — a doc
+    the index records as its own keeper stays 'novel' instead of
+    flipping to 'known' and being dropped downstream), while the epoch
+    output directory overwrites itself. Sequential epochs mean no
+    snapshot-commit race; state lives in the index table, not in Spark
+    state stores, so a checkpoint wipe loses positioning only, never
+    dedup decisions."""
+    from ocr_application_spark.operators.dedup import fingerprint_index_ingest
+
+    docs = stream_documents(spark, input_path, max_files)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # the ingest runs two actions over the batch (the novel-fp
+        # commit and the verdict join output) — persist so the scan
+        # runs once per epoch
+        batch_df.persist()
+        try:
+            verdicts, _v = fingerprint_index_ingest(
+                spark, index_path, batch_df, op_label=f"epoch-{epoch_id}"
+            )
+            (
+                batch_df.join(verdicts, "doc_id")
+                .write.mode("overwrite")
+                .parquet(f"{out_path}/epoch={epoch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

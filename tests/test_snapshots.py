@@ -493,7 +493,7 @@ def test_fingerprint_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
     index: bootstrap commits every distinct fp, a recrawl increment
     appends only novel fps, verdicts split known / novel /
     dup_in_increment, and re-ingesting the same increment is idempotent
-    on the index (zero new rows) with every doc now 'known'."""
+    on the index (zero new rows) with verdicts reproduced exactly."""
     from ocr_application_spark.operators.dedup import fingerprint_index_ingest
 
     idx = tmpdir_scratch + "/fpidx"
@@ -519,9 +519,13 @@ def test_fingerprint_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
     # after the commit must not flip 11/12 to 'known'
     assert {r["doc_id"]: r["verdict"] for r in verd.collect()} == got
 
+    # crash-replay of the same increment: index appends nothing AND the
+    # verdicts reproduce exactly (a doc the index records as its own
+    # keeper stays 'novel' — the replay-stable rule the streaming
+    # front-end relies on)
     verd2, v3 = fingerprint_index_ingest(spark, idx, inc)
     assert read_snapshot(spark, idx).count() == 3  # idempotent re-ingest
-    assert {r["verdict"] for r in verd2.collect()} == {"known"}
+    assert {r["doc_id"]: r["verdict"] for r in verd2.collect()} == got
     assert snapshot_versions(idx) == [1, 2, 3]
 
 
@@ -530,7 +534,7 @@ def test_minhash_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
     bootstrap commits every doc's band rows, an increment's verdicts
     split known_neardup / neardup_in_increment / novel (shingle-less
     docs default to novel), only novel docs' bands are appended, and
-    re-ingesting the same increment flips its retained docs to known
+    re-ingesting the same increment reproduces the verdicts exactly
     without growing the index."""
     from ocr_application_spark.operators.dedup import minhash_index_ingest
 
@@ -562,12 +566,10 @@ def test_minhash_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
     }
     assert read_snapshot(spark, idx).count() == 12  # + doc 11's 4 bands only
 
+    # crash-replay: verdicts reproduce exactly (a doc does not collide
+    # with its own or its in-batch keeper's index rows into 'known')
+    # and the already-indexed novel doc's bands are not appended twice
     verd2, _v3 = minhash_index_ingest(spark, idx, inc)
     got2 = {r["doc_id"]: r["verdict"] for r in verd2.collect()}
-    assert got2 == {
-        10: "known_neardup",
-        11: "known_neardup",
-        12: "known_neardup",
-        13: "novel",
-    }
+    assert got2 == got
     assert read_snapshot(spark, idx).count() == 12  # idempotent re-ingest
