@@ -140,6 +140,8 @@ def main() -> None:
             "url_crawl_filter",
             "sample_epochs_weighted",
             "dedup_consecutive_lines",
+            "dedup_incremental_ingest",
+            "neardup_incremental_ingest",
         ]
 
         def run(name: str) -> None:
