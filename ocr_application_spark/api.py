@@ -52,6 +52,13 @@ from ocr_application_spark.operators.curation import (  # noqa: F401
     text_gopher_quality,
     text_pii_scrub,
 )
+from ocr_application_spark.operators.dedup import (  # noqa: F401
+    fingerprint_index_ingest,
+    minhash_index_ingest,
+)
+from ocr_application_spark.streaming.stream import (  # noqa: F401
+    run_stream_ingest,
+)
 from ocr_application_spark.operators.bpe import (  # noqa: F401
     bpe_apply,
     bpe_train,
