@@ -573,3 +573,61 @@ def test_minhash_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
     got2 = {r["doc_id"]: r["verdict"] for r in verd2.collect()}
     assert got2 == got
     assert read_snapshot(spark, idx).count() == 12  # idempotent re-ingest
+
+
+def test_fingerprint_ingest_matches_dict_model_on_random_batches(spark, tmpdir_scratch):
+    """Differential property: sequential ingest of pseudo-random batches
+    must match a pure-Python dict model (text -> first-seen keeper):
+    exactly one 'novel' per distinct text corpus-wide, keeper = min
+    doc_id of the earliest batch carrying the text, index rows ==
+    distinct texts — and replaying ANY single batch after the full
+    sequence reproduces that batch's original verdicts exactly."""
+    import hashlib
+    import random
+
+    from ocr_application_spark.operators.dedup import fingerprint_index_ingest
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        pool = [f"text variant {i}" for i in range(8)]  # small pool -> many dups
+        batches, next_id = [], 0
+        for _ in range(3):
+            rows = []
+            for _ in range(rng.randint(4, 12)):
+                rows.append((next_id, rng.choice(pool)))
+                next_id += 1
+            batches.append(rows)
+
+        idx = tmpdir_scratch + f"/prop_idx_{seed}"
+        model: dict[str, int] = {}  # text -> corpus keeper doc_id
+        originals = []
+        for rows in batches:
+            # expected verdicts from the dict model
+            batch_min: dict[str, int] = {}
+            for did, txt in rows:
+                batch_min[txt] = min(batch_min.get(txt, did), did)
+            expect = {}
+            for did, txt in rows:
+                rep = model.get(txt, batch_min[txt])
+                expect[did] = (
+                    "novel" if rep == did
+                    else "dup_in_increment" if rep == batch_min[txt]
+                    else "known"
+                )
+            for txt, m in batch_min.items():
+                model.setdefault(txt, m)
+
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            verd, _ = fingerprint_index_ingest(spark, idx, df)
+            got = {r["doc_id"]: r["verdict"] for r in verd.collect()}
+            assert got == expect, (seed, rows, got, expect)
+            originals.append((rows, got))
+
+        assert read_snapshot(spark, idx).count() == len(model)
+        # replay any batch after the full sequence: verdicts reproduce
+        rows, first = originals[rng.randrange(len(originals))]
+        verd, _ = fingerprint_index_ingest(
+            spark, idx, spark.createDataFrame(rows, "doc_id long, text string")
+        )
+        assert {r["doc_id"]: r["verdict"] for r in verd.collect()} == first
+        assert read_snapshot(spark, idx).count() == len(model)  # no growth
