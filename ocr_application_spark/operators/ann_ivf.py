@@ -212,14 +212,25 @@ ORACLES["ann_ivf_exhaustive"] = _exhaustive_oracle()
 
 # --- the on-disk inverted file (what "IVF" means at 100 TB) -----------------
 
-def build_inverted_file(spark: SparkSession, sf_dir: str, path: str) -> np.ndarray:
+def build_inverted_file(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    vectors: DataFrame | None = None,
+    cent: np.ndarray | None = None,
+) -> np.ndarray:
     """Materialize the inverted file: vectors written PARTITIONED BY cell
     (the Iceberg ``partitionedBy(cell)`` analog), so probe-time reads
     touch only nprobe/k of the corpus at the storage layer — the file
-    listing itself is the index. Returns the trained codebook."""
-    cent = train_codebook(spark, sf_dir)
+    listing itself is the index. Returns the (trained or given)
+    codebook. ``vectors``/``cent`` default to the full embeddings table
+    and a fresh deterministic training run."""
+    if cent is None:
+        cent = train_codebook(spark, sf_dir)
     cell_of, _ = _centroid_udfs(spark, cent)
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = vectors if vectors is not None else spark.read.parquet(
+        f"{sf_dir}/embeddings.parquet"
+    )
     (
         e.select("vec_id", "embedding", cell_of("embedding").alias("cell"))
         .write.mode("overwrite")
@@ -227,6 +238,27 @@ def build_inverted_file(spark: SparkSession, sf_dir: str, path: str) -> np.ndarr
         .parquet(path)
     )
     return cent
+
+
+def append_to_inverted_file(
+    spark: SparkSession, path: str, cent: np.ndarray, vectors: DataFrame
+) -> None:
+    """Incremental IVF ingest (the recrawl path for the ANN index):
+    assign NEW vectors to the EXISTING codebook's cells and append them
+    to the cell-partitioned inverted file — no retrain, no rewrite of
+    existing cells, O(increment) work. Standard IVF practice: the
+    codebook is a coarse quantizer, so appends shift cell BALANCE, not
+    correctness — probing remains exact over whichever cells are probed
+    and is oblivious to which commit wrote a row (pinned by the
+    append == one-shot-build equivalence test). Monitor cell-size skew
+    as the corpus drifts and retrain/rebuild offline when warranted."""
+    cell_of, _ = _centroid_udfs(spark, cent)
+    (
+        vectors.select("vec_id", "embedding", cell_of("embedding").alias("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
 
 
 def probe_inverted_file(

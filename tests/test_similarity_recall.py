@@ -76,3 +76,33 @@ def test_ivf_inverted_file_prunes_and_matches(spark, tmpdir_scratch):
 
     executed = disk._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in executed, executed
+
+
+def test_inverted_file_append_equals_one_shot_build(spark, tmpdir_scratch):
+    """Incremental IVF ingest: building the inverted file from half the
+    vectors and appending the other half (same codebook, no retrain)
+    must probe EXACTLY like the one-shot build — the probe path is
+    oblivious to which commit wrote a row."""
+    from pyspark.sql import functions as F
+
+    from ocr_application_spark.operators.ann_ivf import (
+        append_to_inverted_file,
+        build_inverted_file,
+        probe_inverted_file,
+        train_codebook,
+    )
+
+    sf = SF
+    full_path = tmpdir_scratch + "/ivf_full"
+    incr_path = tmpdir_scratch + "/ivf_incr"
+    cent = build_inverted_file(spark, sf, full_path)  # deterministic train
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    build_inverted_file(
+        spark, sf, incr_path, vectors=e.filter(F.col("vec_id") % 2 == 0), cent=cent
+    )
+    append_to_inverted_file(spark, incr_path, cent, e.filter(F.col("vec_id") % 2 == 1))
+
+    key = lambda rows: {(r.q_id, r.cand_id, r.rank) for r in rows}
+    got_full = key(probe_inverted_file(spark, sf, full_path, cent).collect())
+    got_incr = key(probe_inverted_file(spark, sf, incr_path, cent).collect())
+    assert got_full == got_incr and len(got_full) > 0
