@@ -79,6 +79,7 @@ def _modules():
 _ROTATED_BACK = (
     "j3_region_table_antijoin",
     "f6_field_keywords",
+    "ann_cosine_topk",
     "ann_ivf_topk",
     "dedup_simhash",
     "text_fingerprint",

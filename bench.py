@@ -142,6 +142,7 @@ def main() -> None:
             "dedup_consecutive_lines",
             "dedup_incremental_ingest",
             "neardup_incremental_ingest",
+            "semantic_incremental_ingest",
         ]
 
         def run(name: str) -> None:

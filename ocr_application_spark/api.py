@@ -56,6 +56,14 @@ from ocr_application_spark.operators.dedup import (  # noqa: F401
     fingerprint_index_ingest,
     minhash_index_ingest,
 )
+from ocr_application_spark.operators.similarity import (  # noqa: F401
+    embedding_index_ingest,
+)
+from ocr_application_spark.operators.ann_ivf import (  # noqa: F401
+    append_to_inverted_file,
+    build_inverted_file,
+    probe_inverted_file,
+)
 from ocr_application_spark.streaming.stream import (  # noqa: F401
     run_stream_ingest,
 )

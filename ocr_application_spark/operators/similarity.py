@@ -290,3 +290,106 @@ def emb_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"))
     return propagate_components(pairs, nodes)
+
+
+# --- incremental semantic ingest against a persisted vector index -------------
+def embedding_index_ingest(
+    spark: SparkSession,
+    index_path: str,
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tau: float = _NEARDUP_TAU,
+    op_label: str = "embedding-ingest",
+) -> tuple[DataFrame, int]:
+    """Semantic sibling of ``dedup.fingerprint_index_ingest`` /
+    ``dedup.minhash_index_ingest``: dedupe an embedding increment
+    against the PERSISTED corpus vector index — a snapshot table of
+    (vec_id, bucket, qv, n) rows (sign-LSH bucket, quantized vector,
+    integer self-norm) of every retained vector — append the rows of
+    the vectors that survive, and return ``(verdicts, version)``:
+
+      (vec_id, verdict) with verdict one of
+        'known_neardup'        — cosine >= tau with an index vector of
+                                 another, out-of-batch doc sharing its
+                                 LSH bucket
+        'neardup_in_increment' — no corpus match, but cosine >= tau
+                                 with a LOWER vec_id in this increment
+        'novel'                — no match; appended to the index
+
+    Scale shape: the increment is quantized/bucketed once
+    (localCheckpoint-pinned — it feeds the index join, the in-increment
+    self-join and the append), candidates come from the bucket
+    equi-join (sub-quadratic, the same recall/cost trade as
+    emb_neardup_pairs), the verification cosine is the quantized-exact
+    integer form, and the index grows by novel vectors only — the
+    corpus is never re-scored. Replay-stable exactly like the minhash
+    variant: out-of-batch partners only, already-indexed novels not
+    re-appended; crash-replay of an epoch appends zero rows and
+    reproduces the verdicts.
+    """
+    from ocr_application_spark.sources.snapshots import (
+        commit,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    d = vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
+    q = d.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    b = (
+        q.withColumn("n", _dot(F.col("qv"), F.col("qv")))
+        .withColumn("bucket", _bucket_col(F.col("qv")))
+        .localCheckpoint()
+    )
+    batch_ids = b.select("vec_id").distinct()
+
+    def _cos(xq, xn, yq, yn):
+        return _dot(xq, yq).cast("double") / F.sqrt(xn.cast("double") * yn.cast("double"))
+
+    versions = snapshot_versions(index_path)
+    if versions:
+        idx = read_snapshot(spark, index_path, version=versions[-1])
+        corpus = idx.join(batch_ids, "vec_id", "left_anti")
+        known = (
+            b.alias("x")
+            .join(corpus.alias("i"), F.col("x.bucket") == F.col("i.bucket"))
+            .filter(
+                _cos(F.col("x.qv"), F.col("x.n"), F.col("i.qv"), F.col("i.n")) >= tau
+            )
+            .select(F.col("x.vec_id").alias("vec_id"))
+            .distinct()
+        )
+        idx_present = idx.select("vec_id").distinct()
+    else:  # bootstrap
+        known = b.filter(F.lit(False)).select("vec_id")
+        idx_present = known
+    incdup = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("c.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(_cos(F.col("a.qv"), F.col("a.n"), F.col("c.qv"), F.col("c.n")) >= tau)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    verdicts = (
+        batch_ids.join(known.withColumn("_k", F.lit(True)), "vec_id", "left")
+        .join(incdup.withColumn("_d", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("_k"), F.lit("known_neardup"))
+            .when(F.col("_d"), F.lit("neardup_in_increment"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+        )
+    )
+    novel_rows = (
+        b.join(verdicts.filter(F.col("verdict") == "novel"), "vec_id", "left_semi")
+        .join(idx_present, "vec_id", "left_anti")
+        .select("vec_id", "bucket", "qv", "n")
+    )
+    version = commit(novel_rows, index_path, op_label=op_label)
+    return verdicts, version

@@ -160,12 +160,23 @@ bsigs as (select doc_id, {_MINHASH_SIGS_SQL} from bsh group by doc_id),
 isigs as (select doc_id, {_MINHASH_SIGS_SQL} from ish group by doc_id),
 bbuck as ({_band_union_sql("bsigs")}),
 ibuck as ({_band_union_sql("isigs")}),
+bdrop as (
+  -- the bootstrap ingest retains only docs with NO lower-id band
+  -- collision within base ('novel' at bootstrap); dropped docs never
+  -- enter the index
+  select distinct a.doc_id from bbuck a
+  join bbuck b on a.band_id = b.band_id and a.sig_a = b.sig_a
+              and a.sig_b = b.sig_b and b.doc_id < a.doc_id
+),
+bret as (
+  select * from bbuck where doc_id not in (select doc_id from bdrop)
+),
 known as (
-  -- corpus partners only: index rows of docs outside the batch (the
-  -- replay-stability clause; vacuous here since base/inc ids are
-  -- disjoint, mirrored verbatim from the operator)
+  -- corpus partners only: RETAINED index rows of docs outside the
+  -- batch (the replay-stability clause is vacuous here since base/inc
+  -- ids are disjoint, mirrored verbatim from the operator)
   select distinct i.doc_id from ibuck i
-  join bbuck b on i.band_id = b.band_id and i.sig_a = b.sig_a and i.sig_b = b.sig_b
+  join bret b on i.band_id = b.band_id and i.sig_a = b.sig_a and i.sig_b = b.sig_b
   where b.doc_id not in (select doc_id from inc)
 ),
 incdup as (
@@ -211,3 +222,97 @@ def neardup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["neardup_incremental_ingest"] = neardup_incremental_ingest
 ORACLES["neardup_incremental_ingest"] = _minhash_ingest_oracle()
+
+
+def _embedding_ingest_oracle() -> str:
+    from ocr_application_spark.operators.similarity import (
+        _NEARDUP_TAU,
+        _N_PLANES,
+        _QUANT_SQL,
+        _dot_sql,
+        _lsh_bit_sql,
+    )
+
+    bits = " + ".join(_lsh_bit_sql(k) for k in range(_N_PLANES))
+    cos = (
+        "cast({d} as double) / sqrt(cast({xn} as double) * cast({yn} as double))"
+    )
+    return f"""
+with base as (
+  select vec_id, embedding from embeddings where vec_id % 3 != 0
+),
+inc as (
+  select vec_id, embedding from embeddings where vec_id % 3 = 0
+  union all
+  select vec_id + 1000000 as vec_id, embedding from embeddings where vec_id % 7 = 0
+),
+bq as (select vec_id, {_QUANT_SQL.format(c='embedding')} as qv from base),
+bb as (select vec_id, qv, {_dot_sql('qv', 'qv')} as n, {bits} as bucket from bq),
+iq as (select vec_id, {_QUANT_SQL.format(c='embedding')} as qv from inc),
+ib as (select vec_id, qv, {_dot_sql('qv', 'qv')} as n, {bits} as bucket from iq),
+bdrop as (
+  -- the bootstrap ingest retains only vectors with NO lower-id
+  -- above-tau bucket partner within base ('novel' at bootstrap);
+  -- dropped vectors never enter the index
+  select distinct a.vec_id from bb a
+  join bb c on a.bucket = c.bucket and c.vec_id < a.vec_id
+  where {cos.format(d=_dot_sql('a.qv', 'c.qv'), xn='a.n', yn='c.n')} >= {_NEARDUP_TAU}
+),
+bret as (
+  select * from bb where vec_id not in (select vec_id from bdrop)
+),
+known as (
+  -- corpus partners only: RETAINED index rows (replay-stability clause
+  -- is vacuous here since base/inc ids are disjoint, mirrored verbatim
+  -- from the operator)
+  select distinct x.vec_id from ib x
+  join bret i on x.bucket = i.bucket
+  where i.vec_id not in (select vec_id from inc)
+    and {cos.format(d=_dot_sql('x.qv', 'i.qv'), xn='x.n', yn='i.n')} >= {_NEARDUP_TAU}
+),
+incdup as (
+  select distinct a.vec_id from ib a
+  join ib c on a.bucket = c.bucket and c.vec_id < a.vec_id
+  where {cos.format(d=_dot_sql('a.qv', 'c.qv'), xn='a.n', yn='c.n')} >= {_NEARDUP_TAU}
+)
+select i.vec_id,
+       case when k.vec_id is not null then 'known_neardup'
+            when d.vec_id is not null then 'neardup_in_increment'
+            else 'novel' end as verdict
+from (select distinct vec_id from inc) i
+left join known k on k.vec_id = i.vec_id
+left join incdup d on d.vec_id = i.vec_id
+"""
+
+
+def semantic_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC recrawl ingest through the real snapshot machinery (the
+    embedding sibling of the exact/minhash ingest gates): bootstrap the
+    corpus vector index from the base vectors, ingest an increment
+    holding re-crawled clones of base vectors (cosine exactly 1 ->
+    'known_neardup') and clones of in-increment vectors
+    ('neardup_in_increment'), return the per-vector verdicts. The
+    oracle rebuilds the quantization, sign-LSH buckets, integer-exact
+    cosines and the precedence rule algebraically (library op:
+    ``operators/similarity.embedding_index_ingest``)."""
+    from ocr_application_spark.operators.similarity import embedding_index_ingest
+    from ocr_application_spark.sources.webpages import default_scratch
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = e.filter(F.col("vec_id") % 3 != 0)
+    inc = e.filter(F.col("vec_id") % 3 == 0).unionAll(
+        e.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    idx = os.path.join(default_scratch(), "gate_emb_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    embedding_index_ingest(spark, idx, base, op_label="bootstrap")
+    verdicts, _v = embedding_index_ingest(spark, idx, inc, op_label="recrawl")
+    return verdicts
+
+
+QUERIES["semantic_incremental_ingest"] = semantic_incremental_ingest
+ORACLES["semantic_incremental_ingest"] = _embedding_ingest_oracle()

@@ -631,3 +631,52 @@ def test_fingerprint_ingest_matches_dict_model_on_random_batches(spark, tmpdir_s
         )
         assert {r["doc_id"]: r["verdict"] for r in verd.collect()} == first
         assert read_snapshot(spark, idx).count() == len(model)  # no growth
+
+
+def test_embedding_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
+    """Semantic recrawl ingest against the persisted vector index:
+    bootstrap retains within-base novel vectors, an increment's verdicts
+    split known_neardup / neardup_in_increment / novel, only novel
+    vectors are appended, and re-ingesting the same increment reproduces
+    the verdicts exactly without growing the index."""
+    from ocr_application_spark.operators.similarity import (
+        DIM,
+        embedding_index_ingest,
+    )
+
+    def vec(axis: int) -> list[float]:
+        v = [0.0] * DIM
+        v[axis] = 1.0
+        return v
+
+    idx = tmpdir_scratch + "/embidx"
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(
+        [(1, vec(0)), (2, vec(1)), (3, vec(0))], schema  # 3 is a base dup of 1
+    )
+    _, v1 = embedding_index_ingest(spark, idx, base)
+    assert v1 == 1
+    assert read_snapshot(spark, idx).count() == 2  # 1 and 2 retained, 3 dropped
+
+    inc = spark.createDataFrame(
+        [
+            (10, vec(0)),  # clone of retained base vec 1 -> known
+            (11, vec(2)),  # novel keeper
+            (12, vec(2)),  # in-increment clone
+            (13, vec(3)),  # novel (orthogonal to everything)
+        ],
+        schema,
+    )
+    verd, _v2 = embedding_index_ingest(spark, idx, inc)
+    got = {r["vec_id"]: r["verdict"] for r in verd.collect()}
+    assert got == {
+        10: "known_neardup",
+        11: "novel",
+        12: "neardup_in_increment",
+        13: "novel",
+    }
+    assert read_snapshot(spark, idx).count() == 4  # + vecs 11 and 13
+
+    verd2, _v3 = embedding_index_ingest(spark, idx, inc)  # crash-replay
+    assert {r["vec_id"]: r["verdict"] for r in verd2.collect()} == got
+    assert read_snapshot(spark, idx).count() == 4  # idempotent
