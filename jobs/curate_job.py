@@ -60,12 +60,27 @@ ALL_GATES = ("clean", "c4", "gopher_quality", "repetition", "rank")
 _last_cur = None
 
 
-def curate(spark, input_dir: str, gates=DEFAULT_GATES, n_shards: int = 8):
+def curate(
+    spark,
+    input_dir: str,
+    gates=DEFAULT_GATES,
+    n_shards: int = 8,
+    dedup_index: str | None = None,
+):
     """Return (curated DataFrame, stage-metrics list). ``input_dir``
     must contain documents.parquet (the input_hint documents shape).
     ``gates`` picks the decision chain (subset of ALL_GATES, order
     fixed); when "c4" is on, surviving documents are REBUILT from their
-    surviving lines before the scrub."""
+    surviving lines before the scrub.
+
+    ``dedup_index`` (opt-in) makes exact dedup INCREMENTAL ACROSS RUNS:
+    before any gate, the corpus is ingested against the persisted
+    fingerprint index at that path (``operators/dedup.
+    fingerprint_index_ingest`` — one snapshot commit, novel fps only)
+    and only 'novel' docs continue down the funnel — a recrawl batch
+    curated against last month's index drops last month's content
+    without ever re-reading it. Replay-safe: re-running the SAME batch
+    against the index it built reproduces the same survivor set."""
     from ocr_application_spark.operators.curation import (
         _RE_EMAIL,
         _RE_IP,
@@ -113,6 +128,17 @@ def curate(spark, input_dir: str, gates=DEFAULT_GATES, n_shards: int = 8):
         return out
 
     cur = docs.select("doc_id")
+    if dedup_index is not None:
+        from ocr_application_spark.operators.dedup import fingerprint_index_ingest
+
+        verdicts, _v = fingerprint_index_ingest(
+            spark, dedup_index, docs, op_label="curate-ingest"
+        )
+        cur = gate(
+            "incremental_dedup",
+            verdicts.withColumn("keep", F.col("verdict") == "novel"),
+            cur,
+        )
     if "clean" in gates:
         cur = gate("clean_lang_quality_dedup",
                    corpus_clean_pipeline(spark, input_dir), cur,
@@ -184,6 +210,11 @@ def main() -> None:
                          "'c4' rebuilds text from surviving lines)")
     ap.add_argument("--shards", type=int, default=8,
                     help="trainer hand-off shard count (deterministic)")
+    ap.add_argument("--dedup-index", default=None,
+                    help="persisted fingerprint-index path: dedupe this "
+                         "batch against prior runs BEFORE the gates "
+                         "(incremental exact dedup; index grows by this "
+                         "batch's novel fingerprints)")
     args = ap.parse_args()
 
     from ocr_application_spark.session import get_spark
@@ -192,7 +223,8 @@ def main() -> None:
     try:
         gates = tuple(g for g in args.gates.split(",") if g)
         curated, metrics = curate(spark, args.input, gates=gates,
-                                  n_shards=args.shards)
+                                  n_shards=args.shards,
+                                  dedup_index=args.dedup_index)
         (
             curated.write.mode("overwrite")
             .partitionBy("split")

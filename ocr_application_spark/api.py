@@ -14,6 +14,15 @@ DataFrame transforms::
     fc         = api.forecast_linear(spark, sf_dir) # A7
     lin        = api.lineage(extracted)             # A5
     bad        = api.verify(extracted, reference)   # digest equi-join
+
+Incremental recrawl ingest (each O(increment); the corpus is never
+re-processed)::
+
+    v, _ = api.fingerprint_index_ingest(spark, idx, docs)   # exact
+    v, _ = api.minhash_index_ingest(spark, idx2, docs)      # near-dup
+    v, _ = api.embedding_index_ingest(spark, idx3, vecs)    # semantic
+    api.append_to_inverted_file(spark, ivf, cent, vecs)     # ANN index
+    api.run_stream_ingest(spark, src, idx, out, ckpt)       # streaming
 """
 
 from __future__ import annotations

@@ -316,3 +316,44 @@ def test_curate_releases_previous_invocations_cache(spark, tmpdir_scratch):
     # release the final invocation's cache so later tests start clean
     curate_job._last_cur.unpersist()
     curate_job._last_cur = None
+
+
+def test_curate_incremental_dedup_index_across_runs(spark, tmpdir_scratch):
+    """--dedup-index makes the funnel's exact dedup incremental ACROSS
+    runs: run 1 keeps one 'novel' doc per distinct text and commits the
+    index; run 2 over a batch mixing recrawls with fresh content drops
+    exactly the recrawled texts at the incremental_dedup stage, before
+    any other gate."""
+    from jobs.curate_job import curate
+
+    def write_docs(path, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(path + "/documents.parquet")
+
+    idx = tmpdir_scratch + "/cur_idx"
+    in1 = tmpdir_scratch + "/cur_in1"
+    # gates=() isolates the dedup stage; texts A (duplicated) and B
+    write_docs(in1, [
+        (1, "text alpha body", "en", "s", 15),
+        (2, "text beta body", "en", "s", 14),
+        (3, "text alpha body", "en", "s", 15),   # in-batch dup of 1
+    ])
+    curated1, m1 = curate(spark, in1, gates=(), dedup_index=idx)
+    assert {r["doc_id"] for r in curated1.select("doc_id").collect()} == {1, 2}
+    assert m1[0]["stage"] == "incremental_dedup" and m1[0]["rows_out"] == 2
+
+    in2 = tmpdir_scratch + "/cur_in2"
+    write_docs(in2, [
+        (10, "text alpha body", "en", "s", 15),  # recrawl of run-1 content
+        (11, "text gamma body", "en", "s", 15),  # fresh
+    ])
+    curated2, m2 = curate(spark, in2, gates=(), dedup_index=idx)
+    assert {r["doc_id"] for r in curated2.select("doc_id").collect()} == {11}
+    assert m2[0] == {"stage": "incremental_dedup", "rows_in": 2,
+                     "rows_out": 1, "dropped": 1}
+
+    # replay-safety: re-running run 2 against the index it built keeps
+    # the SAME survivor (doc 11 is the index's own keeper for gamma)
+    curated2b, _ = curate(spark, in2, gates=(), dedup_index=idx)
+    assert {r["doc_id"] for r in curated2b.select("doc_id").collect()} == {11}
