@@ -396,3 +396,14 @@ def test_minhash_ingest_verdicts_reuse_checkpointed_bands(spark):
     # NOT reappear in the verdict plan
     assert "ExistingRDD" in plan
     assert "md5" not in plan
+
+
+def test_embedding_ingest_verdicts_reuse_checkpointed_buckets(spark):
+    """Semantic ingest verdicts: quantization + bucketing are
+    localCheckpoint-pinned (one pass feeds index join, self-join and
+    append), so the verdict plan scans the checkpointed RDD and stays
+    cartesian-free and Python-free."""
+    plan = plan_of(spark, "semantic_incremental_ingest")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "ExistingRDD" in plan

@@ -680,3 +680,31 @@ def test_embedding_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
     verd2, _v3 = embedding_index_ingest(spark, idx, inc)  # crash-replay
     assert {r["vec_id"]: r["verdict"] for r in verd2.collect()} == got
     assert read_snapshot(spark, idx).count() == 4  # idempotent
+
+
+def test_fingerprint_index_survives_compaction(spark, tmpdir_scratch):
+    """Operational lifecycle at scale: many small ingest commits leave
+    many small files; compact() rewrites the index into few files and
+    the NEXT ingest must still see every fingerprint (no dup re-admitted,
+    novel still detected)."""
+    from ocr_application_spark.operators.dedup import fingerprint_index_ingest
+    from ocr_application_spark.sources.snapshots import compact
+
+    idx = tmpdir_scratch + "/fpidx_c"
+    for i, txt in enumerate(["alpha", "beta", "gamma"]):
+        fingerprint_index_ingest(
+            spark, idx, spark.createDataFrame([(i, txt)], "doc_id long, text string")
+        )
+    compact(spark, idx)
+    verd, _ = fingerprint_index_ingest(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(10, "alpha"), (11, "delta")], "doc_id long, text string"
+        ),
+    )
+    assert {r["doc_id"]: r["verdict"] for r in verd.collect()} == {
+        10: "known",
+        11: "novel",
+    }
+    assert read_snapshot(spark, idx).count() == 4
