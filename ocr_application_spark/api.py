@@ -91,6 +91,7 @@ from ocr_application_spark.sources.snapshots import (  # noqa: F401
     commit as commit_snapshot,
     compact as compact_table,
     expire_snapshots,
+    gc_orphan_files,
     merge_pages,
     read_snapshot,
     read_snapshot_diff,

@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -551,7 +552,7 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     # kept manifest still needs) — never "any unreferenced parquet":
     # commit() writes data BEFORE publishing its manifest, so a blanket
     # sweep would destroy an in-flight commit's files (orphans from
-    # crashed commits need an age-based GC, out of scope here)
+    # crashed commits are ``gc_orphan_files``'s age-gated job)
     droppable: set[str] = set()
     for v in drop:
         droppable.update(_load_manifest(path, v)["files"])
@@ -575,3 +576,49 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
 
             shutil.rmtree(full, ignore_errors=True)
     return {"expired_versions": drop, "kept_versions": keep, "files_deleted": n_deleted}
+
+
+def gc_orphan_files(path: str, grace_seconds: float = 3 * 24 * 3600) -> dict:
+    """Age-based orphan GC (Iceberg's ``remove_orphan_files`` analog) —
+    the companion ``expire_snapshots`` explicitly defers to: delete data
+    files under the table that NO live manifest references and whose
+    mtime is older than ``grace_seconds``. Orphans come from two real
+    sources at crawl scale: a commit that crashed between writing bytes
+    and publishing its manifest, and the LOSING side of a concurrent-
+    commit conflict (``commit`` publishes with an exclusive link; the
+    loser's commit dir is never referenced by any manifest).
+
+    The grace period is the safety contract: commit() writes data
+    BEFORE publishing, so a zero-grace sweep racing a live writer would
+    destroy its about-to-be-published files. Run from a maintenance
+    job with a grace comfortably above the longest commit, never inline
+    with writers. Returns counts for observability."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    live: set[str] = set()
+    for v in versions:
+        live.update(_load_manifest(path, v)["files"])
+    now = time.time()
+    n_deleted = n_in_grace = 0
+    for f in _list_parquet(_data_dir(path)):
+        if f in live:
+            continue
+        if now - os.path.getmtime(f) < grace_seconds:
+            n_in_grace += 1
+            continue
+        os.remove(f)
+        n_deleted += 1
+    # prune commit dirs emptied by the sweep (same rule as expiry)
+    data_root = _data_dir(path)
+    for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        full = os.path.join(data_root, d)
+        if os.path.isdir(full) and not _list_parquet(full):
+            import shutil
+
+            shutil.rmtree(full, ignore_errors=True)
+    return {
+        "files_deleted": n_deleted,
+        "skipped_in_grace": n_in_grace,
+        "live_files": len(live),
+    }

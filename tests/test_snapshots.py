@@ -708,3 +708,52 @@ def test_fingerprint_index_survives_compaction(spark, tmpdir_scratch):
         11: "novel",
     }
     assert read_snapshot(spark, idx).count() == 4
+
+
+def test_gc_orphan_files_age_gated(spark, tmpdir_scratch):
+    """Orphan GC: a data file no manifest references (a crashed or
+    conflict-losing commit's leftovers) is deleted once older than the
+    grace period; younger orphans and every live file survive, and the
+    table still reads identically afterwards."""
+    import shutil as _sh
+    import time as _time
+
+    from ocr_application_spark.sources.snapshots import gc_orphan_files
+
+    tbl = tmpdir_scratch + "/tbl_gc"
+    commit(_pages(spark, range(4), "a"), tbl)
+    commit(_pages(spark, range(4, 6), "b"), tbl)
+    before = {(r.doc_id, r.payload) for r in read_snapshot(spark, tbl).collect()}
+
+    # plant two orphans in a never-published commit dir: one old, one fresh
+    data_root = os.path.join(tbl, "data")
+    some_live = None
+    for dirpath, _d, files in os.walk(data_root):
+        for f in files:
+            if f.endswith(".parquet"):
+                some_live = os.path.join(dirpath, f)
+                break
+        if some_live:
+            break
+    orphan_dir = os.path.join(data_root, "c99-deadbeef")
+    os.makedirs(orphan_dir)
+    old_orphan = os.path.join(orphan_dir, "part-old.parquet")
+    new_orphan = os.path.join(orphan_dir, "part-new.parquet")
+    _sh.copy(some_live, old_orphan)
+    _sh.copy(some_live, new_orphan)
+    os.utime(old_orphan, (_time.time() - 7200, _time.time() - 7200))
+
+    stats = gc_orphan_files(tbl, grace_seconds=3600)
+    assert stats["files_deleted"] == 1 and stats["skipped_in_grace"] == 1
+    assert not os.path.exists(old_orphan) and os.path.exists(new_orphan)
+    # live data untouched, table reads identically
+    after = {(r.doc_id, r.payload) for r in read_snapshot(spark, tbl).collect()}
+    assert after == before
+
+    # sweeping again with zero grace removes the remaining orphan and
+    # prunes the now-empty fake commit dir
+    stats2 = gc_orphan_files(tbl, grace_seconds=0)
+    assert stats2["files_deleted"] == 1
+    assert not os.path.isdir(orphan_dir)
+    with pytest.raises(FileNotFoundError):
+        gc_orphan_files(tmpdir_scratch + "/nope")
