@@ -82,10 +82,8 @@ def curate(
     without ever re-reading it. Replay-safe: re-running the SAME batch
     against the index it built reproduces the same survivor set."""
     from ocr_application_spark.operators.curation import (
-        _RE_EMAIL,
-        _RE_IP,
-        _RE_PHONE,
         c4_kept_lines,
+        pii_scrub,
         shard_coin,
         shard_of,
         text_c4_line_filter,
@@ -164,13 +162,9 @@ def curate(
         else F.col("text")
     )
 
-    # PII scrub rewrites the surviving text in place (same fixed
-    # email -> phone -> IP order as the oracle-checked operator)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(body, _RE_EMAIL, "<EMAIL>"),
-            _RE_PHONE, "<PHONE>"),
-        _RE_IP, "<IP>")
+    # PII scrub rewrites the surviving text in place (pii_scrub IS the
+    # oracle-checked operator's chain — shared expression, same order)
+    scrubbed = pii_scrub(body)
 
     # deterministic holdout: pure function of doc_id, any engine / any
     # partitioning / any re-run lands every doc in the same split

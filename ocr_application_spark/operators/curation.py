@@ -37,6 +37,20 @@ _RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _RE_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
 _RE_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
+
+def _scrub_email_phone(col):
+    return F.regexp_replace(
+        F.regexp_replace(col, _RE_EMAIL, "<EMAIL>"), _RE_PHONE, "<PHONE>"
+    )
+
+
+def pii_scrub(col):
+    """THE scrub chain (email -> phone -> IPv4, fixed order — the
+    oracle-pinned semantics of ``text_pii_scrub``). The batch operator,
+    the streaming curation card and the curation job all build from
+    this one expression so the order cannot silently diverge."""
+    return F.regexp_replace(_scrub_email_phone(col), _RE_IP, "<IP>")
+
 # deterministic PII injection (identical string building both engines):
 # doc_id % 3 == 0 -> an email, % 4 == 0 -> a phone, % 5 == 0 -> an IP
 _AUG_SQL = """
@@ -108,9 +122,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(""),
     )
     t = aug
-    t2 = F.regexp_replace(
-        F.regexp_replace(t, _RE_EMAIL, "<EMAIL>"), _RE_PHONE, "<PHONE>"
-    )
+    t2 = _scrub_email_phone(t)
     t3 = F.regexp_replace(t2, _RE_IP, "<IP>")
     return docs.select(
         "doc_id",

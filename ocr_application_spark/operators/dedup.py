@@ -108,9 +108,17 @@ def fingerprint_index_ingest(
         snapshot_versions,
     )
 
+    # coalesce: a null text must still produce a (non-null) fingerprint —
+    # md5(NULL) is NULL, and null join keys would both drop the doc from
+    # the verdict output (silent loss in the streaming/curation callers)
+    # and append a garbage null-fp row to the index on every batch.
+    # localCheckpoint: fps feeds the novel commit AND the verdict join
+    # (two actions) — without it the increment is re-scanned and
+    # re-hashed three times per ingest.
     fps = docs.select(
-        F.col(id_col).alias("doc_id"), F.md5(text_col).alias("fingerprint")
-    )
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fingerprint"),
+    ).localCheckpoint()
     keeper = fps.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper_doc_id"))
     versions = snapshot_versions(index_path)
     if versions:
@@ -177,13 +185,17 @@ def minhash_index_ingest(
     the collision sets and the precedence rule are exactly the
     documented function of the bytes on any engine.
 
-    Replay-stable like the exact variant: 'known_neardup' counts only
-    collisions with index rows of OTHER docs that are NOT in this batch
-    — so when a crashed epoch re-ingests docs whose own band rows
-    already landed in the index, a doc does not collide with itself (or
-    with its in-batch keeper) into 'known', the verdicts reproduce
-    exactly, and no band row is appended twice (novel docs that already
-    have index rows are skipped).
+    Replay-stable like the exact variant, via the verdict precedence
+    (1) a doc the index already retains (same id) stays 'novel';
+    (2) a lower-id in-batch collision is 'neardup_in_increment';
+    (3) a collision with ANOTHER doc's index rows is 'known_neardup'.
+    Rule 1 keeps a crash-replayed epoch's retained docs retained; rule
+    2 before rule 3 keeps a replayed in-increment dup's label stable
+    (its keeper's rows are in the index on replay); and rule 3 NOT
+    excluding in-batch partners means a redelivered retained doc still
+    counts as corpus evidence — a new lower-id near-dup of it is
+    'known_neardup', never a second 'novel'. No band row is appended
+    twice (novel docs already present in the index are skipped).
     """
     from ocr_application_spark.sources.snapshots import (
         commit,
@@ -195,22 +207,28 @@ def minhash_index_ingest(
     buck = _band_buckets(d).localCheckpoint()
     batch_ids = d.select("doc_id").distinct()
     versions = snapshot_versions(index_path)
-    band_key = ["band_id", "sig_a", "sig_b"]
     if versions:
         idx = read_snapshot(spark, index_path, version=versions[-1])
-        # corpus partners = index rows of docs OUTSIDE this batch (a
-        # replayed doc's own rows, or its in-batch keeper's, are not
-        # corpus-level evidence)
-        corpus_idx = idx.join(batch_ids, "doc_id", "left_anti")
+        x, i = buck.alias("x"), idx.alias("i")
+        # corpus evidence: index rows of any OTHER doc (self-rows of a
+        # replayed doc are not evidence against itself)
         known = (
-            buck.join(corpus_idx.select(*band_key), band_key, "left_semi")
-            .select("doc_id")
+            x.join(
+                i,
+                (F.col("x.band_id") == F.col("i.band_id"))
+                & (F.col("x.sig_a") == F.col("i.sig_a"))
+                & (F.col("x.sig_b") == F.col("i.sig_b"))
+                & (F.col("i.doc_id") != F.col("x.doc_id")),
+            )
+            .select(F.col("x.doc_id").alias("doc_id"))
             .distinct()
         )
         idx_present = idx.select("doc_id").distinct()
+        self_retained = batch_ids.join(idx_present, "doc_id", "left_semi")
     else:  # bootstrap: empty index
         known = buck.filter(F.lit(False)).select("doc_id")
         idx_present = known
+        self_retained = known
     a, b = buck.alias("a"), buck.alias("b")
     incdup = (
         a.join(
@@ -226,12 +244,14 @@ def minhash_index_ingest(
     verdicts = (
         d.select("doc_id")
         .distinct()
-        .join(known.withColumn("_k", F.lit(True)), "doc_id", "left")
+        .join(self_retained.withColumn("_s", F.lit(True)), "doc_id", "left")
         .join(incdup.withColumn("_d", F.lit(True)), "doc_id", "left")
+        .join(known.withColumn("_k", F.lit(True)), "doc_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("_k"), F.lit("known_neardup"))
+            F.when(F.col("_s"), F.lit("novel"))
             .when(F.col("_d"), F.lit("neardup_in_increment"))
+            .when(F.col("_k"), F.lit("known_neardup"))
             .otherwise(F.lit("novel"))
             .alias("verdict"),
         )

@@ -325,9 +325,13 @@ def embedding_index_ingest(
     emb_neardup_pairs), the verification cosine is the quantized-exact
     integer form, and the index grows by novel vectors only — the
     corpus is never re-scored. Replay-stable exactly like the minhash
-    variant: out-of-batch partners only, already-indexed novels not
-    re-appended; crash-replay of an epoch appends zero rows and
-    reproduces the verdicts.
+    variant, via the same verdict precedence: (1) a vector the index
+    already retains (same id) stays 'novel'; (2) a lower-id in-batch
+    partner is 'neardup_in_increment'; (3) an above-tau partner among
+    ANOTHER doc's index rows is 'known_neardup' — so crash-replay
+    appends zero rows and reproduces the verdicts, while a redelivered
+    retained vector still counts as corpus evidence against new
+    near-dups of it.
     """
     from ocr_application_spark.sources.snapshots import (
         commit,
@@ -350,10 +354,13 @@ def embedding_index_ingest(
     versions = snapshot_versions(index_path)
     if versions:
         idx = read_snapshot(spark, index_path, version=versions[-1])
-        corpus = idx.join(batch_ids, "vec_id", "left_anti")
         known = (
             b.alias("x")
-            .join(corpus.alias("i"), F.col("x.bucket") == F.col("i.bucket"))
+            .join(
+                idx.alias("i"),
+                (F.col("x.bucket") == F.col("i.bucket"))
+                & (F.col("i.vec_id") != F.col("x.vec_id")),
+            )
             .filter(
                 _cos(F.col("x.qv"), F.col("x.n"), F.col("i.qv"), F.col("i.n")) >= tau
             )
@@ -361,9 +368,11 @@ def embedding_index_ingest(
             .distinct()
         )
         idx_present = idx.select("vec_id").distinct()
+        self_retained = batch_ids.join(idx_present, "vec_id", "left_semi")
     else:  # bootstrap
         known = b.filter(F.lit(False)).select("vec_id")
         idx_present = known
+        self_retained = known
     incdup = (
         b.alias("a")
         .join(
@@ -376,12 +385,14 @@ def embedding_index_ingest(
         .distinct()
     )
     verdicts = (
-        batch_ids.join(known.withColumn("_k", F.lit(True)), "vec_id", "left")
+        batch_ids.join(self_retained.withColumn("_s", F.lit(True)), "vec_id", "left")
         .join(incdup.withColumn("_d", F.lit(True)), "vec_id", "left")
+        .join(known.withColumn("_k", F.lit(True)), "vec_id", "left")
         .select(
             "vec_id",
-            F.when(F.col("_k"), F.lit("known_neardup"))
+            F.when(F.col("_s"), F.lit("novel"))
             .when(F.col("_d"), F.lit("neardup_in_increment"))
+            .when(F.col("_k"), F.lit("known_neardup"))
             .otherwise(F.lit("novel"))
             .alias("verdict"),
         )

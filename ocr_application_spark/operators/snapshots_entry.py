@@ -88,10 +88,10 @@ inc as (
   select doc_id + 1000000 as doc_id, text from documents where doc_id % 7 = 0
 ),
 idx as (
-  select md5(text) as fingerprint, min(doc_id) as idx_keeper
-  from base group by md5(text)
+  select md5(coalesce(text, '')) as fingerprint, min(doc_id) as idx_keeper
+  from base group by md5(coalesce(text, ''))
 ),
-fps as (select doc_id, md5(text) as fingerprint from inc),
+fps as (select doc_id, md5(coalesce(text, '')) as fingerprint from inc),
 keep as (
   select fingerprint, min(doc_id) as keeper_doc_id from fps group by fingerprint
 )
@@ -172,12 +172,12 @@ bret as (
   select * from bbuck where doc_id not in (select doc_id from bdrop)
 ),
 known as (
-  -- corpus partners only: RETAINED index rows of docs outside the
-  -- batch (the replay-stability clause is vacuous here since base/inc
-  -- ids are disjoint, mirrored verbatim from the operator)
+  -- corpus evidence: RETAINED index rows of any OTHER doc (the
+  -- self-row exclusion is vacuous here since base/inc ids are
+  -- disjoint, mirrored verbatim from the operator)
   select distinct i.doc_id from ibuck i
   join bret b on i.band_id = b.band_id and i.sig_a = b.sig_a and i.sig_b = b.sig_b
-  where b.doc_id not in (select doc_id from inc)
+  where b.doc_id <> i.doc_id
 ),
 incdup as (
   select distinct a.doc_id from ibuck a
@@ -185,8 +185,11 @@ incdup as (
               and a.sig_b = b.sig_b and b.doc_id < a.doc_id
 )
 select i.doc_id,
-       case when k.doc_id is not null then 'known_neardup'
+       -- operator precedence: self-retained (vacuous here) -> in-batch
+       -- dup -> corpus near-dup -> novel
+       case when i.doc_id in (select doc_id from bret) then 'novel'
             when d.doc_id is not null then 'neardup_in_increment'
+            when k.doc_id is not null then 'known_neardup'
             else 'novel' end as verdict
 from (select distinct doc_id from inc) i
 left join known k on k.doc_id = i.doc_id
@@ -262,12 +265,12 @@ bret as (
   select * from bb where vec_id not in (select vec_id from bdrop)
 ),
 known as (
-  -- corpus partners only: RETAINED index rows (replay-stability clause
-  -- is vacuous here since base/inc ids are disjoint, mirrored verbatim
-  -- from the operator)
+  -- corpus evidence: RETAINED index rows of any OTHER vector (the
+  -- self-row exclusion is vacuous here since base/inc ids are
+  -- disjoint, mirrored verbatim from the operator)
   select distinct x.vec_id from ib x
   join bret i on x.bucket = i.bucket
-  where i.vec_id not in (select vec_id from inc)
+  where i.vec_id <> x.vec_id
     and {cos.format(d=_dot_sql('x.qv', 'i.qv'), xn='x.n', yn='i.n')} >= {_NEARDUP_TAU}
 ),
 incdup as (
@@ -276,8 +279,11 @@ incdup as (
   where {cos.format(d=_dot_sql('a.qv', 'c.qv'), xn='a.n', yn='c.n')} >= {_NEARDUP_TAU}
 )
 select i.vec_id,
-       case when k.vec_id is not null then 'known_neardup'
+       -- operator precedence: self-retained (vacuous here) -> in-batch
+       -- dup -> corpus near-dup -> novel
+       case when i.vec_id in (select vec_id from bret) then 'novel'
             when d.vec_id is not null then 'neardup_in_increment'
+            when k.vec_id is not null then 'known_neardup'
             else 'novel' end as verdict
 from (select distinct vec_id from inc) i
 left join known k on k.vec_id = i.vec_id

@@ -13,9 +13,12 @@ are reproduced honestly:
   exact data files visible at that version (plus parent and operation
   metadata); readers plan from the manifest, never from directory
   listing;
-* **commits are atomic** — the manifest is written to a temp name and
-  ``os.replace``d into place, so a reader sees either the old or the
-  new snapshot, never a partial one;
+* **commits are atomic and exclusive** — the manifest is written to a
+  temp name and published with an exclusive ``os.link``, so a reader
+  sees either the old or the new snapshot (never a partial one) and a
+  racing writer LOSES loudly (``SnapshotConflictError``) instead of
+  clobbering the winner; read-modify-write commits (MERGE) additionally
+  pin ``expected_parent`` so a concurrent append fails them too;
 * **overwrite is logical** — ``commit(mode="overwrite_partitions")``
   drops the replaced partitions' files from the new manifest while the
   bytes stay on disk for older snapshots (Iceberg's delete-by-manifest,
@@ -137,6 +140,17 @@ def _load_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _uri_to_local(f: str) -> str:
+    """Hadoop Path URI (``input_file_name()`` output) -> local filesystem
+    path, percent-decoding only when a scheme marks the string as a URI
+    (a raw path may legitimately contain '%')."""
+    if f.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(f).path)
+    return f
+
+
 def _list_parquet(root: str) -> list[str]:
     out = []
     for dirpath, _dirs, files in os.walk(root):
@@ -154,6 +168,7 @@ def commit(
     replace_partitions: list | None = None,
     op_label: str | None = None,
     replace_files: list | None = None,
+    expected_parent: int | None = None,
 ) -> int:
     """Write ``df`` as a new immutable commit and publish the next
     snapshot. ``mode``:
@@ -193,6 +208,17 @@ def commit(
                 )
     versions = snapshot_versions(path)
     parent = versions[-1] if versions else None
+    if expected_parent is not None and parent != expected_parent:
+        # the caller's read-modify-write (e.g. merge_pages) planned
+        # against expected_parent; another writer advanced the table in
+        # between, and committing anyway would silently absorb (and
+        # possibly duplicate keys against) the concurrent commit —
+        # Iceberg's MERGE validation fails this writer instead
+        raise SnapshotConflictError(
+            f"table at {path} advanced from v{expected_parent} to "
+            f"v{parent} while this {mode} commit was being prepared; "
+            "re-read the table and retry"
+        )
     if parent and mode != "replace_all":
         # additive-only schema evolution (Iceberg add-column analog):
         # validated BEFORE any bytes are written so a rejected commit
@@ -477,9 +503,10 @@ def merge_pages(
     # full rows); EXTRA update columns are additive evolution — old
     # files' surviving rows project nulls for them, like any
     # post-evolution read
-    latest_schema = _load_manifest(path, snapshot_versions(path)[-1])["schema"]
+    base_version = snapshot_versions(path)[-1]
+    latest_schema = _load_manifest(path, base_version)["schema"]
     _check_schema_evolution(latest_schema, updates.schema)
-    cur = read_snapshot(spark, path)
+    cur = read_snapshot(spark, path, version=base_version)
     # which files contain a matched key: semi-join against the update
     # keys, then the distinct source-file set (file-count bounded)
     affected = sorted(
@@ -490,7 +517,11 @@ def merge_pages(
         .distinct()
         .collect()
     )
-    affected = [f.removeprefix("file://") for f in affected]
+    # input_file_name() returns the Hadoop Path URI (percent-encoded:
+    # 'my table' -> 'my%20table'); manifest entries are raw os.walk
+    # paths, so decode before comparing or a table under an
+    # escaping-needy path fails every merge with a bogus conflict
+    affected = [_uri_to_local(f) for f in affected]
     if affected:
         survivors = _read_files(
             spark, path, affected, schema_json=latest_schema
@@ -507,6 +538,10 @@ def merge_pages(
         partition_by=partition_by,
         op_label="merge",
         replace_files=affected,
+        # fail if another writer advanced the table since base_version:
+        # committing anyway would absorb the concurrent commit's files
+        # into this manifest unvalidated (possible duplicate keys)
+        expected_parent=base_version,
     )
 
 

@@ -203,24 +203,14 @@ def stream_curate(docs: DataFrame) -> DataFrame:
     and scan-bound throughput; stream_dedup_urls composes in front for
     recrawl-dedup when the feed carries urls."""
     from ocr_application_spark.operators.curation import (
-        _RE_EMAIL,
-        _RE_IP,
-        _RE_PHONE,
         _C4_MIN_KEPT_LINES,
         c4_kept_lines,
         gopher_quality_frame,
+        pii_scrub,
     )
 
     kept = c4_kept_lines(F.col("text"))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _RE_EMAIL, "<EMAIL>"),
-            _RE_PHONE,
-            "<PHONE>",
-        ),
-        _RE_IP,
-        "<IP>",
-    )
+    scrubbed = pii_scrub(F.col("text"))
     out = gopher_quality_frame(
         docs,
         extra={

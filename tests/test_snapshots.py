@@ -528,6 +528,21 @@ def test_fingerprint_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
     assert {r["doc_id"]: r["verdict"] for r in verd2.collect()} == got
     assert snapshot_versions(idx) == [1, 2, 3]
 
+    # at-least-once redelivery: retained keeper 11 (gamma) arrives again
+    # alongside a NEW lower-id copy — the keeper stays novel (coalesce
+    # rule: the index keeper wins over the batch minimum), the newcomer
+    # is 'known', and nothing is appended
+    verd3, _v4 = fingerprint_index_ingest(
+        spark,
+        idx,
+        spark.createDataFrame([(5, "gamma"), (11, "gamma")], "doc_id long, text string"),
+    )
+    assert {r["doc_id"]: r["verdict"] for r in verd3.collect()} == {
+        5: "known",
+        11: "novel",
+    }
+    assert read_snapshot(spark, idx).count() == 3
+
 
 def test_minhash_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
     """Near-dup recrawl ingest against the persisted LSH band index:
@@ -573,6 +588,25 @@ def test_minhash_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
     got2 = {r["doc_id"]: r["verdict"] for r in verd2.collect()}
     assert got2 == got
     assert read_snapshot(spark, idx).count() == 12  # idempotent re-ingest
+
+    # at-least-once redelivery: a batch mixing retained corpus doc 11
+    # (same id) with a NEW lower-id near-dup of it — the retained doc
+    # stays 'novel' (not demoted) while the newcomer is recognized as a
+    # corpus near-dup (never a second 'novel'), and nothing is appended
+    verd3, _v4 = minhash_index_ingest(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(5, "completely different words here now"),
+             (11, "completely different words here now")],
+            "doc_id long, text string",
+        ),
+    )
+    assert {r["doc_id"]: r["verdict"] for r in verd3.collect()} == {
+        5: "known_neardup",
+        11: "novel",
+    }
+    assert read_snapshot(spark, idx).count() == 12
 
 
 def test_fingerprint_ingest_matches_dict_model_on_random_batches(spark, tmpdir_scratch):
@@ -681,6 +715,19 @@ def test_embedding_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
     assert {r["vec_id"]: r["verdict"] for r in verd2.collect()} == got
     assert read_snapshot(spark, idx).count() == 4  # idempotent
 
+    # redelivered retained vec 11 + a NEW lower-id near-dup of it: the
+    # retained vec stays novel, the newcomer is a corpus near-dup
+    verd3, _v4 = embedding_index_ingest(
+        spark,
+        idx,
+        spark.createDataFrame([(5, vec(2)), (11, vec(2))], schema),
+    )
+    assert {r["vec_id"]: r["verdict"] for r in verd3.collect()} == {
+        5: "known_neardup",
+        11: "novel",
+    }
+    assert read_snapshot(spark, idx).count() == 4
+
 
 def test_fingerprint_index_survives_compaction(spark, tmpdir_scratch):
     """Operational lifecycle at scale: many small ingest commits leave
@@ -757,3 +804,48 @@ def test_gc_orphan_files_age_gated(spark, tmpdir_scratch):
     assert not os.path.isdir(orphan_dir)
     with pytest.raises(FileNotFoundError):
         gc_orphan_files(tmpdir_scratch + "/nope")
+
+
+def test_merge_fails_on_concurrent_append(spark, tmpdir_scratch, monkeypatch):
+    """A writer appending between merge_pages' snapshot read and its
+    commit must fail the MERGE loudly (Iceberg's validation), never be
+    silently absorbed into the merge manifest — absorption could carry
+    a duplicate key the merge never validated against."""
+    import ocr_application_spark.sources.snapshots as snap
+
+    tbl = tmpdir_scratch + "/tbl_race"
+    commit(_pages(spark, range(4), "a"), tbl)
+
+    real_read_files = snap._read_files
+    fired = {"done": False}
+
+    def sneaky(*args, **kwargs):
+        if not fired["done"]:
+            fired["done"] = True
+            commit(_pages(spark, [99], "zz"), tbl)  # concurrent append
+        return real_read_files(*args, **kwargs)
+
+    monkeypatch.setattr(snap, "_read_files", sneaky)
+    upd = _pages(spark, [0, 1], "upd")
+    with pytest.raises(snap.SnapshotConflictError, match="advanced"):
+        snap.merge_pages(spark, tbl, upd, key=("doc_id",))
+    # the table still reads: winner's append visible, no merge published
+    assert read_snapshot(spark, tbl).count() == 5
+    # retry after re-read succeeds
+    snap.merge_pages(spark, tbl, upd, key=("doc_id",))
+    out = {r.payload for r in read_snapshot(spark, tbl).collect()}
+    assert out == {"upd-0", "upd-1", "a-2", "a-3", "zz-99"}
+
+
+def test_merge_works_under_escaping_needy_path(spark, tmpdir_scratch):
+    """input_file_name() percent-encodes paths ('my tbl' ->
+    'my%20tbl'); the merge's affected-file matching must decode before
+    comparing with the raw manifest paths, or every merge under such a
+    root dies with a bogus conflict."""
+    tbl = tmpdir_scratch + "/my tbl"
+    commit(_pages(spark, range(4), "a"), tbl)
+    from ocr_application_spark.sources.snapshots import merge_pages
+
+    merge_pages(spark, tbl, _pages(spark, [0, 9], "u"), key=("doc_id",))
+    out = {r.payload for r in read_snapshot(spark, tbl).collect()}
+    assert out == {"u-0", "a-1", "a-2", "a-3", "u-9"}
