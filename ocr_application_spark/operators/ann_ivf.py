@@ -182,18 +182,10 @@ def ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("qn", _dot(F.col("qv"), F.col("qv")))
         .drop("q_emb")
     )
-    cand = queries.join(indexed, "cell").filter(F.col("q_id") != F.col("vec_id"))
-    cos = F.col("dot").cast("double") / F.sqrt(
-        F.col("qn").cast("double") * F.col("cn").cast("double")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
-    return (
-        cand.withColumn("dot", _dot(F.col("qv"), F.col("cv")))
-        .select("q_id", F.col("vec_id").alias("cand_id"), cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _K_TOP)
-        .select("q_id", "cand_id", "rank", F.col("cos").alias("cos_sim"))
-    )
+    from ocr_application_spark.operators.similarity import quantized_topk
+
+    cand = queries.join(indexed, "cell").withColumnRenamed("vec_id", "cand_id")
+    return quantized_topk(cand, k=_K_TOP)
 
 
 QUERIES["ann_ivf_exhaustive"] = ann_ivf_exhaustive

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ocr_application_spark.session import release_local_checkpoint
+
 _END = "</w>"  # end-of-word marker (Sennrich's convention)
 
 
@@ -121,6 +123,7 @@ def bpe_train(
                 "pair_count": int(c),
             }
         )
+        prev = hist
         hist = hist.select(
             "word",
             "count",
@@ -130,6 +133,12 @@ def bpe_train(
                 _merge_fold(a, b),
             ).alias("syms"),
         ).localCheckpoint(eager=True)
+        # release the superseded round's checkpointed blocks — a real
+        # tokenizer learns 30k+ merges, and keeping every intermediate
+        # histogram pinned would accumulate n_merges copies in executor
+        # storage (the tarification/curate leak class; df.unpersist()
+        # is a no-op for checkpoint storage, hence the helper)
+        release_local_checkpoint(prev)
     return merges, hist
 
 

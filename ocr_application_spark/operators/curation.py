@@ -312,7 +312,7 @@ select lang, doc_id, rk from (
 
 
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language deterministic sample of {_SAMPLE_N}: rank by
+    """Per-language deterministic sample of _SAMPLE_N docs: rank by
     md5(doc_id) within each stratum (WindowGroupLimit pushes the rank
     cut before the full sort, so each stratum tops out distributed)."""
     from pyspark.sql.window import Window
@@ -485,7 +485,7 @@ from c
 
 def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc packed-sequence assignment: (shard, n_tokens, first_seq,
-    last_seq, n_seqs) under concat-and-chunk at {_SEQ_LEN} tokens."""
+    last_seq, n_seqs) under concat-and-chunk at _SEQ_LEN tokens."""
     from pyspark.sql.window import Window
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -732,8 +732,8 @@ from documents d left join per using (doc_id)
 
 
 def dedup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc duplicated-span stats: sliding {_SPAN_W}-token windows at
-    stride {_SPAN_S}, duplication in exact basis points."""
+    """Per-doc duplicated-span stats: sliding _SPAN_W-token windows at
+    stride _SPAN_S, duplication in exact basis points."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     n_win = F.floor((F.size("w") - _SPAN_W) / _SPAN_S) + 1
@@ -844,7 +844,7 @@ from documents d left join per using (doc_id)
 
 
 def boilerplate_strip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Remove chunks recurring in >= {_BP_DF} distinct docs of the same
+    """Remove chunks recurring in >= _BP_DF distinct docs of the same
     source; return cleaned-text sha256 + chunk counts per doc."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
@@ -954,7 +954,7 @@ where t <= {_BUDGET_TOKENS}
 
 
 def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Expected-{_BUDGET_TOKENS}-token deterministic sample per source
+    """Expected-_BUDGET_TOKENS-token deterministic sample per source
     (see module comment: broadcast per-source totals, md5-hex coin)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_tokens = (
@@ -1127,8 +1127,13 @@ ORACLES["text_gopher_quality"] = _GOPHERQ_ORACLE
 # At 100 TB this is one map stage fused into whole-stage codegen.
 _C4_MIN_LINE_WORDS = 5
 _C4_MIN_KEPT_LINES = 3
-# regex dialect intersection (Java / RE2): char class + $ anchor
-_C4_TERMINAL = '[.!?"]$'
+# regex dialect intersection (Java / RE2): char class + the \z
+# END-OF-INPUT anchor — NOT $: Java's $ matches before a trailing line
+# terminator (\r,  , ...) while RE2's $ does not, so 'Hello.\r'
+# (a CRLF corpus split on \n) would keep the line on Spark and drop it
+# in the oracle. \z means end-of-text in BOTH dialects (probed; the
+# pure-Python twins use \Z, Python's spelling of the same anchor).
+_C4_TERMINAL = '[.!?"]\\z'
 
 _C4_ORACLE = f"""
 with t as (

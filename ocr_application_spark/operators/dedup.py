@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ocr_application_spark.session import release_local_checkpoint
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
@@ -672,10 +674,12 @@ def propagate_components(
         # materialized and recomputed next superstep — measured no win)
         changed = upd.filter(F.col("new_rep") != F.col("old_rep")).limit(1).count()
         # the previous superstep's checkpoint blocks are dead once the
-        # new one is materialized; localCheckpoint has no public
-        # unpersist, so drop the python refs and let gc + ContextCleaner
-        # free the blocks instead of retaining O(iterations x labels)
+        # new one is materialized; release them deterministically
+        # (df.unpersist() is a no-op for checkpoint storage — see
+        # session.release_local_checkpoint) instead of retaining
+        # O(iterations x labels) until gc + ContextCleaner get around
         if prev is not None:
+            release_local_checkpoint(prev)
             del prev
             gc.collect()
         prev = upd
@@ -794,8 +798,10 @@ def propagate_components_star(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
             after_small.count() == edges.count()
             and after_small.exceptAll(edges).isEmpty()
         )
-        # free the superseded rounds' checkpoint blocks (see the
-        # propagation loop's note): drop refs, let gc + ContextCleaner
+        # free the superseded rounds' checkpoint blocks deterministically
+        # (see the propagation loop's note)
+        release_local_checkpoint(edges)
+        release_local_checkpoint(after_large)
         del edges, after_large
         gc.collect()
         edges = after_small

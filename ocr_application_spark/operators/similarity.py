@@ -114,16 +114,25 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("vec_id").alias("cand_id"), _quant(F.col("embedding")).alias("cv"))
         .withColumn("cn", _dot(F.col("cv"), F.col("cv")))
     )
+    return quantized_topk(c.crossJoin(F.broadcast(q)))
+
+
+def quantized_topk(cand: DataFrame, k: int = _K) -> DataFrame:
+    """THE quantized-exact scored-top-k op sequence over a candidate
+    frame (q_id, qv, qn, cand_id, cv, cn): integer dot product, ONE
+    double div+sqrt, desc-cos/cand_id tie-break, row_number <= k —
+    shared by ``ann_cosine_topk`` and ``ann_ivf.ann_ivf_exhaustive`` so
+    the oracle-pinned scoring sequence cannot diverge between the
+    brute-force and IVF machinery (only the candidate SOURCE differs)."""
     cos = _dot(F.col("qv"), F.col("cv")).cast("double") / F.sqrt(
         F.col("qn").cast("double") * F.col("cn").cast("double")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
     return (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("cand_id"))
+        cand.filter(F.col("q_id") != F.col("cand_id"))
         .withColumn("cos", cos)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _K)
+        .filter(F.col("rank") <= k)
         .select("q_id", "cand_id", "rank", F.col("cos").alias("cos_sim"))
     )
 

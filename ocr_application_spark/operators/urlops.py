@@ -279,13 +279,22 @@ _URLF_SESSION_SQL = """
     (case when doc_id % 17 = 0 then '&PHPSESSID=deadbeef' else '' end)
 """
 
+# junk goes INTO THE PATH (before the '?'), session id into the query —
+# appending junk after the raw url would bury it in the query string
+# where the prequery-based r_ext/r_path rules (correctly) never look,
+# leaving those rules constant-true over the fixture and the gate
+# vacuous for them
+_URLF_URL_SQL = f"""
+    (string_split({_RAW_SQL}, '?')[1] || {_URLF_JUNK_SQL} || '?'
+     || string_split({_RAW_SQL}, '?')[2] || {_URLF_SESSION_SQL})
+"""
+
 _BLOCKED_HOSTS = ("host7.example.com", "host8.example.com")
 
 _URLF_ORACLE = f"""
 with u as (
   select doc_id,
-         lower({_RAW_SQL} || {_URLF_JUNK_SQL} || {_URLF_SESSION_SQL})
-           as url_l
+         lower({_URLF_URL_SQL}) as url_l
   from documents
 ),
 h as (
@@ -340,7 +349,19 @@ def url_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = F.when(did % 17 == 0, F.lit("&PHPSESSID=deadbeef")).otherwise(
         F.lit("")
     )
-    url_l = F.lower(F.concat(_raw_url(), junk, sess))
+    # junk into the PATH (before '?'), session id into the query — see
+    # the oracle comment: query-side junk never reaches the prequery
+    # rules and would leave r_ext/r_path constant-true
+    raw = _raw_url()
+    url_l = F.lower(
+        F.concat(
+            F.split(raw, r"\?").getItem(0),
+            junk,
+            F.lit("?"),
+            F.split(raw, r"\?").getItem(1),
+            sess,
+        )
+    )
     hostport = F.replace(
         F.split(F.split(url_l, "://").getItem(1), "/").getItem(0),
         F.lit("www."),

@@ -70,3 +70,18 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_local_checkpoint(df) -> None:
+    """Free the executor blocks of a DataFrame produced by
+    ``localCheckpoint``. ``df.unpersist()`` is a no-op for checkpoint
+    storage (it only talks to the SQL cache manager, probed), so an
+    iterative algorithm that re-checkpoints per round would otherwise
+    pin one full copy of its state per round until the Python handle
+    happens to be GC'd. Safe no-op on non-checkpointed frames."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: releasing storage must never fail the job

@@ -291,6 +291,19 @@ def test_curation_oracles_survive_adversarial_text(spark, tmpdir_scratch):
             0,
         ),
         (12, "the be to of and that have with " * 8 + "end.", "en", "src0", 0),
+        # CRLF corpus: split on \n leaves a trailing \r — Java's $
+        # matches before it, RE2's does not; the \z anchor (and only
+        # \z) keeps both engines agreeing this line is NOT terminal
+        (
+            15,
+            "A crlf line that would end well here.\r\n"
+            "Another crlf line of the good words.\r\n"
+            "And a third fine line with that end.\r\n"
+            "Plus a fourth good line of the words.",
+            "en",
+            "src2",
+            0,
+        ),
         (
             13,
             "#### ### ...... symbols # everywhere ... " * 4 + "the end of that",

@@ -312,7 +312,7 @@ def test_text_rewriting_ops_match_python_twins(spark, tmpdir_scratch):
     def c4_line_ok(line):
         low = line.lower()
         return (
-            re.search(r'[.!?"]$', line) is not None
+            re.search(r'[.!?"]\Z', line) is not None
             and len([w for w in line.split(" ") if w]) >= 5
             and "lorem ipsum" not in low
             and "javascript" not in low

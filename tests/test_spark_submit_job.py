@@ -271,7 +271,7 @@ def test_curate_optin_gates_rebuild_text(spark, tmpdir_scratch):
     def line_ok(line: str) -> bool:
         low = line.lower()
         return (
-            re.search(r'[.!?"]$', line) is not None
+            re.search(r'[.!?"]\Z', line) is not None
             and len([w for w in line.split(" ") if w]) >= 5
             and "lorem ipsum" not in low
             and "javascript" not in low
