@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_application_spark.session import release_local_checkpoint
+from ocr_application_spark.session import (
+    bounded_local_checkpoint,
+    release_local_checkpoint,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -116,11 +119,17 @@ def fingerprint_index_ingest(
     # and append a garbage null-fp row to the index on every batch.
     # localCheckpoint: fps feeds the novel commit AND the verdict join
     # (two actions) — without it the increment is re-scanned and
-    # re-hashed three times per ingest.
-    fps = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fingerprint"),
-    ).localCheckpoint()
+    # re-hashed three times per ingest. Slot-bounded: the NEXT ingest
+    # call frees this call's blocks, so a per-epoch streaming caller
+    # holds one live checkpoint, not one per epoch (consume verdicts
+    # before the next ingest — every current caller does).
+    fps = bounded_local_checkpoint(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fingerprint"),
+        ),
+        "fingerprint_index_ingest",
+    )
     keeper = fps.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper_doc_id"))
     versions = snapshot_versions(index_path)
     if versions:
@@ -206,7 +215,9 @@ def minhash_index_ingest(
     )
 
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    buck = _band_buckets(d).localCheckpoint()
+    # slot-bounded like the fingerprint ingest: one live checkpoint per
+    # session, freed by the next minhash ingest call
+    buck = bounded_local_checkpoint(_band_buckets(d), "minhash_index_ingest")
     batch_ids = d.select("doc_id").distinct()
     versions = snapshot_versions(index_path)
     if versions:

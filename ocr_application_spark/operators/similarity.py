@@ -348,12 +348,17 @@ def embedding_index_ingest(
         snapshot_versions,
     )
 
+    from ocr_application_spark.session import bounded_local_checkpoint
+
     d = vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
     q = d.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    b = (
-        q.withColumn("n", _dot(F.col("qv"), F.col("qv")))
-        .withColumn("bucket", _bucket_col(F.col("qv")))
-        .localCheckpoint()
+    # slot-bounded like the fingerprint ingest: one live checkpoint per
+    # session, freed by the next embedding ingest call
+    b = bounded_local_checkpoint(
+        q.withColumn("n", _dot(F.col("qv"), F.col("qv"))).withColumn(
+            "bucket", _bucket_col(F.col("qv"))
+        ),
+        "embedding_index_ingest",
     )
     batch_ids = b.select("vec_id").distinct()
 

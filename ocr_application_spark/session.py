@@ -85,3 +85,29 @@ def release_local_checkpoint(df) -> None:
             plan.rdd().unpersist(False)
     except Exception:
         pass  # best-effort: releasing storage must never fail the job
+
+
+_SLOT_CKPTS: dict[str, object] = {}
+
+
+def bounded_local_checkpoint(df, slot: str):
+    """``localCheckpoint`` whose blocks are released when the NEXT call
+    reuses the same ``slot`` — bounds the live checkpoints of a
+    per-invocation operator (the index-ingest family) to ONE per slot
+    regardless of how many times it runs in a session, instead of
+    leaking one copy per call (the ``_last_tarified`` leak class: a
+    continuous-ingest stream calls the operator once per epoch).
+
+    Contract for slot owners: a caller must fully consume the plans
+    derived from call N's checkpoint before call N+1 on the same slot
+    (the streaming sink, the gate and the bench all do — each epoch /
+    query materializes its output before the next begins). The new
+    checkpoint is materialized (eager) BEFORE the old blocks are freed,
+    so a plan that happens to reference the previous checkpoint is safe
+    during the handoff."""
+    prev = _SLOT_CKPTS.get(slot)
+    ckpt = df.localCheckpoint()  # eager by default
+    if prev is not None:
+        release_local_checkpoint(prev)
+    _SLOT_CKPTS[slot] = ckpt
+    return ckpt

@@ -138,14 +138,26 @@ def run_stream_to_table(
     commit replays the epoch), so the sink writes each epoch to its own
     ``epoch=<id>`` partition directory with mode("overwrite") — a
     replayed epoch replaces its directory instead of appending
-    duplicates. Error rows are NOT dropped: they land in the same
+    duplicates. Epoch numbering restarts at 0 when the CHECKPOINT is
+    wiped, so the sink clears the output (and quarantine) tables on
+    epoch 0: without that, a re-run with different micro-batch
+    boundaries would overwrite epoch=0 but leave the old run's higher
+    epoch directories behind, duplicating their rows in any read of
+    ``out_path``. Error rows are NOT dropped: they land in the same
     quarantine table the batch path uses (no data loss, mirroring
     kernels/extract.quarantine_split's contract)."""
+    import shutil
+
     from ocr_application_spark.kernels.extract import quarantine_split
 
     extracted = stream_extract(stream_pages(spark, input_path))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id == 0:
+            # fresh checkpoint => fresh output: drop stale epoch dirs
+            # from a previous run whose numbering no longer applies
+            shutil.rmtree(out_path, ignore_errors=True)
+            shutil.rmtree(f"{out_path}_quarantine", ignore_errors=True)
         # Two actions (ok + quarantine) read the same micro-batch;
         # without a persist the mapInPandas extraction kernel would run
         # twice per epoch (mirrors pipeline.run_to_table's persist).
@@ -247,14 +259,48 @@ def run_stream_ingest(
     the index records as its own keeper stays 'novel' instead of
     flipping to 'known' and being dropped downstream), while the epoch
     output directory overwrites itself. Sequential epochs mean no
-    snapshot-commit race; state lives in the index table, not in Spark
-    state stores, so a checkpoint wipe loses positioning only, never
-    dedup decisions."""
+    snapshot-commit race.
+
+    A checkpoint WIPE is coarser than a crash-replay: dedup decisions
+    survive (they live in the index table, not in Spark state stores),
+    but epoch numbering restarts and micro-batch boundaries may shift —
+    so the sink clears ``out_path`` on epoch 0 (stale epoch dirs from
+    the previous numbering would otherwise duplicate rows), and
+    batch-composition-relative verdict labels ('dup_in_increment' vs
+    'known') can legitimately differ for docs that land in different
+    batches than before; the kept/dropped DECISION per fingerprint is
+    unchanged.
+
+    A crawl feed can re-deliver the same doc_id within one micro-batch
+    (recrawl while the batch accumulates). Verdicts are per (doc_id,
+    fingerprint), so the sink first collapses the batch to one row per
+    doc_id — deterministically, keeping the row with the smallest text
+    fingerprint — otherwise the verdict join would fan out and cross-
+    tag the duplicates' rows."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
     from ocr_application_spark.operators.dedup import fingerprint_index_ingest
 
     docs = stream_documents(spark, input_path, max_files)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id == 0:
+            # fresh checkpoint => fresh output (see docstring)
+            shutil.rmtree(out_path, ignore_errors=True)
+        # one row per doc_id, smallest-fingerprint row wins (ties are
+        # byte-identical texts; remaining columns tie-break for full
+        # determinism)
+        one = Window.partitionBy("doc_id").orderBy(
+            F.md5(F.coalesce(F.col("text"), F.lit(""))),
+            *[c for c in batch_df.columns if c not in ("doc_id", "text")],
+        )
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(one))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         # the ingest runs two actions over the batch (the novel-fp
         # commit and the verdict join output) — persist so the scan
         # runs once per epoch

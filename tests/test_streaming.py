@@ -238,3 +238,127 @@ def test_stream_ingest_index_and_replay(spark, tmpdir_scratch):
     }
     assert got2 == got                              # verdicts reproduce exactly
     assert read_snapshot(spark, idx).count() == 3   # zero rows appended
+
+
+def test_stream_ingest_checkpoint_wipe_rebatch(spark, tmpdir_scratch):
+    """Wiping the CHECKPOINT and re-running with different micro-batch
+    boundaries must not duplicate output rows: epoch numbering restarts
+    at 0, so the sink clears out_path before the first epoch (stale
+    epoch dirs from the old numbering would otherwise survive). The
+    kept/dropped DECISION per fingerprint is index-held and unchanged;
+    the dup LABEL is batch-composition-relative (doc 3 reads
+    'dup_in_increment' when batched together with alpha's keeper,
+    'known' when alone) — pinned here as documented behavior."""
+    import os
+    import shutil
+
+    from ocr_application_spark.sources.snapshots import read_snapshot
+    from ocr_application_spark.streaming.stream import run_stream_ingest
+
+    src = tmpdir_scratch + "/rb_src"
+    rows1 = [(1, "alpha text body", "en", "web", 15), (2, "beta text body", "en", "web", 14)]
+    rows2 = [
+        (3, "alpha text body", "en", "web", 15),
+        (4, "gamma text body", "en", "web", 15),
+        (5, "gamma text body", "en", "web", 15),
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/f2")
+    t = 1_700_000_000
+    for i, d in enumerate(("f1", "f2")):
+        for f in os.listdir(f"{src}/{d}"):
+            os.utime(f"{src}/{d}/{f}", (t + i * 100, t + i * 100))
+
+    idx = tmpdir_scratch + "/rb_idx"
+    out = tmpdir_scratch + "/rb_out"
+    ckpt = tmpdir_scratch + "/rb_ckpt"
+
+    # first run: two epochs (max_files=1) -> epoch=0 and epoch=1 dirs
+    q = run_stream_ingest(spark, src + "/*/", idx, out, ckpt, max_files=1)
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(out).select("doc_id", "verdict").collect()
+    }
+    assert len(got) == 5
+
+    # wipe the checkpoint, re-run with BOTH files in ONE batch: the old
+    # epoch=1 dir must not survive alongside the new single epoch=0
+    shutil.rmtree(ckpt)
+    q = run_stream_ingest(spark, src + "/*/", idx, out, ckpt, max_files=2)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).select("doc_id", "verdict").collect()
+    assert len(rows) == 5  # no stale-epoch duplication
+    got2 = {r["doc_id"]: r["verdict"] for r in rows}
+    # the kept set (the decision) is identical; dups stay dups
+    assert {d for d, v in got2.items() if v == "novel"} == {
+        d for d, v in got.items() if v == "novel"
+    }
+    assert got2[3] in ("known", "dup_in_increment")  # label is batch-relative
+    assert read_snapshot(spark, idx).count() == 3  # zero rows appended
+
+
+def test_stream_ingest_duplicate_doc_id_in_batch(spark, tmpdir_scratch):
+    """A micro-batch that re-delivers the same doc_id (recrawl while the
+    batch accumulates) must yield ONE output row per doc_id, tagged with
+    its OWN fingerprint — not a join fan-out cross-tagging the copies.
+    Deterministic keeper: the smallest text fingerprint wins."""
+    import hashlib
+
+    from ocr_application_spark.streaming.stream import run_stream_ingest
+
+    src = tmpdir_scratch + "/dup_src"
+    rows = [
+        (7, "first crawl body", "en", "web", 16),
+        (7, "second crawl body", "en", "web", 17),  # same id, new text
+        (8, "other doc", "en", "web", 9),
+        (8, "other doc", "en", "web", 9),           # byte-identical redelivery
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src + "/f1")
+
+    q = run_stream_ingest(
+        spark,
+        src + "/*/",
+        tmpdir_scratch + "/dup_idx",
+        tmpdir_scratch + "/dup_out",
+        tmpdir_scratch + "/dup_ckpt",
+        max_files=4,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(tmpdir_scratch + "/dup_out")
+    rows_out = out.select("doc_id", "text", "fingerprint", "verdict").collect()
+    assert len(rows_out) == 2  # one row per doc_id, no fan-out
+    by_id = {r["doc_id"]: r for r in rows_out}
+    # doc 7 keeps the smaller-fingerprint text, tagged with ITS fingerprint
+    fps = {t: hashlib.md5(t.encode()).hexdigest() for t in ("first crawl body", "second crawl body")}
+    want_text = min(fps, key=fps.get)
+    assert by_id[7]["text"] == want_text
+    assert by_id[7]["fingerprint"] == fps[want_text]
+    assert by_id[7]["verdict"] == "novel"
+    assert by_id[8]["verdict"] == "novel"
+
+
+def test_ingest_checkpoint_slot_bounded(spark, tmpdir_scratch):
+    """Repeated index-ingest calls must not accumulate live localCheckpoint
+    RDD blocks: the slot-bounded checkpoint frees the previous call's
+    blocks, so a per-epoch streaming caller holds ONE live checkpoint
+    regardless of epoch count (the tarification-leak class)."""
+    from ocr_application_spark.operators.dedup import fingerprint_index_ingest
+
+    idx = tmpdir_scratch + "/bounded_idx"
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id bigint, text string"
+    )
+
+    def live_cached_rdds() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    v, _ = fingerprint_index_ingest(spark, idx, docs, op_label="e0")
+    v.count()
+    base = live_cached_rdds()
+    for k in range(3):
+        v, _ = fingerprint_index_ingest(spark, idx, docs, op_label=f"e{k + 1}")
+        v.count()
+    assert live_cached_rdds() <= base
