@@ -76,7 +76,12 @@ def _modules():
 # and its value-checked twin ann_ivf_exhaustive stays in-window;
 # forecast_arima_like (changed this round: MA(1) term) stays in-window
 # while its unchanged linear/AR(1) siblings rotate out.
+# a1_a2_tarification_totals (r02-green, reference_ops untouched this
+# round) rotates out to make room for kernel_normalize (new op, never
+# driver-checked); the production twin tarification_pipeline stays
+# in-window and oracle-checks the same totals end-to-end.
 _ROTATED_BACK = (
+    "a1_a2_tarification_totals",
     "j3_region_table_antijoin",
     "f6_field_keywords",
     "ann_cosine_topk",

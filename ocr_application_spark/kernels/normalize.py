@@ -7,9 +7,21 @@ in its own right (reference: Geometric_correction_service normalizes
 and re-publishes without extracting), so this module exposes the
 normalize stage alone: charset sniff -> decode -> mojibake repair,
 per Arrow batch, reusing the EXACT byte-level functions from
-core/extraction_core.py — the same code the fused kernel runs, so
-normalize(df) followed by the parser is byte-identical to the fused
-path by construction.
+core/extraction_core.py, so the stage's own output (the repaired
+decoded html) is byte-identical to what those functions produce inside
+the fused kernel — pinned by test_normalize_kernel_matches_core_bytes.
+
+Composition caveat (deliberate, NOT an equivalence claim): the fused
+path parses the UNREPAIRED html and repairs the EXTRACTED text
+(extraction_core.extract_html), while this stage repairs before any
+parse. The two orderings differ exactly when parsing itself produces a
+repairable sequence — e.g. the character references '&#63;&#63;'
+become '??' only after the parser converts charrefs, so the fused path
+repairs them and a parse over html_norm does not. A standalone
+re-publish stage (the reference analog normalizes and forwards without
+extracting) wants the repair on its output payload, which is what this
+operator does; feeding html_norm back into the extractor is NOT
+guaranteed byte-identical to the fused pipeline.
 
 Cites: Geometric_correction_service isoler/app/main.py (standalone
 normalize-and-forward stage), classification_service consumes the

@@ -40,6 +40,18 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+# Python str.split()/str.strip()'s EXACT whitespace set as a DuckDB
+# regex class (incl. \x1c-\x1f, NEL, NBSP, the U+2000 block, LS/PS,
+# NNBSP, MMSP, ideographic space) — RE2's ASCII-only \s would leave
+# e.g. chr(28) intact and break byte-exactness on arbitrary text
+# (ADVICE r01); pinned by the unicode-whitespace rows in
+# test_digest_oracle_survives_adversarial_text. ONE copy, interpolated
+# into every oracle that mirrors a Python strip/split.
+_PYWS = (
+    "[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x{0085}\\x{00A0}\\x{1680}"
+    "\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
+)
+
 # The SQL reconstruction of the extraction kernel's output text for
 # docwrap-wrapped documents (title block + 25-word paragraph chunks,
 # whitespace-normalized, mojibake-repaired). Shared by the digest oracle
@@ -52,17 +64,12 @@ _ETEXT_CTES = """
     chunks as (
       -- chunk boundaries over the RAW split list (empties included,
       -- exactly docwrap's words[i:i+25]); each chunk is then trimmed
-      -- and whitespace-collapsed like the extractor's block normalize.
-      -- The character class enumerates EXACTLY Python str.split()'s
-      -- whitespace set (incl. \\x1c-\\x1f, NEL, NBSP, the U+2000 block,
-      -- LS/PS, NNBSP, MMSP, ideographic space) — RE2's ASCII-only \\s
-      -- would leave e.g. chr(28) intact and break byte-exactness on
-      -- arbitrary text (ADVICE r01); pinned by the unicode-whitespace
-      -- rows in test_digest_oracle_survives_adversarial_text
+      -- and whitespace-collapsed like the extractor's block normalize,
+      -- using the _PYWS class (Python's exact whitespace set)
       select doc_id, u.j,
              trim(regexp_replace(
                array_to_string(t[u.j*25+1 : least((u.j+1)*25, len(t))], ' '),
-               '[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+',
+               '@PYWS@+',
                ' ', 'g')) as c
       from toks, unnest(range(0, cast(ceil(len(t) / 25.0) as int))) u(j)
     ),
@@ -80,7 +87,7 @@ _ETEXT_CTES = """
       -- pass can never fire; then strip (trim)
       select doc_id, trim(replace(etext0, '??', 'é')) as etext from rebuilt
     )
-"""
+""".replace("@PYWS@", _PYWS)
 
 
 @_q(
@@ -495,3 +502,91 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(sample, schema=schema)
+
+
+# Value-level oracle for the standalone normalize kernel: DuckDB
+# rebuilds the docwrap page (datagen/docwrap._TPL + html.escape'd
+# 25-word chunks, mirrored verbatim) and applies repair_mojibake's
+# replace+strip to the whole decoded page, so the charset sniff, the
+# decode and the repair are all hash-checked cross-engine. The 'utf-8'
+# charset constant is exact because the fixture text contains no
+# iso-8859/latin-1 meta needles in any sf (verified; sniff_charset
+# would otherwise fire on article text inside the first 1024 bytes).
+_NORMALIZE_ORACLE = (
+    """
+    with toks as (
+      select doc_id, lang, string_split(coalesce(text, ''), ' ') as t
+      from documents
+    ),
+    chunks as (
+      -- docwrap chunking: ' '.join(words[j*25:(j+1)*25]).strip() —
+      -- leading/trailing runs of Python's FULL whitespace set stripped,
+      -- NO interior collapse (unlike the extractor's block normalize)
+      select doc_id, u.j,
+             regexp_replace(regexp_replace(
+               array_to_string(t[u.j*25+1 : least((u.j+1)*25, len(t))], ' '),
+               '^@PYWS@+', ''), '@PYWS@+$', '') as c
+      from toks, unnest(range(0, cast(ceil(len(t) / 25.0) as int))) u(j)
+    ),
+    esc as (
+      -- html.escape(chunk): '&' first, then < > " ' (exact order)
+      select doc_id, j,
+             replace(replace(replace(replace(replace(c,
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+               '"', '&quot;'), chr(39), '&#x27;') as e
+      from chunks where c <> ''
+    ),
+    paras as (
+      select doc_id, string_agg('<p>' || e || '</p>', '' order by j) as p
+      from esc group by doc_id
+    ),
+    page as (
+      select k.doc_id,
+             '<html><head><meta charset="utf-8"/><title>doc '
+             || cast(k.doc_id as varchar) || '</title></head><body>'
+             || '<nav><a href="/home">home</a><a href="/about">about</a><a href="/index">index</a></nav>'
+             || '<header><h1>corpus viewer</h1></header>'
+             || '<aside><a href="/ad1">sponsored link one</a><a href="/ad2">sponsored link two</a><p>ad text</p></aside>'
+             || '<article><h2>document ' || cast(k.doc_id as varchar) || '</h2>'
+             || coalesce(p.p, '<p>empty</p>') || '</article>'
+             || '<footer><p>footer ' || k.lang || '</p><a href="/terms">terms</a></footer></body></html>'
+             as html
+      from toks k left join paras p on p.doc_id = k.doc_id
+    ),
+    norm as (
+      -- repair_mojibake on the whole decoded page: replace('??','é')
+      -- (the 'à' pass can never fire) then Python strip (a no-op on
+      -- '<html>…</html>' but mirrored verbatim)
+      select doc_id,
+             regexp_replace(regexp_replace(replace(html, '??', 'é'),
+               '^@PYWS@+', ''), '@PYWS@+$', '') as html_norm
+      from page
+    )
+    select 'https://docs.example/' || printf('%08d', doc_id) as url,
+           'utf-8' as charset,
+           length(html_norm) as n_chars_norm,
+           sha256(html_norm) as digest
+    from norm
+""".replace("@PYWS@", _PYWS)
+)
+
+
+@_q("kernel_normalize", _NORMALIZE_ORACLE)
+def kernel_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standalone normalize stage (kernels/normalize.py — charset
+    sniff -> decode -> mojibake repair, the reference's normalize-and-
+    forward service as a DataFrame op), value-checked end-to-end:
+    documents -> docwrap pages -> normalize -> (url, charset, chars,
+    sha256 of the repaired decoded html). The oracle rebuilds the page
+    and the repair in SQL and must hash identically."""
+    from ocr_application_spark.datagen.docwrap import documents_as_pages
+    from ocr_application_spark.kernels.normalize import normalize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = normalize(documents_as_pages(docs))
+    return out.select(
+        "url",
+        "charset",
+        F.length("html_norm").cast("long").alias("n_chars_norm"),
+        F.sha2("html_norm", 256).alias("digest"),
+    )
