@@ -25,6 +25,36 @@ from pyspark.sql import functions as F
 QUERIES: dict = {}
 ORACLES: dict = {}
 
+
+def _base_inc(df: DataFrame, id_col: str):
+    """The shared base/increment split for the three ingest-gate queries,
+    mirrored VERBATIM in each oracle's ``base``/``inc`` CTEs: base =
+    ids % 3 != 0; increment = the remaining ids plus re-crawled clones
+    of the % 7 == 0 rows (same payload, id shifted by 1_000_000 so the
+    id spaces are disjoint). Changing any constant here requires the
+    same edit in all three oracle CTE pairs."""
+    others = [c for c in df.columns if c != id_col]
+    base = df.filter(F.col(id_col) % 3 != 0)
+    inc = df.filter(F.col(id_col) % 3 == 0).unionAll(
+        df.filter(F.col(id_col) % 7 == 0).select(
+            (F.col(id_col) + 1000000).alias(id_col), *others
+        )
+    )
+    return base, inc
+
+
+def _bootstrap_then_recrawl(spark, ingest_fn, scratch_name: str, base, inc):
+    """Drive one ingest family end-to-end on a fresh scratch index:
+    bootstrap commit from the base crawl, then the recrawl increment;
+    return the increment's verdicts (the gate-compared frame)."""
+    from ocr_application_spark.sources.webpages import default_scratch
+
+    idx = os.path.join(default_scratch(), scratch_name)
+    shutil.rmtree(idx, ignore_errors=True)
+    ingest_fn(spark, idx, base, op_label="bootstrap")
+    verdicts, _v = ingest_fn(spark, idx, inc, op_label="recrawl")
+    return verdicts
+
 _ORACLE = """
 with base as (
   select doc_id, substr(text, 1, 40) as payload, 'base' as src
@@ -118,20 +148,12 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the index commit, version pinning and anti-join are value-checked
     (library op: ``operators/dedup.fingerprint_index_ingest``)."""
     from ocr_application_spark.operators.dedup import fingerprint_index_ingest
-    from ocr_application_spark.sources.webpages import default_scratch
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    base = docs.filter(F.col("doc_id") % 3 != 0)
-    inc = docs.filter(F.col("doc_id") % 3 == 0).unionAll(
-        docs.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-        )
+    base, inc = _base_inc(docs, "doc_id")
+    return _bootstrap_then_recrawl(
+        spark, fingerprint_index_ingest, "gate_fp_index", base, inc
     )
-    idx = os.path.join(default_scratch(), "gate_fp_index")
-    shutil.rmtree(idx, ignore_errors=True)
-    fingerprint_index_ingest(spark, idx, base, op_label="bootstrap")
-    verdicts, _v = fingerprint_index_ingest(spark, idx, inc, op_label="recrawl")
-    return verdicts
 
 
 QUERIES["dedup_incremental_ingest"] = dedup_incremental_ingest
@@ -207,20 +229,12 @@ def neardup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets and the precedence rule algebraically (library op:
     ``operators/dedup.minhash_index_ingest``)."""
     from ocr_application_spark.operators.dedup import minhash_index_ingest
-    from ocr_application_spark.sources.webpages import default_scratch
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    base = docs.filter(F.col("doc_id") % 3 != 0)
-    inc = docs.filter(F.col("doc_id") % 3 == 0).unionAll(
-        docs.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-        )
+    base, inc = _base_inc(docs, "doc_id")
+    return _bootstrap_then_recrawl(
+        spark, minhash_index_ingest, "gate_mh_index", base, inc
     )
-    idx = os.path.join(default_scratch(), "gate_mh_index")
-    shutil.rmtree(idx, ignore_errors=True)
-    minhash_index_ingest(spark, idx, base, op_label="bootstrap")
-    verdicts, _v = minhash_index_ingest(spark, idx, inc, op_label="recrawl")
-    return verdicts
 
 
 QUERIES["neardup_incremental_ingest"] = neardup_incremental_ingest
@@ -302,22 +316,14 @@ def semantic_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines and the precedence rule algebraically (library op:
     ``operators/similarity.embedding_index_ingest``)."""
     from ocr_application_spark.operators.similarity import embedding_index_ingest
-    from ocr_application_spark.sources.webpages import default_scratch
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
-    base = e.filter(F.col("vec_id") % 3 != 0)
-    inc = e.filter(F.col("vec_id") % 3 == 0).unionAll(
-        e.filter(F.col("vec_id") % 7 == 0).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-        )
+    base, inc = _base_inc(e, "vec_id")
+    return _bootstrap_then_recrawl(
+        spark, embedding_index_ingest, "gate_emb_index", base, inc
     )
-    idx = os.path.join(default_scratch(), "gate_emb_index")
-    shutil.rmtree(idx, ignore_errors=True)
-    embedding_index_ingest(spark, idx, base, op_label="bootstrap")
-    verdicts, _v = embedding_index_ingest(spark, idx, inc, op_label="recrawl")
-    return verdicts
 
 
 QUERIES["semantic_incremental_ingest"] = semantic_incremental_ingest
