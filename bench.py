@@ -143,6 +143,7 @@ def main() -> None:
             "dedup_incremental_ingest",
             "neardup_incremental_ingest",
             "semantic_incremental_ingest",
+            "kernel_normalize",
         ]
 
         def run(name: str) -> None:

@@ -18,10 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_application_spark.session import (
-    bounded_local_checkpoint,
-    release_local_checkpoint,
-)
+from ocr_application_spark.session import bounded_cache, release_local_checkpoint
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -117,13 +114,13 @@ def fingerprint_index_ingest(
     # md5(NULL) is NULL, and null join keys would both drop the doc from
     # the verdict output (silent loss in the streaming/curation callers)
     # and append a garbage null-fp row to the index on every batch.
-    # localCheckpoint: fps feeds the novel commit AND the verdict join
+    # bounded_cache: fps feeds the novel commit AND the verdict join
     # (two actions) — without it the increment is re-scanned and
     # re-hashed three times per ingest. Slot-bounded: the NEXT ingest
     # call frees this call's blocks, so a per-epoch streaming caller
-    # holds one live checkpoint, not one per epoch (consume verdicts
-    # before the next ingest — every current caller does).
-    fps = bounded_local_checkpoint(
+    # holds one live cache, not one per epoch; a handle consumed late
+    # (or a concurrent ingest) degrades to a recompute, never a crash.
+    fps = bounded_cache(
         docs.select(
             F.col(id_col).alias("doc_id"),
             F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fingerprint"),
@@ -187,7 +184,7 @@ def minhash_index_ingest(
     the corpus is never re-signed. The index side costs one hash
     exchange per ingest in path-based parquet (production would
     bucket-store the index on the band key). Band buckets are
-    ``localCheckpoint``-pinned: they feed the index join, the
+    ``bounded_cache``-pinned: they feed the index join, the
     in-increment self-join AND the novel append, and recomputing the
     signature agg three times would triple the dominant cost.
 
@@ -215,9 +212,9 @@ def minhash_index_ingest(
     )
 
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    # slot-bounded like the fingerprint ingest: one live checkpoint per
+    # slot-bounded like the fingerprint ingest: one live cache per
     # session, freed by the next minhash ingest call
-    buck = bounded_local_checkpoint(_band_buckets(d), "minhash_index_ingest")
+    buck = bounded_cache(_band_buckets(d), "minhash_index_ingest")
     batch_ids = d.select("doc_id").distinct()
     versions = snapshot_versions(index_path)
     if versions:

@@ -549,7 +549,10 @@ _NORMALIZE_ORACLE = (
              || '<aside><a href="/ad1">sponsored link one</a><a href="/ad2">sponsored link two</a><p>ad text</p></aside>'
              || '<article><h2>document ' || cast(k.doc_id as varchar) || '</h2>'
              || coalesce(p.p, '<p>empty</p>') || '</article>'
-             || '<footer><p>footer ' || k.lang || '</p><a href="/terms">terms</a></footer></body></html>'
+             -- Python str.format renders a None lang as 'None'; a raw
+             -- SQL concat would instead null the whole page
+             || '<footer><p>footer ' || coalesce(k.lang, 'None')
+             || '</p><a href="/terms">terms</a></footer></body></html>'
              as html
       from toks k left join paras p on p.doc_id = k.doc_id
     ),

@@ -328,7 +328,7 @@ def embedding_index_ingest(
         'novel'                — no match; appended to the index
 
     Scale shape: the increment is quantized/bucketed once
-    (localCheckpoint-pinned — it feeds the index join, the in-increment
+    (bounded_cache-pinned — it feeds the index join, the in-increment
     self-join and the append), candidates come from the bucket
     equi-join (sub-quadratic, the same recall/cost trade as
     emb_neardup_pairs), the verification cosine is the quantized-exact
@@ -348,13 +348,13 @@ def embedding_index_ingest(
         snapshot_versions,
     )
 
-    from ocr_application_spark.session import bounded_local_checkpoint
+    from ocr_application_spark.session import bounded_cache
 
     d = vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
     q = d.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    # slot-bounded like the fingerprint ingest: one live checkpoint per
+    # slot-bounded like the fingerprint ingest: one live cache per
     # session, freed by the next embedding ingest call
-    b = bounded_local_checkpoint(
+    b = bounded_cache(
         q.withColumn("n", _dot(F.col("qv"), F.col("qv"))).withColumn(
             "bucket", _bucket_col(F.col("qv"))
         ),

@@ -35,7 +35,10 @@ def _base_inc(df: DataFrame, id_col: str):
     same edit in all three oracle CTE pairs."""
     others = [c for c in df.columns if c != id_col]
     base = df.filter(F.col(id_col) % 3 != 0)
-    inc = df.filter(F.col(id_col) % 3 == 0).unionAll(
+    # both union branches project (id, *others) explicitly: unionAll is
+    # positional, so relying on the caller's column order would silently
+    # cross-assign id and payload for an (payload, id)-shaped frame
+    inc = df.filter(F.col(id_col) % 3 == 0).select(id_col, *others).unionAll(
         df.filter(F.col(id_col) % 7 == 0).select(
             (F.col(id_col) + 1000000).alias(id_col), *others
         )

@@ -15,6 +15,7 @@ keeps scan partitions executor-sized.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -87,27 +88,49 @@ def release_local_checkpoint(df) -> None:
         pass  # best-effort: releasing storage must never fail the job
 
 
-_SLOT_CKPTS: dict[str, object] = {}
+_SLOT_LOCK = threading.Lock()
+_SLOT_CACHES: dict[str, object] = {}
 
 
-def bounded_local_checkpoint(df, slot: str):
-    """``localCheckpoint`` whose blocks are released when the NEXT call
-    reuses the same ``slot`` — bounds the live checkpoints of a
+def bounded_cache(df, slot: str):
+    """``persist()`` whose blocks are released when the NEXT call reuses
+    the same ``slot`` — bounds the live cached copies of a
     per-invocation operator (the index-ingest family) to ONE per slot
     regardless of how many times it runs in a session, instead of
     leaking one copy per call (the ``_last_tarified`` leak class: a
     continuous-ingest stream calls the operator once per epoch).
 
-    Contract for slot owners: a caller must fully consume the plans
-    derived from call N's checkpoint before call N+1 on the same slot
-    (the streaming sink, the gate and the bench all do — each epoch /
-    query materializes its output before the next begins). The new
-    checkpoint is materialized (eager) BEFORE the old blocks are freed,
-    so a plan that happens to reference the previous checkpoint is safe
-    during the handoff."""
-    prev = _SLOT_CKPTS.get(slot)
-    ckpt = df.localCheckpoint()  # eager by default
+    Deliberately persist, NOT localCheckpoint: unpersisting a cache that
+    some still-alive plan references degrades to a recompute (correct,
+    just slower), whereas releasing a localCheckpoint's blocks makes
+    every plan holding the truncated lineage CRASH. So a stale verdicts
+    handle collected after the next ingest call, or two ingests running
+    concurrently in one session, stay correct — the worst case is one
+    extra scan, never a 'Checkpoint block not found' failure. The slot
+    map is lock-guarded (foreachBatch sinks run on stream threads).
+
+    The final cache per slot stays pinned until the session ends or
+    ``release_slot(slot)`` is called — a bounded, safe hold (unpersist
+    is safe at any time with persist semantics)."""
+    with _SLOT_LOCK:
+        prev = _SLOT_CACHES.get(slot)
+        out = df.persist()
+        _SLOT_CACHES[slot] = out
     if prev is not None:
-        release_local_checkpoint(prev)
-    _SLOT_CKPTS[slot] = ckpt
-    return ckpt
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # releasing storage must never fail the job
+    return out
+
+
+def release_slot(slot: str) -> None:
+    """Free the cached blocks held by ``bounded_cache`` for ``slot``
+    (e.g. after a continuous-ingest stream terminates)."""
+    with _SLOT_LOCK:
+        prev = _SLOT_CACHES.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass

@@ -343,3 +343,59 @@ def test_curation_oracles_survive_adversarial_text(spark, tmpdir_scratch):
         )
         assert not errs, f"{name}: {errs} (max float rel delta {delta:.2e})"
     con.close()
+
+
+def test_normalize_oracle_fixture_preconditions():
+    """The kernel_normalize oracle hardcodes charset='utf-8' — exact only
+    while no fixture document can trip sniff_charset (which scans the
+    first 1024 BYTES of the wrapped page, i.e. ~700 bytes of article
+    text after the template preamble). Pin the precondition for every
+    shipped sf so a fixture refresh that violates it fails HERE with an
+    explanation instead of as an opaque gate hash-mismatch."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        n = con.sql(
+            f"""select count(*) from '/root/testdata/sf{sf}/documents.parquet'
+                where lower(substr(coalesce(text,''), 1, 800)) like '%charset=%'
+                   or lower(substr(coalesce(text,''), 1, 800)) like '%iso-8859-1%'
+                   or lower(substr(coalesce(text,''), 1, 800)) like '%latin-1%'"""
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf}: {n} docs could trip sniff_charset"
+
+
+def test_normalize_oracle_survives_adversarial_text(spark, tmpdir_scratch):
+    """kernel_normalize's page-rebuild oracle must mirror the kernel on
+    shapes the clean fixtures never exercise: escape-relevant markup,
+    mojibake markers, unicode whitespace at chunk edges, empty and
+    ws-only docs, >8-digit ids, NULL text and NULL lang."""
+    import duckdb
+    import pandas as pd
+
+    from ocr_application_spark.operators import kernels_entry as ke
+    from tests.oracle_harness import compare
+
+    rows = [
+        (1, "plain words " * 30, "en", "s", 0),
+        (2, "a<b AT&T 'q' \"dq\" x>y & &amp; pre-escaped", "en", "s", 0),
+        (3, "d??j?? vu ?? split? ? across words ???", "fr", "s", 0),
+        (4, "", "en", "s", 0),
+        (5, "   \x1c　 ", "en", "s", 0),
+        (6, "fs\x1cgs\x1d nel\x85nbsp\xa0 ls ps nn ", "en", "s", 0),
+        (123456789012, "big id", "en", "s", 0),
+        (8, None, "en", "s", 0),
+        (9, "null lang doc", None, "s", 0),
+        (10, " lead  and  trail " * 20, "de", "s", 0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(f"{tmpdir_scratch}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{tmpdir_scratch}/documents.parquet'")
+    errs, _ = compare(
+        ke.QUERIES["kernel_normalize"](spark, tmpdir_scratch),
+        con,
+        ke.ORACLES["kernel_normalize"],
+        "normalize_adversarial",
+    )
+    assert errs == [], errs

@@ -340,11 +340,13 @@ def test_stream_ingest_duplicate_doc_id_in_batch(spark, tmpdir_scratch):
     assert by_id[8]["verdict"] == "novel"
 
 
-def test_ingest_checkpoint_slot_bounded(spark, tmpdir_scratch):
-    """Repeated index-ingest calls must not accumulate live localCheckpoint
-    RDD blocks: the slot-bounded checkpoint frees the previous call's
-    blocks, so a per-epoch streaming caller holds ONE live checkpoint
-    regardless of epoch count (the tarification-leak class)."""
+def test_ingest_cache_slot_bounded(spark, tmpdir_scratch):
+    """Repeated index-ingest calls must not accumulate live cached RDD
+    blocks: the slot-bounded cache (session.bounded_cache) frees the
+    previous call's blocks, so a per-epoch streaming caller holds ONE
+    live cache regardless of epoch count (the tarification-leak class).
+    persist-based, so a late consumer degrades to recompute, never a
+    truncated-lineage crash."""
     from ocr_application_spark.operators.dedup import fingerprint_index_ingest
 
     idx = tmpdir_scratch + "/bounded_idx"
@@ -362,3 +364,20 @@ def test_ingest_checkpoint_slot_bounded(spark, tmpdir_scratch):
         v, _ = fingerprint_index_ingest(spark, idx, docs, op_label=f"e{k + 1}")
         v.count()
     assert live_cached_rdds() <= base
+
+
+def test_ingest_stale_handle_recomputes_not_crashes(spark, tmpdir_scratch):
+    """A verdicts handle collected AFTER the next ingest call has released
+    its cache must recompute gracefully (persist semantics), not die on
+    truncated lineage — the library op is public API and nothing forces
+    callers to consume in order."""
+    from ocr_application_spark.operators.dedup import fingerprint_index_ingest
+
+    idx = tmpdir_scratch + "/stale_idx"
+    d1 = spark.createDataFrame([(1, "aa"), (2, "bb")], "doc_id bigint, text string")
+    d2 = spark.createDataFrame([(3, "cc")], "doc_id bigint, text string")
+    v1, _ = fingerprint_index_ingest(spark, idx, d1, op_label="b1")
+    v2, _ = fingerprint_index_ingest(spark, idx, d2, op_label="b2")  # releases v1's cache
+    got1 = {r["doc_id"]: r["verdict"] for r in v1.collect()}  # stale handle
+    assert got1 == {1: "novel", 2: "novel"}
+    assert {r["doc_id"]: r["verdict"] for r in v2.collect()} == {3: "novel"}
