@@ -1,0 +1,114 @@
+"""spark-submit entrypoint for CONTINUOUS crawl ingestion with
+corpus-level dedup against a persisted index.
+
+The streaming companion to jobs/curate_job.py's batch ``--dedup-index``:
+where curate_job dedupes a finished corpus increment once, THIS job
+tails a landing directory and dedupes each micro-batch as it arrives —
+``streaming/stream.run_stream_ingest`` with one of the three index
+families:
+
+    --family exact      operators/dedup.fingerprint_index_ingest
+    --family minhash    operators/dedup.minhash_index_ingest
+    --family semantic   operators/similarity.embedding_index_ingest
+                        (input is a VECTOR stream: vec_id, embedding)
+
+Each micro-batch commits its novel entries to the index snapshot table
+(ONE commit per epoch) and lands verdict-tagged rows in an
+epoch-partitioned output; crash-replay appends zero index rows and
+reproduces the verdicts (the replay-stable representative rule — see
+the operator docstrings). ``--available-now`` (default) drains the
+input and exits, printing one JSON metrics line: epochs processed,
+verdict counts, index growth. Without it the query runs until killed
+(a real tail job); metrics then come from the index table itself.
+
+Packaged run::
+
+    bash scripts/package.sh
+    spark-submit --master <cluster> \\
+        --py-files dist/ocr_application_spark.zip \\
+        jobs/ingest_job.py --input /landing/docs --index /idx/fp \\
+        --output /curated/ingested --checkpoint /ckpt/ingest
+
+Scale shape: per-epoch work is O(micro-batch) — the corpus is NEVER
+re-deduped; the index grows by novel entries only. State lives in the
+index snapshot table, not Spark state stores, so a checkpoint wipe
+loses positioning, never dedup decisions (the sink resets the output
+table on epoch 0 accordingly).
+
+Reference analog: the Kafka consume->dedupe->produce chain
+(extraction_service/app/kafka/consumer.py), which processes one message
+at a time; this is the same contract at micro-batch granularity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="landing dir to tail (parquet)")
+    ap.add_argument("--index", required=True, help="persisted index snapshot table")
+    ap.add_argument("--output", required=True, help="epoch-partitioned verdict output")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument(
+        "--family",
+        choices=("exact", "minhash", "semantic"),
+        default="exact",
+    )
+    ap.add_argument("--max-files", type=int, default=8, help="maxFilesPerTrigger")
+    ap.add_argument(
+        "--timeout",
+        type=int,
+        default=None,
+        help="awaitTermination seconds (default: wait for drain)",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ocr_application_spark.sources.snapshots import snapshot_versions
+    from ocr_application_spark.streaming.stream import run_stream_ingest
+
+    spark = (
+        SparkSession.builder.appName("ocr_application_spark.ingest")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    v_before = len(snapshot_versions(args.index))
+    q = run_stream_ingest(
+        spark,
+        args.input,
+        args.index,
+        args.output,
+        args.checkpoint,
+        max_files=args.max_files,
+        family=args.family,
+    )
+    q.awaitTermination(args.timeout)
+
+    out = spark.read.parquet(args.output)
+    verdicts = {
+        r["verdict"]: r["n"]
+        for r in out.groupBy("verdict").agg(F.count("*").alias("n")).collect()
+    }
+    print(
+        json.dumps(
+            {
+                "family": args.family,
+                "rows_out": out.count(),
+                "verdicts": verdicts,
+                "epochs": len(snapshot_versions(args.index)) - v_before,
+                "index_versions": len(snapshot_versions(args.index)),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,9 @@ re-processed)::
     v, _ = api.embedding_index_ingest(spark, idx3, vecs)    # semantic
     api.append_to_inverted_file(spark, ivf, cent, vecs)     # ANN index
     api.run_stream_ingest(spark, src, idx, out, ckpt)       # streaming
+    # ... family="minhash" / "semantic" for the near-dup / vector feeds
+    api.release_slot("fingerprint_index_ingest")  # free the last
+    # ingest's bounded cache once a long-lived session is done ingesting
 """
 
 from __future__ import annotations
@@ -72,6 +75,10 @@ from ocr_application_spark.operators.ann_ivf import (  # noqa: F401
     append_to_inverted_file,
     build_inverted_file,
     probe_inverted_file,
+)
+from ocr_application_spark.session import (  # noqa: F401
+    get_spark,
+    release_slot,
 )
 from ocr_application_spark.streaming.stream import (  # noqa: F401
     run_stream_ingest,

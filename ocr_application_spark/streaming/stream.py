@@ -236,6 +236,22 @@ def stream_curate(docs: DataFrame) -> DataFrame:
 
 
 # --- streaming incremental ingest dedup ---------------------------------------
+
+VECTORS_SCHEMA = "vec_id bigint, embedding array<float>"
+
+
+def stream_vectors(
+    spark: SparkSession, input_path: str, max_files: int = 8
+) -> DataFrame:
+    """File-source stream of an embeddings table (the vector feed for
+    the semantic ingest family)."""
+    return (
+        spark.readStream.schema(VECTORS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_path)
+    )
+
+
 def run_stream_ingest(
     spark: SparkSession,
     input_path: str,
@@ -243,12 +259,22 @@ def run_stream_ingest(
     out_path: str,
     checkpoint: str,
     max_files: int = 8,
+    family: str = "exact",
 ):
-    """Continuous crawl ingestion with corpus-level exact dedup: each
-    micro-batch runs ``operators/dedup.fingerprint_index_ingest``
-    against the persisted fingerprint index (ONE snapshot commit per
-    epoch, novel fingerprints only) and lands the batch's verdict-
-    tagged rows in an epoch-partitioned output table.
+    """Continuous crawl ingestion with corpus-level dedup against a
+    persisted index — ONE streaming front-end for all three batch
+    ingest families (``family=``):
+
+      'exact'    — ``dedup.fingerprint_index_ingest`` over a document
+                   stream; verdicts per (doc_id, fingerprint)
+      'minhash'  — ``dedup.minhash_index_ingest`` over a document
+                   stream; NEAR-dup verdicts per doc_id
+      'semantic' — ``similarity.embedding_index_ingest`` over a vector
+                   stream (``VECTORS_SCHEMA``); verdicts per vec_id
+
+    Each micro-batch runs one ingest against the persisted index (ONE
+    snapshot commit per epoch, novel entries only) and lands the
+    batch's verdict-tagged rows in an epoch-partitioned output table.
 
     Exactly-once is EARNED the same way ``run_stream_to_table`` earns
     it, plus one property the index contributes by construction: a
@@ -271,46 +297,67 @@ def run_stream_ingest(
     batches than before; the kept/dropped DECISION per fingerprint is
     unchanged.
 
-    A crawl feed can re-deliver the same doc_id within one micro-batch
-    (recrawl while the batch accumulates). Verdicts are per (doc_id,
-    fingerprint), so the sink first collapses the batch to one row per
-    doc_id — deterministically, keeping the row with the smallest text
-    fingerprint — otherwise the verdict join would fan out and cross-
-    tag the duplicates' rows."""
+    A crawl feed can re-deliver the same id within one micro-batch
+    (recrawl while the batch accumulates), so the sink first collapses
+    the batch to one row per id — deterministically, keeping the row
+    with the smallest payload hash — otherwise the verdict join would
+    fan out (and, for the exact family whose verdicts are per
+    (doc_id, fingerprint), cross-tag the duplicates' rows)."""
     import shutil
 
     from pyspark.sql.window import Window
 
-    from ocr_application_spark.operators.dedup import fingerprint_index_ingest
+    from ocr_application_spark.operators.dedup import (
+        fingerprint_index_ingest,
+        minhash_index_ingest,
+    )
+    from ocr_application_spark.operators.similarity import embedding_index_ingest
 
-    docs = stream_documents(spark, input_path, max_files)
+    if family in ("exact", "minhash"):
+        stream, id_col, payload_col = (
+            stream_documents(spark, input_path, max_files),
+            "doc_id",
+            "text",
+        )
+        ingest = fingerprint_index_ingest if family == "exact" else minhash_index_ingest
+        payload_hash = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    elif family == "semantic":
+        stream, id_col, payload_col = (
+            stream_vectors(spark, input_path, max_files),
+            "vec_id",
+            "embedding",
+        )
+        ingest = embedding_index_ingest
+        payload_hash = F.xxhash64("embedding")
+    else:
+        raise ValueError(f"unknown ingest family {family!r}")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id == 0:
             # fresh checkpoint => fresh output (see docstring)
             shutil.rmtree(out_path, ignore_errors=True)
-        # one row per doc_id, smallest-fingerprint row wins (ties are
-        # byte-identical texts; remaining columns tie-break for full
+        # one row per id, smallest-payload-hash row wins (ties are
+        # byte-identical payloads; remaining columns tie-break for full
         # determinism)
-        one = Window.partitionBy("doc_id").orderBy(
-            F.md5(F.coalesce(F.col("text"), F.lit(""))),
-            *[c for c in batch_df.columns if c not in ("doc_id", "text")],
+        one = Window.partitionBy(id_col).orderBy(
+            payload_hash,
+            *[c for c in batch_df.columns if c not in (id_col, payload_col)],
         )
         batch_df = (
             batch_df.withColumn("_rn", F.row_number().over(one))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # the ingest runs two actions over the batch (the novel-fp
-        # commit and the verdict join output) — persist so the scan
-        # runs once per epoch
+        # the ingest runs two actions over the batch (the novel commit
+        # and the verdict join output) — persist so the scan runs once
+        # per epoch
         batch_df.persist()
         try:
-            verdicts, _v = fingerprint_index_ingest(
+            verdicts, _v = ingest(
                 spark, index_path, batch_df, op_label=f"epoch-{epoch_id}"
             )
             (
-                batch_df.join(verdicts, "doc_id")
+                batch_df.join(verdicts, id_col)
                 .write.mode("overwrite")
                 .parquet(f"{out_path}/epoch={epoch_id}")
             )
@@ -318,7 +365,7 @@ def run_stream_ingest(
             batch_df.unpersist()
 
     return (
-        docs.writeStream.foreachBatch(sink)
+        stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

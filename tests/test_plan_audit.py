@@ -383,27 +383,27 @@ def test_fingerprint_ingest_verdicts_no_cartesian_no_python(spark):
     }
 
 
-def test_minhash_ingest_verdicts_reuse_checkpointed_bands(spark):
-    """Near-dup ingest verdicts: the band buckets are localCheckpoint-
+def test_minhash_ingest_verdicts_reuse_cached_bands(spark):
+    """Near-dup ingest verdicts: the band buckets are bounded_cache-
     pinned (one signature agg feeds index join + self-join + append), so
-    the verdict plan scans the checkpointed RDD instead of re-signing —
-    and stays cartesian-free and Python-free."""
+    the verdict plan scans the in-memory cache instead of re-signing —
+    and stays cartesian-free and Python-free. (persist, not
+    localCheckpoint, since the slot-bounded release must degrade to a
+    recompute rather than crash a stale consumer — so the reuse node is
+    InMemoryTableScan; the signature expressions appear only inside the
+    InMemoryRelation's cached-plan description, not as live operators.)"""
     plan = plan_of(spark, "neardup_incremental_ingest")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
-    # the checkpoint reuse: band rows come from ExistingRDD scans — the
-    # expensive signature computation (md5 over exploded shingles) does
-    # NOT reappear in the verdict plan
-    assert "ExistingRDD" in plan
-    assert "md5" not in plan
+    assert "InMemoryTableScan" in plan
 
 
-def test_embedding_ingest_verdicts_reuse_checkpointed_buckets(spark):
+def test_embedding_ingest_verdicts_reuse_cached_buckets(spark):
     """Semantic ingest verdicts: quantization + bucketing are
-    localCheckpoint-pinned (one pass feeds index join, self-join and
-    append), so the verdict plan scans the checkpointed RDD and stays
+    bounded_cache-pinned (one pass feeds index join, self-join and
+    append), so the verdict plan scans the in-memory cache and stays
     cartesian-free and Python-free."""
     plan = plan_of(spark, "semantic_incremental_ingest")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
-    assert "ExistingRDD" in plan
+    assert "InMemoryTableScan" in plan

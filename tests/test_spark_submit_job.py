@@ -357,3 +357,54 @@ def test_curate_incremental_dedup_index_across_runs(spark, tmpdir_scratch):
     # the SAME survivor (doc 11 is the index's own keeper for gamma)
     curated2b, _ = curate(spark, in2, gates=(), dedup_index=idx)
     assert {r["doc_id"] for r in curated2b.select("doc_id").collect()} == {11}
+
+
+@pytest.mark.slow
+def test_spark_submit_ingest_job(spark, tmpdir_scratch):
+    """The streaming ingest entrypoint through the REAL spark-submit +
+    zip artifact: drain a two-file landing dir with --family exact,
+    check the JSON metrics line and the verdict output."""
+    if not os.path.exists(_SPARK_SUBMIT):
+        pytest.skip("spark-submit binary not found")
+    subprocess.run(["bash", "scripts/package.sh"], cwd="/root/repo", check=True)
+
+    src = tmpdir_scratch + "/ingest_src"
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    spark.createDataFrame(
+        [(1, "alpha body", "en", "w", 0), (2, "beta body", "en", "w", 0)], schema
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(3, "alpha body", "en", "w", 0)], schema  # recrawl dup of doc 1
+    ).coalesce(1).write.parquet(src, mode="append")
+
+    r = subprocess.run(
+        [
+            _SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--py-files", "dist/ocr_application_spark.zip",
+            "jobs/ingest_job.py",
+            "--input", src,
+            "--index", tmpdir_scratch + "/idx",
+            "--output", tmpdir_scratch + "/out",
+            "--checkpoint", tmpdir_scratch + "/ckpt",
+            "--max-files", "1",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    metrics = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith('{"family"')][-1]
+    )
+    assert metrics["rows_out"] == 3
+    assert metrics["verdicts"].get("novel") == 2
+    # doc 3 is 'known' or 'dup_in_increment' depending on batching
+    assert sum(metrics["verdicts"].values()) == 3
+    got = {
+        r2["doc_id"]: r2["verdict"]
+        for r2 in spark.read.parquet(tmpdir_scratch + "/out").collect()
+    }
+    assert got[1] == "novel" and got[2] == "novel"
+    assert got[3] in ("known", "dup_in_increment")

@@ -381,3 +381,108 @@ def test_ingest_stale_handle_recomputes_not_crashes(spark, tmpdir_scratch):
     got1 = {r["doc_id"]: r["verdict"] for r in v1.collect()}  # stale handle
     assert got1 == {1: "novel", 2: "novel"}
     assert {r["doc_id"]: r["verdict"] for r in v2.collect()} == {3: "novel"}
+
+
+def test_stream_ingest_minhash_family(spark, tmpdir_scratch):
+    """The NEAR-dup family through the same streaming front-end: two
+    epochs build the MinHash band index; a base doc's re-crawled clone
+    in epoch 2 reads 'known_neardup', a fresh doc 'novel'. Replay with a
+    wiped checkpoint reproduces the verdicts (replay-stable precedence)
+    and appends zero index rows."""
+    import os
+    import shutil
+
+    from ocr_application_spark.sources.snapshots import read_snapshot
+    from ocr_application_spark.streaming.stream import run_stream_ingest
+
+    body_a = "the quick brown fox jumps over the lazy dog again and again " * 3
+    body_b = "completely different content about snapshot tables and spark " * 3
+    src = tmpdir_scratch + "/mh_src"
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    spark.createDataFrame(
+        [(1, body_a, "en", "web", 0), (2, body_b, "en", "web", 0)], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(3, body_a, "en", "web", 0)], schema  # near-dup clone of doc 1
+    ).coalesce(1).write.parquet(src + "/f2")
+    t = 1_700_000_000
+    for i, d in enumerate(("f1", "f2")):
+        for f in os.listdir(f"{src}/{d}"):
+            os.utime(f"{src}/{d}/{f}", (t + i * 100, t + i * 100))
+
+    idx = tmpdir_scratch + "/mh_idx"
+    out = tmpdir_scratch + "/mh_out"
+    ckpt = tmpdir_scratch + "/mh_ckpt"
+
+    def run_once():
+        q = run_stream_ingest(
+            spark, src + "/*/", idx, out, ckpt, max_files=1, family="minhash"
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(out).select("doc_id", "verdict").collect()
+    }
+    assert got == {1: "novel", 2: "novel", 3: "known_neardup"}
+    n_idx = read_snapshot(spark, idx).select("doc_id").distinct().count()
+    assert n_idx == 2  # only the retained docs' band rows
+
+    shutil.rmtree(ckpt)
+    run_once()
+    got2 = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(out).select("doc_id", "verdict").collect()
+    }
+    assert got2 == got
+    assert read_snapshot(spark, idx).select("doc_id").distinct().count() == n_idx
+
+
+def test_stream_ingest_semantic_family(spark, tmpdir_scratch):
+    """The embedding family through the same streaming front-end, over a
+    VECTOR stream: a re-delivered base vector (cosine exactly 1) reads
+    'known_neardup', an orthogonal one 'novel'."""
+    from ocr_application_spark.streaming.stream import run_stream_ingest
+
+    dim = 64
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    e3 = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    src = tmpdir_scratch + "/sem_src"
+    schema = "vec_id bigint, embedding array<float>"
+    spark.createDataFrame([(1, e1), (2, e2)], schema).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+
+    idx = tmpdir_scratch + "/sem_idx"
+    q = run_stream_ingest(
+        spark,
+        src + "/*/",
+        idx,
+        tmpdir_scratch + "/sem_out",
+        tmpdir_scratch + "/sem_ckpt",
+        max_files=2,
+        family="semantic",
+    )
+    q.awaitTermination(120)
+
+    # second stream: clone of vector 1 (same direction) + a fresh basis vector
+    spark.createDataFrame([(10, e1), (11, e3)], schema).coalesce(1).write.parquet(
+        src + "/f2"
+    )
+    q = run_stream_ingest(
+        spark,
+        src + "/f2",
+        idx,
+        tmpdir_scratch + "/sem_out2",
+        tmpdir_scratch + "/sem_ckpt2",
+        max_files=2,
+        family="semantic",
+    )
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: r["verdict"]
+        for r in spark.read.parquet(tmpdir_scratch + "/sem_out2").collect()
+    }
+    assert got == {10: "known_neardup", 11: "novel"}
