@@ -373,9 +373,18 @@ def test_spark_submit_ingest_job(spark, tmpdir_scratch):
     spark.createDataFrame(
         [(1, "alpha body", "en", "w", 0), (2, "beta body", "en", "w", 0)], schema
     ).coalesce(1).write.parquet(src)
+    first_files = {f for f in os.listdir(src) if f.endswith(".parquet")}
     spark.createDataFrame(
         [(3, "alpha body", "en", "w", 0)], schema  # recrawl dup of doc 1
     ).coalesce(1).write.parquet(src, mode="append")
+    # FileStreamSource batches by mtime: pin the first write strictly
+    # older so doc 3 lands in a later epoch deterministically (same
+    # discipline as test_stream_ingest_minhash_family)
+    t = 1_700_000_000
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            old = f in first_files
+            os.utime(os.path.join(src, f), (t, t) if old else (t + 100, t + 100))
 
     r = subprocess.run(
         [
@@ -398,13 +407,12 @@ def test_spark_submit_ingest_job(spark, tmpdir_scratch):
     metrics = json.loads(
         [ln for ln in r.stdout.splitlines() if ln.startswith('{"family"')][-1]
     )
+    assert metrics["drained"] is True
     assert metrics["rows_out"] == 3
-    assert metrics["verdicts"].get("novel") == 2
-    # doc 3 is 'known' or 'dup_in_increment' depending on batching
-    assert sum(metrics["verdicts"].values()) == 3
+    assert metrics["verdicts"] == {"novel": 2, "known": 1}
+    assert metrics["epochs"] == 2
     got = {
         r2["doc_id"]: r2["verdict"]
         for r2 in spark.read.parquet(tmpdir_scratch + "/out").collect()
     }
-    assert got[1] == "novel" and got[2] == "novel"
-    assert got[3] in ("known", "dup_in_increment")
+    assert got == {1: "novel", 2: "novel", 3: "known"}
