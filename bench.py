@@ -144,6 +144,7 @@ def main() -> None:
             "neardup_incremental_ingest",
             "semantic_incremental_ingest",
             "kernel_normalize",
+            "emb_neardup_multiprobe",
         ]
 
         def run(name: str) -> None:

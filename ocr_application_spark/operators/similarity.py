@@ -251,6 +251,80 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "emb_neardup_multiprobe",
+    f"""
+    with q as (
+      select vec_id, {_QUANT_SQL.format(c='embedding')} as qv from embeddings
+    ),
+    b as (
+      select vec_id, qv, {_dot_sql('qv', 'qv')} as n,
+             {" + ".join(_lsh_bit_sql(k) for k in range(_N_PLANES))} as bucket
+      from q
+    ),
+    probes as (
+      select vec_id, qv, n, u.pbucket
+      from b, unnest([bucket,
+                      {", ".join(f"xor(bucket, {1 << k})" for k in range(_N_PLANES))}
+                     ]) u(pbucket)
+    ),
+    pairs as (
+      select a.vec_id as vec_a, b2.vec_id as vec_b,
+             cast({_dot_sql('a.qv', 'b2.qv')} as double)
+               / sqrt(cast(a.n as double) * cast(b2.n as double)) as cos
+      from probes a join b b2 on a.pbucket = b2.bucket and a.vec_id < b2.vec_id
+    )
+    select vec_a, vec_b, cos as cos_sim
+    from pairs where cos >= {_NEARDUP_TAU}
+    """,
+)
+def emb_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe variant of ``emb_neardup_pairs`` — the RECALL dial of
+    the sign-LSH scheme: each vector also probes the 8 buckets at
+    Hamming distance 1 (one sign bit flipped), so a near-dup pair split
+    by exactly one noisy hyperplane is still found. Cost/recall trade
+    made explicit: the probe side expands 9x before the bucket
+    equi-join (still sub-quadratic; the join stays an equi-join, never
+    all-pairs). Each qualifying pair matches EXACTLY once — distance-0
+    via the identity probe, distance-1 via the single flipped-bit probe
+    that reaches the partner's bucket — so the output needs no distinct
+    and is a strict superset of the single-probe pairs (pinned by
+    test_multiprobe_superset_of_single_probe)."""
+    e = _emb(spark, sf_dir)
+    q = e.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    b = q.withColumn("n", _dot(F.col("qv"), F.col("qv"))).withColumn(
+        "bucket", _bucket_col(F.col("qv"))
+    )
+    probes = b.withColumn(
+        "pbucket",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << k)) for k in range(_N_PLANES)],
+            )
+        ),
+    )
+    a = probes.alias("a")
+    b2 = b.alias("b2")
+    cos = _dot(F.col("a.qv"), F.col("b2.qv")).cast("double") / F.sqrt(
+        F.col("a.n").cast("double") * F.col("b2.n").cast("double")
+    )
+    return (
+        a.join(
+            b2,
+            (F.col("a.pbucket") == F.col("b2.bucket"))
+            & (F.col("a.vec_id") < F.col("b2.vec_id")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _NEARDUP_TAU)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b2.vec_id").alias("vec_b"),
+            F.col("cos").alias("cos_sim"),
+        )
+    )
+
+
 # --- semantic dedup clusters --------------------------------------------------
 # emb_neardup_pairs says which documents are semantically near-dups;
 # dedup needs the transitive clusters (A~B~C => one survivor). Reuses

@@ -407,3 +407,13 @@ def test_embedding_ingest_verdicts_reuse_cached_buckets(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_multiprobe_neardup_plan_is_equijoin(spark):
+    """The multiprobe near-dup join must stay an equi-join on the probe
+    bucket (the 9x explode is a narrow Generate), never a cartesian, and
+    Python-free — the recall dial cannot silently degrade to all-pairs."""
+    plan = plan_of(spark, "emb_neardup_multiprobe")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "Generate" in plan  # the probe expansion

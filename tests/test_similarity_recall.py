@@ -106,3 +106,22 @@ def test_inverted_file_append_equals_one_shot_build(spark, tmpdir_scratch):
     got_full = key(probe_inverted_file(spark, sf, full_path, cent).collect())
     got_incr = key(probe_inverted_file(spark, sf, incr_path, cent).collect())
     assert got_full == got_incr and len(got_full) > 0
+
+
+def test_multiprobe_superset_of_single_probe(spark):
+    """The Hamming-1 multiprobe near-dup pairs must be a strict superset
+    of the single-probe pairs on the fixture (the probe list CONTAINS
+    the identity probe), with each pair emitted exactly once — the
+    no-distinct-needed claim in the operator docstring."""
+    from ocr_application_spark.operators.similarity import (
+        emb_neardup_multiprobe,
+        emb_neardup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    single = emb_neardup_pairs(spark, sf).select("vec_a", "vec_b")
+    multi = emb_neardup_multiprobe(spark, sf).select("vec_a", "vec_b")
+    assert single.exceptAll(multi).count() == 0  # superset
+    assert multi.count() > single.count()  # the extra probes earn recall
+    # exactly-once: no pair appears twice
+    assert multi.count() == multi.distinct().count()
