@@ -19,10 +19,13 @@ reproduces the verdicts (the replay-stable representative rule — see
 the operator docstrings). The job drains the input (availableNow
 trigger) and exits, printing one JSON metrics line: rows, verdict
 counts, index growth. Re-running with the checkpoint intact processes
-only files that landed since — so a cron re-run IS the tail loop;
-``--timeout`` bounds a single drain (on expiry the query is stopped
-cleanly at the epoch boundary and metrics cover the epochs that
-committed).
+only files that landed since — so a cron re-run IS the tail loop, and
+the metrics line covers THIS run's epochs only. ``--timeout`` bounds a
+single drain; on expiry the query is stopped — an interrupt
+mid-micro-batch is a CONTROLLED CRASH, which the pipeline tolerates by
+design (atomic index commits + idempotent epoch replay on the next
+run), so metrics report the epochs that fully landed and the replay
+heals any partial one.
 
 Packaged run::
 
@@ -55,6 +58,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import time
 
 
 def main() -> None:
@@ -91,6 +96,7 @@ def main() -> None:
     )
 
     v_before = len(snapshot_versions(args.index))
+    t_start = time.time()
     q = run_stream_ingest(
         spark,
         args.input,
@@ -103,25 +109,40 @@ def main() -> None:
     if args.timeout is not None:
         drained = q.awaitTermination(args.timeout)
         if not drained:
-            # --timeout expired mid-backlog: stop cleanly at the epoch
-            # boundary BEFORE reading the output, so metrics never race
-            # a sink mid-overwrite and no epoch is killed mid-commit
+            # --timeout expired mid-backlog. stop() interrupts the
+            # micro-batch thread wherever it is — this is a CONTROLLED
+            # CRASH, and the pipeline is built for crashes: the index
+            # commit is atomic (snapshot machinery), and the next run
+            # replays the interrupted epoch idempotently (zero index
+            # rows appended, epoch output dir overwritten). Metrics
+            # below are computed defensively for the same reason.
             q.stop()
             q.awaitTermination()
     else:  # block until the drain finishes (returns None, not a bool)
         q.awaitTermination()
         drained = True
 
-    epochs = len(snapshot_versions(args.index)) - v_before
-    if epochs > 0:
+    # Per-RUN metrics under the cron re-run model: epoch dirs persist
+    # across runs, so aggregate only the dirs this run wrote or
+    # overwrote (mtime >= start; replayed epochs overwrite their dir,
+    # refreshing it). An interrupted final epoch may have committed its
+    # index version but not its output dir — verdicts then cover the
+    # fully-landed epochs only, and the next run's replay heals the gap.
+    run_dirs = []
+    if os.path.isdir(args.output):
+        for d in os.listdir(args.output):
+            full = os.path.join(args.output, d)
+            if d.startswith("epoch=") and os.path.getmtime(full) >= t_start - 1:
+                run_dirs.append(full)
+    if run_dirs:
         verdicts = {
             r["verdict"]: r["n"]
-            for r in spark.read.parquet(args.output)
+            for r in spark.read.parquet(*run_dirs)
             .groupBy("verdict")
             .agg(F.count("*").alias("n"))
             .collect()
         }
-    else:  # nothing landed yet (or already drained): output may not exist
+    else:  # nothing landed this run (empty drain / interrupted epoch 0)
         verdicts = {}
     print(
         json.dumps(
@@ -130,7 +151,8 @@ def main() -> None:
                 "drained": drained,
                 "rows_out": sum(verdicts.values()),
                 "verdicts": verdicts,
-                "epochs": epochs,
+                "epochs": len(snapshot_versions(args.index)) - v_before,
+                "epoch_dirs_this_run": len(run_dirs),
                 "index_versions": len(snapshot_versions(args.index)),
             }
         )

@@ -200,46 +200,33 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEARDUP_TAU = 0.30  # corpus is random -> low tau so the check exercises rows
 
 
-@_q(
-    "emb_neardup_pairs",
-    f"""
-    with q as (
-      select vec_id, {_QUANT_SQL.format(c='embedding')} as qv from embeddings
-    ),
-    b as (
-      select vec_id, qv, {_dot_sql('qv', 'qv')} as n,
-             {" + ".join(_lsh_bit_sql(k) for k in range(_N_PLANES))} as bucket
-      from q
-    ),
-    pairs as (
-      select a.vec_id as vec_a, b2.vec_id as vec_b,
-             cast({_dot_sql('a.qv', 'b2.qv')} as double)
-               / sqrt(cast(a.n as double) * cast(b2.n as double)) as cos
-      from b a join b b2 on a.bucket = b2.bucket and a.vec_id < b2.vec_id
-    )
-    select vec_a, vec_b, cos as cos_sim
-    from pairs where cos >= {_NEARDUP_TAU}
-    """,
-)
-def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup mining: LSH-bucket equi-join (sub-quadratic
-    candidates) -> exact quantized cosine -> threshold. Same-bucket
-    restriction = the LSH recall/cost tradeoff."""
-    e = _emb(spark, sf_dir)
+def _bucketed(e: DataFrame) -> DataFrame:
+    """(vec_id, qv, n, bucket) — THE quant + self-norm + sign-LSH-bucket
+    projection shared by the near-dup pair family (norm projected ONCE
+    per vector before any join; see ann_cosine_topk)."""
     q = e.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    # per-vector norm projected BEFORE the self-join (see ann_cosine_topk)
-    b = q.withColumn("n", _dot(F.col("qv"), F.col("qv"))).withColumn(
+    return q.withColumn("n", _dot(F.col("qv"), F.col("qv"))).withColumn(
         "bucket", _bucket_col(F.col("qv"))
     )
-    a = b.alias("a")
-    b2 = b.alias("b2")
+
+
+def _scored_bucket_pairs(left: DataFrame, right: DataFrame, left_bucket: str = "bucket") -> DataFrame:
+    """THE bucketed-pair scoring sequence — equi-join on the (probe)
+    bucket with vec_id<, exact quantized-integer dot, ONE double
+    div+sqrt, tau filter, canonical (vec_a, vec_b, cos_sim) output —
+    shared by ``emb_neardup_pairs`` and ``emb_neardup_multiprobe`` so
+    the oracle-pinned scoring can never silently diverge between the
+    single-probe and multiprobe variants (only the candidate SOURCE
+    differs; same discipline as ``quantized_topk`` / ``_bucket_col``)."""
+    a, b2 = left.alias("a"), right.alias("b2")
     cos = _dot(F.col("a.qv"), F.col("b2.qv")).cast("double") / F.sqrt(
         F.col("a.n").cast("double") * F.col("b2.n").cast("double")
     )
     return (
         a.join(
             b2,
-            (F.col("a.bucket") == F.col("b2.bucket")) & (F.col("a.vec_id") < F.col("b2.vec_id")),
+            (F.col(f"a.{left_bucket}") == F.col("b2.bucket"))
+            & (F.col("a.vec_id") < F.col("b2.vec_id")),
         )
         .withColumn("cos", cos)
         .filter(F.col("cos") >= _NEARDUP_TAU)
@@ -251,9 +238,23 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "emb_neardup_multiprobe",
-    f"""
+def _neardup_pairs_sql(multiprobe: bool) -> str:
+    """ONE SQL template for both near-dup pair oracles — the probes CTE
+    and the pair source are the only differences, mirroring the Spark
+    helpers above."""
+    probes_cte = f""",
+    probes as (
+      select vec_id, qv, n, u.pbucket
+      from b, unnest([bucket,
+                      {", ".join(f"xor(bucket, {1 << k})" for k in range(_N_PLANES))}
+                     ]) u(pbucket)
+    )"""
+    src = (
+        "probes a join b b2 on a.pbucket = b2.bucket"
+        if multiprobe
+        else "b a join b b2 on a.bucket = b2.bucket"
+    )
+    return f"""
     with q as (
       select vec_id, {_QUANT_SQL.format(c='embedding')} as qv from embeddings
     ),
@@ -261,23 +262,28 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       select vec_id, qv, {_dot_sql('qv', 'qv')} as n,
              {" + ".join(_lsh_bit_sql(k) for k in range(_N_PLANES))} as bucket
       from q
-    ),
-    probes as (
-      select vec_id, qv, n, u.pbucket
-      from b, unnest([bucket,
-                      {", ".join(f"xor(bucket, {1 << k})" for k in range(_N_PLANES))}
-                     ]) u(pbucket)
-    ),
+    ){probes_cte if multiprobe else ""},
     pairs as (
       select a.vec_id as vec_a, b2.vec_id as vec_b,
              cast({_dot_sql('a.qv', 'b2.qv')} as double)
                / sqrt(cast(a.n as double) * cast(b2.n as double)) as cos
-      from probes a join b b2 on a.pbucket = b2.bucket and a.vec_id < b2.vec_id
+      from {src} and a.vec_id < b2.vec_id
     )
     select vec_a, vec_b, cos as cos_sim
     from pairs where cos >= {_NEARDUP_TAU}
-    """,
-)
+    """
+
+
+@_q("emb_neardup_pairs", _neardup_pairs_sql(False))
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup mining: LSH-bucket equi-join (sub-quadratic
+    candidates) -> exact quantized cosine -> threshold. Same-bucket
+    restriction = the LSH recall/cost tradeoff."""
+    b = _bucketed(_emb(spark, sf_dir))
+    return _scored_bucket_pairs(b, b)
+
+
+@_q("emb_neardup_multiprobe", _neardup_pairs_sql(True))
 def emb_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe variant of ``emb_neardup_pairs`` — the RECALL dial of
     the sign-LSH scheme: each vector also probes the 8 buckets at
@@ -290,11 +296,7 @@ def emb_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     that reaches the partner's bucket — so the output needs no distinct
     and is a strict superset of the single-probe pairs (pinned by
     test_multiprobe_superset_of_single_probe)."""
-    e = _emb(spark, sf_dir)
-    q = e.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    b = q.withColumn("n", _dot(F.col("qv"), F.col("qv"))).withColumn(
-        "bucket", _bucket_col(F.col("qv"))
-    )
+    b = _bucketed(_emb(spark, sf_dir))
     probes = b.withColumn(
         "pbucket",
         F.explode(
@@ -304,25 +306,7 @@ def emb_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    a = probes.alias("a")
-    b2 = b.alias("b2")
-    cos = _dot(F.col("a.qv"), F.col("b2.qv")).cast("double") / F.sqrt(
-        F.col("a.n").cast("double") * F.col("b2.n").cast("double")
-    )
-    return (
-        a.join(
-            b2,
-            (F.col("a.pbucket") == F.col("b2.bucket"))
-            & (F.col("a.vec_id") < F.col("b2.vec_id")),
-        )
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= _NEARDUP_TAU)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b2.vec_id").alias("vec_b"),
-            F.col("cos").alias("cos_sim"),
-        )
-    )
+    return _scored_bucket_pairs(probes, b, left_bucket="pbucket")
 
 
 # --- semantic dedup clusters --------------------------------------------------

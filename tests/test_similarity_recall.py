@@ -119,9 +119,14 @@ def test_multiprobe_superset_of_single_probe(spark):
     )
 
     sf = "/root/testdata/sf0.001"
-    single = emb_neardup_pairs(spark, sf).select("vec_a", "vec_b")
-    multi = emb_neardup_multiprobe(spark, sf).select("vec_a", "vec_b")
-    assert single.exceptAll(multi).count() == 0  # superset
-    assert multi.count() > single.count()  # the extra probes earn recall
+    # collect once per frame; every assertion is set algebra in Python
+    # (a .count()/.exceptAll() per check would re-run the self-joins)
+    single_rows = emb_neardup_pairs(spark, sf).select("vec_a", "vec_b").collect()
+    multi_rows = emb_neardup_multiprobe(spark, sf).select("vec_a", "vec_b").collect()
+    single = {(r.vec_a, r.vec_b) for r in single_rows}
+    multi = {(r.vec_a, r.vec_b) for r in multi_rows}
+    assert single <= multi  # superset
+    assert len(multi) > len(single)  # the extra probes earn recall
     # exactly-once: no pair appears twice
-    assert multi.count() == multi.distinct().count()
+    assert len(multi_rows) == len(multi)
+    assert len(single_rows) == len(single)
