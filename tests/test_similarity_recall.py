@@ -130,3 +130,44 @@ def test_multiprobe_superset_of_single_probe(spark):
     # exactly-once: no pair appears twice
     assert len(multi_rows) == len(multi)
     assert len(single_rows) == len(single)
+
+
+def test_lsh_pair_recall_vs_bruteforce(spark):
+    """Quantify the sign-LSH recall dial against brute-force ground
+    truth (every pair with cos >= tau, computed by the SAME shared
+    scorer with the bucket restriction neutralized): multiprobe must
+    strictly improve on single-probe, and both are subsets of truth by
+    construction (identical scoring, fewer candidates)."""
+    from pyspark.sql import functions as F
+
+    from ocr_application_spark.operators.similarity import (
+        _bucketed,
+        _emb,
+        _scored_bucket_pairs,
+        emb_neardup_multiprobe,
+        emb_neardup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    b = _bucketed(_emb(spark, sf))
+    # constant bucket on both sides -> the equi-join degenerates to
+    # all-pairs THROUGH the same scorer, so truth differs only in
+    # candidate generation, never in scoring
+    flat = b.withColumn("bucket", F.lit(0))
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in _scored_bucket_pairs(flat, flat).select("vec_a", "vec_b").collect()
+    }
+    single = {
+        (r.vec_a, r.vec_b)
+        for r in emb_neardup_pairs(spark, sf).select("vec_a", "vec_b").collect()
+    }
+    multi = {
+        (r.vec_a, r.vec_b)
+        for r in emb_neardup_multiprobe(spark, sf).select("vec_a", "vec_b").collect()
+    }
+    assert single <= truth and multi <= truth  # same scorer, fewer candidates
+    r_single, r_multi = len(single) / len(truth), len(multi) / len(truth)
+    assert r_multi > r_single
+    # fixture-pinned floor so a silent bucketing regression fails loud
+    assert r_multi >= 0.10, (len(truth), r_single, r_multi)
