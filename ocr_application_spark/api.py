@@ -66,6 +66,7 @@ from ocr_application_spark.operators.curation import (  # noqa: F401
 )
 from ocr_application_spark.operators.dedup import (  # noqa: F401
     fingerprint_index_ingest,
+    minhash_candidate_pairs,
     minhash_index_ingest,
 )
 from ocr_application_spark.operators.similarity import (  # noqa: F401

@@ -442,21 +442,18 @@ def _band_union_sql(rel: str) -> str:
 _BAND_UNION_SQL = _band_union_sql("sigs")
 
 
-def _band_buckets(d: DataFrame) -> DataFrame:
-    """(doc_id, band_id, sig_a, sig_b) LSH band buckets of a (doc_id,
-    text) DataFrame: shingle -> one md5 -> 8 arithmetic permutation-min
-    signatures -> 4 bands of 2. One shuffle (the signature hash-agg,
-    map-side min-combined); the band explode is narrow, from one row (a
-    union would recompute the signature subtree per band)."""
-    # explode + codegen'd hash-aggregate with 8 min-aggs: whole-stage
-    # codegen CSEs the shared md5 subtree, beating both an array_min
-    # higher-order rewrite (interpreted lambdas, md5 duplicated by
-    # projection collapse) and a single-pass F.aggregate struct
-    # accumulator (interpreted per-element eval) — measured 5.1s vs
-    # 8.6s vs 9.0s at sf0.1.
+def _minhash_sigs(d: DataFrame) -> DataFrame:
+    """(doc_id, sig0..sig7) MinHash signatures of a (doc_id, text) frame.
+
+    explode + codegen'd hash-aggregate with 8 min-aggs: whole-stage
+    codegen CSEs the shared md5 subtree, beating both an array_min
+    higher-order rewrite (interpreted lambdas, md5 duplicated by
+    projection collapse) and a single-pass F.aggregate struct
+    accumulator (interpreted per-element eval) — measured 5.1s vs
+    8.6s vs 9.0s at sf0.1."""
     sh = _shingles(d)
     h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
-    sigs = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(_mh_ab(k)[0]) * h32 + F.lit(_mh_ab(k)[1])) % F.lit(_MH_P)).alias(
                 f"sig{k}"
@@ -464,6 +461,59 @@ def _band_buckets(d: DataFrame) -> DataFrame:
             for k in range(_N_HASH)
         ]
     )
+
+
+def minhash_candidate_pairs(d: DataFrame, rows_per_band: int = _BAND) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs from MinHash band
+    collisions, with the band SHAPE as the recall dial: bands =
+    ``_N_HASH // rows_per_band``; narrower bands (fewer rows each)
+    collide more easily — P(band collision) = s^rows for Jaccard s, so
+    P(candidate) = 1-(1-s^rows)^bands, the standard LSH s-curve. The
+    dial trades verification cost for recall exactly like IVF's nprobe
+    and sign-LSH's multiprobe (measured curve in PERF.md).
+    ``rows_per_band=2`` generates EXACTLY the production scheme's
+    candidate set (same signatures, same banding as ``_band_buckets``
+    — pinned by ``test_minhash_band_dial_recall_monotone``)."""
+    if _N_HASH % rows_per_band:
+        raise ValueError(f"rows_per_band must divide {_N_HASH}")
+    sigs = _minhash_sigs(d)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.array(
+                    *[
+                        F.col(f"sig{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("key"),
+            )
+            for b in range(_N_HASH // rows_per_band)
+        ]
+    )
+    bb = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.key").alias("key")
+    )
+    a, c = bb.alias("a"), bb.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.key") == F.col("c.key"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _band_buckets(d: DataFrame) -> DataFrame:
+    """(doc_id, band_id, sig_a, sig_b) LSH band buckets of a (doc_id,
+    text) DataFrame: shingle -> one md5 -> 8 arithmetic permutation-min
+    signatures -> 4 bands of 2. One shuffle (the signature hash-agg,
+    map-side min-combined); the band explode is narrow, from one row (a
+    union would recompute the signature subtree per band)."""
+    sigs = _minhash_sigs(d)
     band_structs = F.array(
         *[
             F.struct(

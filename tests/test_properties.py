@@ -430,3 +430,61 @@ def test_bpe_apply_roundtrips_training_tokenization(spark):
             if w:
                 expect.extend(word_toks[w])
         assert got[doc_id] == expect, doc_id
+
+
+def test_minhash_band_dial_recall_monotone(spark):
+    """The MinHash band dial: narrower bands (smaller rows_per_band)
+    must recall (weakly) more of the exact-Jaccard near-dup pairs —
+    the LSH s-curve P(candidate) = 1-(1-s^rows)^bands is monotone in
+    bands — and rows_per_band=2 must generate exactly the production
+    banding's candidate set (_band_buckets join). Numbers feed PERF.md's
+    minhash recall curve."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from ocr_application_spark.operators.dedup import (
+        _band_buckets,
+        minhash_candidate_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in entrymod.queries()["dedup_ngram_jaccard"](spark, sf).collect()
+    }
+    assert truth  # fixture has near-dup pairs at jaccard >= 0.2
+
+    recalls = {}
+    cands = {}
+    for rows in (1, 2, 4, 8):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_candidate_pairs(docs, rows_per_band=rows).collect()
+        }
+        cands[rows] = got
+        recalls[rows] = len(got & truth) / len(truth)
+    # monotone: more/narrower bands never recall less
+    keys = sorted(recalls)
+    assert all(
+        recalls[a] >= recalls[b] - 1e-9 for a, b in zip(keys, keys[1:])
+    ), recalls
+    assert recalls[1] > recalls[8], recalls  # the dial actually moves
+
+    # rows_per_band=2 == the production banding, exactly
+    bb = _band_buckets(docs)
+    a, c = bb.alias("a"), bb.alias("c")
+    prod = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.sig_a") == F.col("c.sig_a"))
+            & (F.col("a.sig_b") == F.col("c.sig_b"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+        .collect()
+    }
+    assert cands[2] == prod
