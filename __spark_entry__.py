@@ -80,11 +80,13 @@ def _modules():
 # round) rotates out to make room for kernel_normalize (new op, never
 # driver-checked); the production twin tarification_pipeline stays
 # in-window and oracle-checks the same totals end-to-end.
-# j2_label_value_pairing (r02-green, reference_ops untouched this
-# round) rotates out for emb_neardup_multiprobe (new op).
+# j2_label_value_pairing and f_record_filters (r02-green,
+# reference_ops untouched this round) rotate out for the two new ops
+# emb_neardup_multiprobe and dedup_minhash_band_dial.
 _ROTATED_BACK = (
     "a1_a2_tarification_totals",
     "j2_label_value_pairing",
+    "f_record_filters",
     "j3_region_table_antijoin",
     "f6_field_keywords",
     "ann_cosine_topk",

@@ -145,6 +145,7 @@ def main() -> None:
             "semantic_incremental_ingest",
             "kernel_normalize",
             "emb_neardup_multiprobe",
+            "dedup_minhash_band_dial",
         ]
 
         def run(name: str) -> None:

@@ -473,9 +473,12 @@ def minhash_candidate_pairs(d: DataFrame, rows_per_band: int = _BAND) -> DataFra
     and sign-LSH's multiprobe (measured curve in PERF.md).
     ``rows_per_band=2`` generates EXACTLY the production scheme's
     candidate set (same signatures, same banding as ``_band_buckets``
-    — pinned by ``test_minhash_band_dial_recall_monotone``)."""
-    if _N_HASH % rows_per_band:
-        raise ValueError(f"rows_per_band must divide {_N_HASH}")
+    — pinned by ``test_minhash_band_dial_recall_monotone``); for that
+    production point prefer ``dedup_minhash_lsh``'s scalar
+    (band_id, sig_a, sig_b) join, which is the faster plan — this
+    parametrized form (array band keys) is the exploration dial."""
+    if rows_per_band < 1 or _N_HASH % rows_per_band:
+        raise ValueError(f"rows_per_band must be a positive divisor of {_N_HASH}")
     sigs = _minhash_sigs(d)
     bands = F.array(
         *[
@@ -505,6 +508,39 @@ def minhash_candidate_pairs(d: DataFrame, rows_per_band: int = _BAND) -> DataFra
         .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _band_dial_sql(rows_per_band: int) -> str:
+    """DuckDB twin of ``minhash_candidate_pairs`` at a given band shape
+    (list-valued band keys mirror the Spark array keys)."""
+    bands = " union all ".join(
+        "select doc_id, {b} as band_id, [{key}] as key from sigs".format(
+            b=b,
+            key=", ".join(f"sig{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(_N_HASH // rows_per_band)
+    )
+    return f"""
+    with {_SHINGLES_CTE},
+    sigs as (select doc_id,
+           {_MINHASH_SIGS_SQL}
+           from shingles group by doc_id),
+    bands as ({bands})
+    select distinct a.doc_id as doc_a, c.doc_id as doc_b
+    from bands a join bands c
+      on a.band_id = c.band_id and a.key = c.key and a.doc_id < c.doc_id
+    """
+
+
+@_q("dedup_minhash_band_dial", _band_dial_sql(4))
+def dedup_minhash_band_dial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash band dial at a NON-production point — 2 bands of 4
+    rows (stricter than the production 4x2, whose candidates are already
+    oracle-checked via ``dedup_minhash_lsh``): value-checks the
+    parametrized band-key construction cross-engine so the dial itself
+    is gate-verified, not just pytest-verified."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return minhash_candidate_pairs(docs, rows_per_band=4)
 
 
 def _band_buckets(d: DataFrame) -> DataFrame:

@@ -439,13 +439,8 @@ def test_minhash_band_dial_recall_monotone(spark):
     bands — and rows_per_band=2 must generate exactly the production
     banding's candidate set (_band_buckets join). Numbers feed PERF.md's
     minhash recall curve."""
-    from pyspark.sql import functions as F
-
     import __spark_entry__ as entrymod
-    from ocr_application_spark.operators.dedup import (
-        _band_buckets,
-        minhash_candidate_pairs,
-    )
+    from ocr_application_spark.operators.dedup import minhash_candidate_pairs
 
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
@@ -471,20 +466,10 @@ def test_minhash_band_dial_recall_monotone(spark):
     ), recalls
     assert recalls[1] > recalls[8], recalls  # the dial actually moves
 
-    # rows_per_band=2 == the production banding, exactly
-    bb = _band_buckets(docs)
-    a, c = bb.alias("a"), bb.alias("c")
+    # rows_per_band=2 == the production banding, pinned against the
+    # oracle-checked OPERATOR itself (not a re-implementation of its join)
     prod = {
         (r.doc_a, r.doc_b)
-        for r in a.join(
-            c,
-            (F.col("a.band_id") == F.col("c.band_id"))
-            & (F.col("a.sig_a") == F.col("c.sig_a"))
-            & (F.col("a.sig_b") == F.col("c.sig_b"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-        .distinct()
-        .collect()
+        for r in entrymod.queries()["dedup_minhash_lsh"](spark, sf).collect()
     }
     assert cands[2] == prod

@@ -158,6 +158,7 @@ def test_lsh_pair_recall_vs_bruteforce(spark):
         (r.vec_a, r.vec_b)
         for r in _scored_bucket_pairs(flat, flat).select("vec_a", "vec_b").collect()
     }
+    assert truth  # fixture must have above-tau pairs for recall to mean anything
     single = {
         (r.vec_a, r.vec_b)
         for r in emb_neardup_pairs(spark, sf).select("vec_a", "vec_b").collect()
