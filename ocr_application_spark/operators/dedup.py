@@ -477,8 +477,12 @@ def minhash_candidate_pairs(d: DataFrame, rows_per_band: int = _BAND) -> DataFra
     production point prefer ``dedup_minhash_lsh``'s scalar
     (band_id, sig_a, sig_b) join, which is the faster plan — this
     parametrized form (array band keys) is the exploration dial."""
-    if rows_per_band < 1 or _N_HASH % rows_per_band:
-        raise ValueError(f"rows_per_band must be a positive divisor of {_N_HASH}")
+    if (
+        not isinstance(rows_per_band, int)
+        or rows_per_band < 1
+        or _N_HASH % rows_per_band
+    ):
+        raise ValueError(f"rows_per_band must be a positive int divisor of {_N_HASH}")
     sigs = _minhash_sigs(d)
     bands = F.array(
         *[

@@ -437,7 +437,8 @@ def test_minhash_band_dial_recall_monotone(spark):
     must recall (weakly) more of the exact-Jaccard near-dup pairs —
     the LSH s-curve P(candidate) = 1-(1-s^rows)^bands is monotone in
     bands — and rows_per_band=2 must generate exactly the production
-    banding's candidate set (_band_buckets join). Numbers feed PERF.md's
+    banding's candidate set (pinned against the oracle-checked
+    dedup_minhash_lsh operator). Numbers feed PERF.md's
     minhash recall curve."""
     import __spark_entry__ as entrymod
     from ocr_application_spark.operators.dedup import minhash_candidate_pairs
