@@ -486,3 +486,49 @@ def test_stream_ingest_semantic_family(spark, tmpdir_scratch):
         for r in spark.read.parquet(tmpdir_scratch + "/sem_out2").collect()
     }
     assert got == {10: "known_neardup", 11: "novel"}
+
+
+def test_stream_ingest_semantic_replay(spark, tmpdir_scratch):
+    """Checkpoint-wipe replay for the SEMANTIC family: re-running the
+    drained vector stream with a fresh checkpoint (same index) appends
+    zero index rows and reproduces the verdicts — the replay-stable
+    precedence rule, pinned per family (the minhash twin is
+    test_stream_ingest_minhash_family)."""
+    import shutil
+
+    from ocr_application_spark.sources.snapshots import read_snapshot
+    from ocr_application_spark.streaming.stream import run_stream_ingest
+
+    dim = 64
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    src = tmpdir_scratch + "/semr_src"
+    spark.createDataFrame(
+        [(1, e1), (2, e2), (3, e1)], "vec_id bigint, embedding array<float>"
+    ).coalesce(1).write.parquet(src)
+
+    idx = tmpdir_scratch + "/semr_idx"
+    out = tmpdir_scratch + "/semr_out"
+    ckpt = tmpdir_scratch + "/semr_ckpt"
+
+    def run_once():
+        q = run_stream_ingest(spark, src, idx, out, ckpt, family="semantic")
+        q.awaitTermination(120)
+
+    run_once()
+    got = {
+        r["vec_id"]: r["verdict"]
+        for r in spark.read.parquet(out).select("vec_id", "verdict").collect()
+    }
+    assert got == {1: "novel", 2: "novel", 3: "neardup_in_increment"}
+    n_idx = read_snapshot(spark, idx).count()
+    assert n_idx == 2  # only retained vectors
+
+    shutil.rmtree(ckpt)
+    run_once()
+    got2 = {
+        r["vec_id"]: r["verdict"]
+        for r in spark.read.parquet(out).select("vec_id", "verdict").collect()
+    }
+    assert got2 == got  # replay-stable: retained vec 1 stays 'novel'
+    assert read_snapshot(spark, idx).count() == n_idx  # zero appended
