@@ -83,10 +83,13 @@ def _modules():
 # j2_label_value_pairing and f_record_filters (r02-green,
 # reference_ops untouched this round) rotate out for the two new ops
 # emb_neardup_multiprobe and dedup_minhash_band_dial.
+# w1_reading_order (r02-green, reference_ops untouched this round)
+# rotates out for link_outdegree (new outlink kernel).
 _ROTATED_BACK = (
     "a1_a2_tarification_totals",
     "j2_label_value_pairing",
     "f_record_filters",
+    "w1_reading_order",
     "j3_region_table_antijoin",
     "f6_field_keywords",
     "ann_cosine_topk",

@@ -146,6 +146,7 @@ def main() -> None:
             "kernel_normalize",
             "emb_neardup_multiprobe",
             "dedup_minhash_band_dial",
+            "link_outdegree",
         ]
 
         def run(name: str) -> None:

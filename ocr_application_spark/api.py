@@ -39,6 +39,10 @@ from ocr_application_spark.analytics.tarification import (  # noqa: F401
 )
 from ocr_application_spark.kernels.classify import classify as recognize  # noqa: F401
 from ocr_application_spark.kernels.extract import extract, quarantine_split  # noqa: F401
+from ocr_application_spark.kernels.links import (  # noqa: F401
+    extract_outlinks,
+    host_link_edges,
+)
 from ocr_application_spark.kernels.normalize import normalize  # noqa: F401
 from ocr_application_spark.kernels.segment import segment  # noqa: F401
 from ocr_application_spark.lineage import bucket_lineage as lineage  # noqa: F401

@@ -1,0 +1,116 @@
+"""Outlink extraction — the crawl-graph feature stage.
+
+A crawl pipeline needs the link graph for frontier prioritization and
+host-level quality features (harvest ratio, intra/inter-host degree) —
+the missing stage between ``operators/urlops.url_crawl_filter`` (which
+decides WHAT to fetch) and the sampling operators (which decide what to
+train on). The reference has no analog (it consumes documents one at a
+time); this is one of the beyond-the-reference training-pipeline ops.
+
+Extraction is regex-driven over the decoded page, NOT the main-content
+parser: the hot extraction kernel deliberately skips attribute parsing
+(PERF.md §4 — 80% of stdlib parser time was attribute bookkeeping the
+scorer never reads), so links get their own narrow kernel instead of
+slowing every extraction. The regexes follow the core tokenizer's
+linear-time discipline (possessive quantifiers, no lazy backtracking;
+pinned by ``test_links_linear_on_hostile_input``), and the semantics —
+charset-sniffed decode, entity unescape, RFC-3986 resolution via
+``urljoin``, fragment strip, scheme filtering — are pinned against a
+stdlib ``html.parser`` + ``urljoin`` reference implementation by a
+differential test (``test_outlinks_match_htmlparser_reference``).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from collections.abc import Iterator
+from urllib.parse import urldefrag, urljoin
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_application_spark.core.extraction_core import decode_html
+
+# tag head of an <a ...> element; [^>]*+ is possessive — hostile pages
+# full of unclosed '<a ' openers scan in linear time
+_A_TAG = re.compile(r"<[aA](?=[\s/>])([^>]*+)>?")
+# href value: double-quoted, single-quoted, or bare token. The
+# lookbehind (not \b) keeps 'data-href' from matching: '-' is a word
+# BOUNDARY, so \bhref would fire inside it (caught by the differential)
+_HREF = re.compile(
+    r"""(?<![\w-])href\s*+=\s*+(?:"([^"]*+)"|'([^']*+)'|([^\s>"']++))""",
+    re.IGNORECASE,
+)
+
+# schemes a crawl frontier never enqueues
+_SKIP = ("javascript:", "mailto:", "data:", "tel:")
+
+
+def resolve_outlink(page_url: str, raw: str) -> str | None:
+    """One raw href -> absolute, fragment-free outlink (or None if it
+    is empty, fragment-only, or a non-fetchable scheme). Entity
+    unescape happens BEFORE resolution (an attribute value '&amp;' is a
+    literal '&' — html.parser semantics, mirrored so the differential
+    reference agrees byte-for-byte)."""
+    raw = _html.unescape(raw).strip()
+    if not raw or raw.startswith("#"):
+        return None
+    if raw.lower().startswith(_SKIP):
+        return None
+    out, _frag = urldefrag(urljoin(page_url, raw))
+    return out or None
+
+
+def outlinks_of(page_url: str, html_text: str) -> set[str]:
+    """Distinct resolved outlinks of one decoded page."""
+    out: set[str] = set()
+    for m in _A_TAG.finditer(html_text):
+        h = _HREF.search(m.group(1))
+        if h is None:
+            continue
+        raw = h.group(1) if h.group(1) is not None else (
+            h.group(2) if h.group(2) is not None else h.group(3)
+        )
+        link = resolve_outlink(page_url, raw)
+        if link is not None:
+            out.add(link)
+    return out
+
+
+def extract_outlinks(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> (url, outlink), one row per DISTINCT
+    resolved outlink per page. Column-pruned scan, Arrow-batched, no
+    per-row Python at the Spark level; narrow (no shuffle) — degree
+    aggregations downstream shuffle on the host key only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, links = [], []
+            for page_url, raw in zip(pdf["url"], pdf["html"]):
+                if raw is None:
+                    continue
+                for link in sorted(outlinks_of(page_url, decode_html(bytes(raw)))):
+                    urls.append(page_url)
+                    links.append(link)
+            yield pd.DataFrame({"url": urls, "outlink": links})
+
+    return pages.select("url", "html").mapInPandas(run, schema="url string, outlink string")
+
+
+def host_link_edges(links: DataFrame) -> DataFrame:
+    """(url, outlink) -> host-graph edges (src_host, dst_host, n_links):
+    the crawl-frontier feature table (inter-host edges find new hosts;
+    intra-host degree feeds boilerplate/hub heuristics). One shuffle,
+    keyed on the (src, dst) pair; at crawl scale pre-aggregate per
+    partition rides the hash-agg map side for free."""
+    return (
+        links.select(
+            F.parse_url("url", F.lit("HOST")).alias("src_host"),
+            F.parse_url("outlink", F.lit("HOST")).alias("dst_host"),
+        )
+        .filter(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )

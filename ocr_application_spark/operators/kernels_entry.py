@@ -593,3 +593,44 @@ def kernel_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("html_norm").cast("long").alias("n_chars_norm"),
         F.sha2("html_norm", 256).alias("digest"),
     )
+
+
+# Value-level oracle for the outlink kernel over docwrap pages: the
+# template carries exactly six root-relative links (/home /about /index
+# /ad1 /ad2 /terms — datagen/docwrap._TPL) and the article text is
+# html-escaped (markup-looking text can never form a tag), so every
+# page resolves to the same six absolute outlinks. The oracle digest is
+# deliberately constant-per-row: any page where the kernel extracts a
+# different set (missed tag, failed resolution, an escaped-text false
+# positive) breaks its row. The non-degenerate shapes (quotes, relative
+# paths, entities, hostile input) are pinned by the html.parser
+# differential in tests/test_links.py.
+_LINKS_ORACLE = """
+    select 'https://docs.example/' || printf('%08d', doc_id) as url,
+           cast(6 as bigint) as n_outlinks,
+           sha256(array_to_string([
+             'https://docs.example/about', 'https://docs.example/ad1',
+             'https://docs.example/ad2', 'https://docs.example/home',
+             'https://docs.example/index', 'https://docs.example/terms'
+           ], chr(10))) as links_digest
+    from documents
+"""
+
+
+@_q("link_outdegree", _LINKS_ORACLE)
+def link_outdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (kernels/links.py — the crawl-graph feature
+    stage) value-checked end-to-end: documents -> docwrap pages ->
+    regex kernel -> per-url outdegree + sha256 of the sorted outlink
+    set; the oracle reconstructs the template's six resolved links."""
+    from ocr_application_spark.datagen.docwrap import documents_as_pages
+    from ocr_application_spark.kernels.links import extract_outlinks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    links = extract_outlinks(documents_as_pages(docs))
+    return links.groupBy("url").agg(
+        F.count("*").alias("n_outlinks"),
+        F.sha2(
+            F.concat_ws("\n", F.sort_array(F.collect_list("outlink"))), 256
+        ).alias("links_digest"),
+    )

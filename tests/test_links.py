@@ -1,0 +1,157 @@
+"""Outlink kernel (kernels/links.py): differential vs stdlib html.parser,
+hostile-input linearity, host-graph edges."""
+
+import time
+
+
+def _reference_outlinks(page_url: str, html_text: str) -> set[str]:
+    """Independent reference: stdlib HTMLParser attribute parsing (which
+    unescapes entities natively) + the same urljoin/urldefrag/scheme
+    rules — what a from-scratch implementation would do without the
+    regex fast path."""
+    from html.parser import HTMLParser
+    from urllib.parse import urldefrag, urljoin
+
+    out: set[str] = set()
+
+    class P(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            if tag != "a":
+                return
+            for k, v in attrs:
+                if k != "href" or v is None:
+                    continue
+                raw = v.strip()
+                if not raw or raw.startswith("#"):
+                    continue
+                if raw.lower().startswith(("javascript:", "mailto:", "data:", "tel:")):
+                    continue
+                link, _ = urldefrag(urljoin(page_url, raw))
+                if link:
+                    out.add(link)
+
+    p = P(convert_charrefs=True)
+    try:
+        p.feed(html_text)
+        p.close()
+    except Exception:
+        pass
+    return out
+
+
+_CASES = [
+    '<a href="/abs/path">x</a>',
+    "<a href='/single/quoted'>x</a>",
+    "<a href=bare/token>x</a>",
+    '<a href="relative/page.html">x</a>',
+    '<a href="../up/one">x</a>',
+    '<a href="https://other.example/full">x</a>',
+    '<a href="//proto.example/relative">x</a>',
+    '<a href="#fragment-only">x</a>',
+    '<a href="/page#frag">keeps path, drops frag</a>',
+    '<a href="mailto:a@b.c">skip</a><a href="javascript:void(0)">skip</a>',
+    '<a href="/dup">1</a><a href="/dup">2</a>',
+    '<a class="x" id="y" href="/attrs/after">x</a>',
+    '<a href="/q?a=1&amp;b=2">entity in href</a>',
+    '<a href = "/spaced/equals">x</a>',
+    "<a href=''>empty</a><a>no href</a>",
+    '<A HREF="/upper/case">x</A>',
+    "text &lt;a href=&quot;/escaped/not-a-tag&quot;&gt; more text",
+    '<p><a href="/nested"><b>deep</b></a></p><a href="/self-close"/>',
+    '<a data-href="/not-href" href="/real">x</a>',
+]
+
+
+def test_outlinks_match_htmlparser_reference():
+    """The regex kernel must agree with the html.parser reference on
+    every adversarial shape (quoting styles, relative resolution,
+    fragments, skip-schemes, entities, escaped text, casing)."""
+    from ocr_application_spark.kernels.links import outlinks_of
+
+    base = "https://host7.example/dir/page.html"
+    for html_text in _CASES:
+        got = outlinks_of(base, html_text)
+        want = _reference_outlinks(base, html_text)
+        assert got == want, (html_text, got, want)
+    # and the concatenation of everything at once
+    soup = "".join(_CASES)
+    assert outlinks_of(base, soup) == _reference_outlinks(base, soup)
+
+
+def test_links_linear_on_hostile_input():
+    """240 KB of unclosed '<a href=' openers must parse in well under a
+    second — the possessive-quantifier discipline from the extraction
+    tokenizer (a poisoned page must never stall an executor task)."""
+    from ocr_application_spark.kernels.links import outlinks_of
+
+    hostile = '<a href="' * 30_000  # never-closed attribute openers
+    t0 = time.monotonic()
+    outlinks_of("https://h.example/", hostile)
+    assert time.monotonic() - t0 < 1.0
+    hostile2 = "<a " * 60_000 + 'href="/x">'  # unclosed tag heads
+    t0 = time.monotonic()
+    outlinks_of("https://h.example/", hostile2)
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_extract_outlinks_and_host_edges(spark):
+    """End-to-end over a DataFrame: per-page distinct resolved links and
+    the host-graph edge aggregation (intra- and inter-host)."""
+    from ocr_application_spark.kernels.links import extract_outlinks, host_link_edges
+
+    rows = [
+        (
+            "https://a.example/news/1",
+            '<a href="/home">h</a><a href="story2">s</a>'
+            '<a href="https://b.example/x">b</a><a href="/home#top">dup-after-defrag</a>'.encode(),
+        ),
+        (
+            "https://b.example/",
+            '<a href="https://a.example/back">a</a><a href="/self">s</a>'.encode(),
+        ),
+        ("https://c.example/", b"<p>no links at all</p>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    links = {(r.url, r.outlink) for r in extract_outlinks(pages).collect()}
+    assert links == {
+        ("https://a.example/news/1", "https://a.example/home"),
+        ("https://a.example/news/1", "https://a.example/news/story2"),
+        ("https://a.example/news/1", "https://b.example/x"),
+        ("https://b.example/", "https://a.example/back"),
+        ("https://b.example/", "https://b.example/self"),
+    }
+    edges = {
+        (r.src_host, r.dst_host, r.n_links)
+        for r in host_link_edges(extract_outlinks(pages)).collect()
+    }
+    assert edges == {
+        ("a.example", "a.example", 2),
+        ("a.example", "b.example", 1),
+        ("b.example", "a.example", 1),
+        ("b.example", "b.example", 1),
+    }
+
+
+def test_outlinks_on_synth_corpus(spark):
+    """The deterministic synthetic crawl corpus: every page's extracted
+    links agree with the reference parser on the raw html (value-level,
+    500 pages) — the kernel vs reference differential at corpus scale."""
+    from ocr_application_spark.core.extraction_core import decode_html
+    from ocr_application_spark.kernels.links import extract_outlinks, outlinks_of
+    from ocr_application_spark.sources.webpages import synth_pages
+
+    pages = synth_pages(spark, 500)
+    got: dict = {}
+    for r in extract_outlinks(pages).collect():
+        got.setdefault(r.url, set()).add(r.outlink)
+    rows = pages.select("url", "html").collect()
+    n_checked = 0
+    for r in rows:
+        if r.html is None:  # the corpus' pdf/text-payload rows carry no html
+            assert r.url not in got
+            continue
+        want = _reference_outlinks(r.url, decode_html(bytes(r.html)))
+        assert got.get(r.url, set()) == want, r.url
+        assert outlinks_of(r.url, decode_html(bytes(r.html))) == want
+        n_checked += 1
+    assert n_checked >= 400  # the corpus is html-dominated
