@@ -85,7 +85,15 @@ def _modules():
 # emb_neardup_multiprobe and dedup_minhash_band_dial.
 # w1_reading_order (r02-green, reference_ops untouched this round)
 # rotates out for link_outdegree (new outlink kernel).
+# f11_json_block_extract (r02-green, reference_ops untouched this
+# round) rotates out for link_host_pagerank (new link-graph kernel).
+# j1_fuzzy_catalog_match (r02-green, reference_ops untouched this
+# round; its production twin tarification_pipeline stays in-window and
+# exercises the same fuzzy join end-to-end) rotates out for
+# text_bm25_topk (new integer-exact retrieval op).
 _ROTATED_BACK = (
+    "f11_json_block_extract",
+    "j1_fuzzy_catalog_match",
     "a1_a2_tarification_totals",
     "j2_label_value_pairing",
     "f_record_filters",

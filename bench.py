@@ -147,6 +147,8 @@ def main() -> None:
             "emb_neardup_multiprobe",
             "dedup_minhash_band_dial",
             "link_outdegree",
+            "link_host_pagerank",
+            "text_bm25_topk",
         ]
 
         def run(name: str) -> None:

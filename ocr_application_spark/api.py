@@ -42,6 +42,7 @@ from ocr_application_spark.kernels.extract import extract, quarantine_split  # n
 from ocr_application_spark.kernels.links import (  # noqa: F401
     extract_outlinks,
     host_link_edges,
+    host_pagerank,
 )
 from ocr_application_spark.kernels.normalize import normalize  # noqa: F401
 from ocr_application_spark.kernels.segment import segment  # noqa: F401

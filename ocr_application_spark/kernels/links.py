@@ -99,6 +99,117 @@ def extract_outlinks(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(run, schema="url string, outlink string")
 
 
+def host_pagerank(
+    edges: DataFrame,
+    iterations: int = 4,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted host-level PageRank over (src_host, dst_host, n_links)
+    edges -> (host, rank): the crawl-frontier / quality prior the
+    sampling operators weight by (reference has no analog; this is a
+    beyond-the-reference training-pipeline op).
+
+    INTEGER-EXACT by spec, like the forecast fits: rank lives in
+    ``scale`` fixed-point units and every step is int64 arithmetic —
+    ``r0 = scale div n``; per edge ``contrib = (rank * w) div wtot``;
+    per node ``rank' = ((100-damping_pct) * r0) div 100 +
+    (damping_pct * sum(contrib)) div 100``. Integer sums are exactly
+    associative, so the result is bit-identical across engines and
+    shuffle orders — no float whose accumulation order could differ
+    (CLAUDE.md invariant). Division is truncating on both engines
+    (Spark ``div`` vs DuckDB ``//``) and every operand is nonnegative,
+    so trunc == floor. Dangling hosts (no outlinks) drop their mass —
+    the classic sink-drop simplification; their rank decays toward the
+    teleport floor, which is the desired "no evidence" prior.
+
+    Overflow bound: total mass never exceeds ``scale`` (teleport sum +
+    damped inflow <= scale), so ``rank * w`` needs ``max(n_links) <
+    2^63 / scale`` (~9.2e9 at the default scale) — beyond any real
+    host's outdegree.
+
+    Scale shape: the edge+weight table is built once, persisted, and
+    reused every superstep (one shuffle on src to attach wtot); each
+    iteration is one join-on-src (co-partitioned with the persisted
+    side) plus one groupBy(dst) shuffle — the canonical PageRank plan.
+    Per-iteration eager localCheckpoint keeps the logical plan
+    constant-size (the measured exponential-lineage blowup in
+    PERF.md); previous rounds' blocks are released deterministically.
+    """
+    from ocr_application_spark.session import release_local_checkpoint
+
+    iterations = int(iterations)
+    if not 1 <= iterations <= 50:
+        raise ValueError(f"iterations must be in [1, 50], got {iterations}")
+    if not 0 < int(damping_pct) < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    damping_pct = int(damping_pct)
+    scale = int(scale)
+
+    # canonicalize duplicate (src, dst) rows FIRST: floor division is
+    # not additive, so (r*w1) div W + (r*w2) div W != (r*(w1+w2)) div W
+    # — merging makes the result independent of input row granularity
+    # (host_link_edges output is already merged; this is a cheap
+    # re-group for it, a correctness step for raw edge lists)
+    e = (
+        edges.select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            F.col("n_links").cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    wt = e.groupBy("src").agg(F.sum("w").alias("wtot"))
+    ew = e.join(wt, "src").persist()
+    nodes = (
+        e.select("src")
+        .union(e.select(F.col("dst").alias("src")))
+        .distinct()
+        .select(F.col("src").alias("host"))
+        .persist()
+    )
+    n = nodes.count()  # scalar driver action: one long, like lineage's resume set
+    spark = edges.sparkSession
+    if n == 0:
+        ew.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "host string, rank long")
+    # ONE canonical op sequence, mirrored verbatim in the SQL oracle:
+    # r0 = scale div n, then teleport = ((100-d) * r0) div 100
+    r0 = scale // n
+    teleport = ((100 - damping_pct) * r0) // 100
+    r = nodes.select("host", F.lit(r0).cast("long").alias("rank"))
+    prev = None
+    for _ in range(iterations):
+        inflow = (
+            ew.join(r, ew.src == r.host)
+            .select(F.col("dst"), F.expr("(rank * w) div wtot").alias("c"))
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("c").alias("m"))
+        )
+        r = (
+            nodes.join(inflow, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * coalesce(m, 0L)) div 100")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = r
+    # the final checkpoint is materialized; the loop inputs are dead
+    ew.unpersist()
+    nodes.unpersist()
+    return r
+
+
 def host_link_edges(links: DataFrame) -> DataFrame:
     """(url, outlink) -> host-graph edges (src_host, dst_host, n_links):
     the crawl-frontier feature table (inter-host edges find new hosts;

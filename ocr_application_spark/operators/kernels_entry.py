@@ -634,3 +634,72 @@ def link_outdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("\n", F.sort_array(F.collect_list("outlink"))), 256
         ).alias("links_digest"),
     )
+
+
+def _pagerank_oracle_sql(iters: int = 4, scale: int = 10**9, dp: int = 85) -> str:
+    """Unrolled integer-exact PageRank oracle. The edge synthesis is pure
+    doc_id arithmetic (src = doc_id mod 89, dst = (31*doc_id + 7) mod 97,
+    weight 1 + doc_id mod 3), so both engines reconstruct the IDENTICAL
+    multigraph: 97 hosts, 8 of them dangling (h89..h96 never occur as
+    src), cycles via gcd(31, 97) = 1. Every iteration is the kernel's
+    canonical op sequence verbatim (see kernels/links.host_pagerank):
+    DuckDB ``//`` == Spark ``div`` on nonnegative int64."""
+    sql = f"""
+    with raw as (
+      select printf('h%02d', cast(doc_id % 89 as int)) as src,
+             printf('h%02d', cast((doc_id * 31 + 7) % 97 as int)) as dst,
+             cast(1 + doc_id % 3 as bigint) as w
+      from documents
+    ),
+    edges as (select src, dst, cast(sum(w) as bigint) as w
+              from raw group by src, dst),
+    nodes as (select distinct h as host from
+              (select src as h from edges union all select dst from edges)),
+    consts as (select cast({scale} as bigint) // count(*) as r0 from nodes),
+    wt as (select src, cast(sum(w) as bigint) as wtot from edges group by src),
+    r0 as (select host, (select r0 from consts) as rank from nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    m{i} as (
+      select e.dst as host,
+             cast(sum((r.rank * e.w) // t.wtot) as bigint) as m
+      from edges e
+      join r{i - 1} r on r.host = e.src
+      join wt t on t.src = e.src
+      group by e.dst
+    ),
+    r{i} as (
+      select n.host,
+             ({100 - dp} * (select r0 from consts)) // 100
+               + ({dp} * coalesce(m.m, 0)) // 100 as rank
+      from nodes n left join m{i} m on m.host = n.host
+    )"""
+    sql += f"\n    select host, cast(rank as bigint) as rank from r{iters}"
+    return sql
+
+
+@_q("link_host_pagerank", _pagerank_oracle_sql())
+def link_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (kernels/links.host_pagerank — the crawl
+    quality prior) value-checked end-to-end on a deterministic 97-host
+    multigraph synthesized from doc_id arithmetic. Integer fixed-point
+    throughout, so the 4-iteration ranks must match the oracle's
+    unrolled CTEs bit-for-bit — including the 8 dangling hosts decaying
+    toward the teleport floor."""
+    from ocr_application_spark.kernels.links import host_pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = (
+        docs.select(
+            F.format_string("h%02d", (F.col("doc_id") % 89).cast("int")).alias(
+                "src_host"
+            ),
+            F.format_string(
+                "h%02d", ((F.col("doc_id") * 31 + 7) % 97).cast("int")
+            ).alias("dst_host"),
+            (F.lit(1) + F.col("doc_id") % 3).cast("long").alias("w"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("w").alias("n_links"))
+    )
+    return host_pagerank(edges, iterations=4)

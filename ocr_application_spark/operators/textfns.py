@@ -293,3 +293,150 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rank"),
         F.col("token").isin(*_STOPWORDS).alias("is_stopword"),
     )
+
+
+# --- BM25-shaped retrieval top-k ------------------------------------------------
+# Integer fixed-point BM25 variant, exact-by-spec like the forecast fits:
+# k1 = 12/10 and b = 3/4 enter as exact rationals, avgdl as an integer
+# (greatest(1, total_tokens div n_docs)), and the idf keeps Robertson's
+# (N - df + 0.5)/(df + 0.5) ARGUMENT un-logged (monotone in true idf)
+# scaled to micro units and capped at 1e12 so every product stays inside
+# int64 up to N = 10^12 docs and dl < 10^6 tokens. All divisions are
+# trunc-on-nonnegative (Spark `div` == DuckDB `//`), all sums integer,
+# so ranks are bit-identical across engines and shuffle orders. The cap
+# and the un-logged idf are the documented deviations from textbook
+# BM25 (a float ln would hash-differently across libm builds).
+_BM25_IDF_CAP = 10**12
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, text) x (query_id, qtext) -> per-query top-k docs by the
+    integer BM25 spec above: (query_id, doc_id, score_micro, rank).
+
+    Scale shape: term stats aggregate map-side (shuffle O(postings),
+    never O(tokens x queries)); the tiny query-term table broadcasts
+    into the postings join twice (term restriction, then df attach); the
+    per-query top-k is the row_number-filter pattern Spark rewrites to
+    WindowGroupLimit (per-partition partial top-k before the final
+    shuffle — the same plan-audited shape as w3_topk_area). Docs with no
+    tokens define neither N nor avgdl (they can never match), which
+    keeps both constants derivable from the dl table alone.
+    """
+    from pyspark.sql.window import Window
+
+    k = int(k)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tot")
+    ).first()  # two scalars to the driver, like host_pagerank's n
+    n_docs, tot = stats["n"], stats["tot"]
+    spark = docs.sparkSession
+    if not n_docs:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score_micro long, rank int"
+        )
+    avgdl = max(1, tot // n_docs)
+    dft = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.col("qtext")), " "))).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    # restrict the (large) per-term df table by the (tiny) query terms,
+    # then broadcast the restriction into the postings join
+    qdf = F.broadcast(qterms).join(dft, "term")
+    matched = tf.join(F.broadcast(qdf), "term").join(dl, "doc_id")
+    idf = F.least(
+        F.expr(f"(1000000 * (2 * ({n_docs} - dfreq) + 1)) div (2 * dfreq + 1)"),
+        F.lit(_BM25_IDF_CAP),
+    )
+    contrib = F.expr(
+        "(idf_micro * ((tf * 2200000 * 1000000) div"
+        f" (tf * 1000000 + (12 * (250000 + (750000 * dl) div {avgdl})) div 10)))"
+        " div 1000000"
+    )
+    scores = (
+        matched.withColumn("idf_micro", idf)
+        .select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_micro", "rank")
+    )
+
+
+_BM25_QUERIES = (
+    ("q1", "hash join strategy"),
+    ("q2", "window agg stream"),
+    ("q3", "vector scan filter"),
+)
+
+
+def _bm25_oracle_sql(k: int = 5) -> str:
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    return f"""
+    with toks as (
+      select doc_id, term from (
+        select doc_id, unnest(string_split(lower(text), ' ')) as term
+        from documents) where term <> ''
+    ),
+    tf as (select doc_id, term, cast(count(*) as bigint) as tf
+           from toks group by doc_id, term),
+    dl as (select doc_id, cast(count(*) as bigint) as dl
+           from toks group by doc_id),
+    dft as (select term, cast(count(*) as bigint) as dfreq
+            from tf group by term),
+    consts as (select cast(count(*) as bigint) as n_docs,
+                      greatest(1, cast(sum(dl) as bigint) // count(*)) as avgdl
+               from dl),
+    q(query_id, qtext) as (values {vals}),
+    qterms as (
+      select distinct query_id, term from (
+        select query_id, unnest(string_split(lower(qtext), ' ')) as term
+        from q) where term <> ''
+    ),
+    matched as (
+      select qt.query_id, tf.doc_id,
+             (least((1000000 * (2 * ((select n_docs from consts) - d.dfreq) + 1))
+                      // (2 * d.dfreq + 1), {_BM25_IDF_CAP})
+              * ((tf.tf * 2200000 * 1000000)
+                   // (tf.tf * 1000000
+                       + (12 * (250000 + (750000 * dl.dl)
+                                  // (select avgdl from consts))) // 10)))
+               // 1000000 as c
+      from qterms qt
+      join dft d using (term)
+      join tf using (term)
+      join dl on dl.doc_id = tf.doc_id
+    ),
+    scores as (select query_id, doc_id, cast(sum(c) as bigint) as score_micro
+               from matched group by query_id, doc_id)
+    select query_id, doc_id, score_micro, rank from (
+      select query_id, doc_id, score_micro,
+             cast(row_number() over (partition by query_id
+                    order by score_micro desc, doc_id) as int) as rank
+      from scores)
+    where rank <= {k}
+    """
+
+
+@_q("text_bm25_topk", _bm25_oracle_sql())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-shaped retrieval over the documents table for three fixed
+    literal queries: integer fixed-point scoring (bit-exact cross-engine
+    by spec — see bm25_topk) -> per-query top-5 with a doc_id tiebreak."""
+    qdf = spark.createDataFrame(list(_BM25_QUERIES), "query_id string, qtext string")
+    return bm25_topk(_docs(spark, sf_dir), qdf, k=5)

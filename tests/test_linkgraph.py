@@ -1,0 +1,109 @@
+"""Host PageRank (kernels/links.host_pagerank): randomized differential
+vs a pure-Python twin of the integer spec, teleport-floor property for
+inlink-free hosts, input validation, empty graph."""
+
+import random
+
+import pytest
+
+from ocr_application_spark.kernels.links import host_pagerank
+
+SCALE = 10**9
+
+
+def _reference_pagerank(edges, iterations=4, scale=SCALE, dp=85):
+    """Dict-model twin of the kernel's integer spec: same op sequence
+    (r0 = scale div n; contrib = (rank*w) div wtot; rank' =
+    ((100-dp)*r0) div 100 + (dp*sum) div 100), so any divergence is a
+    kernel bug, not float noise."""
+    w = {}
+    for s, d, k in edges:
+        w[(s, d)] = w.get((s, d), 0) + k
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    if not nodes:
+        return {}
+    wtot = {}
+    for (s, _), k in w.items():
+        wtot[s] = wtot.get(s, 0) + k
+    r0 = scale // len(nodes)
+    teleport = ((100 - dp) * r0) // 100
+    rank = {h: r0 for h in nodes}
+    for _ in range(iterations):
+        inflow = {h: 0 for h in nodes}
+        for (s, d), k in w.items():
+            inflow[d] += (rank[s] * k) // wtot[s]
+        rank = {h: teleport + (dp * inflow[h]) // 100 for h in nodes}
+    return rank
+
+
+def _to_df(spark, edges):
+    return spark.createDataFrame(
+        [(s, d, k) for s, d, k in edges] or [],
+        "src_host string, dst_host string, n_links long",
+    )
+
+
+def test_pagerank_matches_dict_model_on_random_graphs(spark):
+    rng = random.Random(20260818)
+    for trial in range(6):
+        n_hosts = rng.randint(2, 12)
+        hosts = [f"h{i}" for i in range(n_hosts)]
+        # duplicate (s, d) rows on purpose: the kernel must aggregate
+        # them identically to the dict model's +=
+        edges = [
+            (rng.choice(hosts), rng.choice(hosts), rng.randint(1, 5))
+            for _ in range(rng.randint(1, 4 * n_hosts))
+        ]
+        iters = rng.randint(1, 6)
+        got = {
+            r["host"]: r["rank"]
+            for r in host_pagerank(_to_df(spark, edges), iterations=iters).collect()
+        }
+        want = _reference_pagerank(edges, iterations=iters)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_pagerank_inlink_free_host_sits_at_teleport_floor(spark):
+    # a -> b -> c; a has no inlinks, so after any full iteration its
+    # rank is EXACTLY the teleport term; the chain's sink c outranks it
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "b", 1)]
+    ranks = {
+        r["host"]: r["rank"]
+        for r in host_pagerank(_to_df(spark, edges), iterations=5).collect()
+    }
+    r0 = SCALE // 3
+    teleport = (15 * r0) // 100
+    assert ranks["a"] == teleport
+    assert ranks["b"] > ranks["a"]
+    # total mass never exceeds the fixed-point scale (overflow bound
+    # the kernel docstring relies on)
+    assert sum(ranks.values()) <= SCALE
+
+
+def test_pagerank_dangling_host_decays_not_crashes(spark):
+    # d is dangling (mass sinks out); it still holds teleport + inflow
+    edges = [("a", "d", 3), ("b", "d", 1)]
+    ranks = {
+        r["host"]: r["rank"]
+        for r in host_pagerank(_to_df(spark, edges), iterations=4).collect()
+    }
+    assert set(ranks) == {"a", "b", "d"}
+    assert ranks["d"] > ranks["a"] == ranks["b"]
+
+
+def test_pagerank_input_validation(spark):
+    df = _to_df(spark, [("a", "b", 1)])
+    with pytest.raises(ValueError, match="iterations"):
+        host_pagerank(df, iterations=0)
+    with pytest.raises(ValueError, match="iterations"):
+        host_pagerank(df, iterations=51)
+    with pytest.raises(ValueError, match="damping_pct"):
+        host_pagerank(df, damping_pct=0)
+    with pytest.raises(ValueError, match="damping_pct"):
+        host_pagerank(df, damping_pct=100)
+
+
+def test_pagerank_empty_graph(spark):
+    out = host_pagerank(_to_df(spark, []), iterations=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["host", "rank"]

@@ -80,6 +80,8 @@ def test_driver_window_covers_flagships_and_new_ops():
         "emb_neardup_multiprobe",
         "dedup_minhash_band_dial",
         "link_outdegree",
+        "link_host_pagerank",
+        "text_bm25_topk",
     }
     assert must_cover <= window, must_cover - window
     tpch_demos = {n for n in names if n.startswith(("q1", "q3", "q4", "q5", "q6", "q7"))} | {

@@ -417,3 +417,22 @@ def test_multiprobe_neardup_plan_is_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "Generate" in plan  # the probe expansion
+
+
+def test_bm25_plan_broadcasts_queries_and_group_limits(spark):
+    # the query-term side must broadcast (never shuffle the postings by
+    # anything but their own keys) and the per-query top-k must prune
+    # ranks before the final window (WindowGroupLimit)
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_plan_has_no_cartesian(spark):
+    # the returned frame is the final iteration's localCheckpoint; the
+    # invariant worth pinning on it is that nothing in the visible plan
+    # re-derives the graph (constant-size scan of checkpointed state)
+    plan = plan_of(spark, "link_host_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpoint-backed, not re-derived
