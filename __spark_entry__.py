@@ -30,12 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def _modules():
     from ocr_application_spark.operators import (
         ann_ivf,
+        asof,
         curation,
         dedup,
         forecast,
         kernels_entry,
         reference_ops,
         similarity,
+        sketches,
         skew,
         snapshots_entry,
         sweep_merge,
@@ -57,6 +59,8 @@ def _modules():
         snapshots_entry,
         sweep_merge,
         ann_ivf,
+        asof,
+        sketches,
         reference_ops,
         dedup,
         textfns,
@@ -91,7 +95,13 @@ def _modules():
 # round; its production twin tarification_pipeline stays in-window and
 # exercises the same fuzzy join end-to-end) rotates out for
 # text_bm25_topk (new integer-exact retrieval op).
+# w2_line_sessionize and a5_corpus_counts (r02-green, reference_ops
+# untouched this round) rotate out for the two new ops
+# events_asof_profile (as-of join) and sketch_kmv_distinct (KMV
+# cardinality sketch).
 _ROTATED_BACK = (
+    "w2_line_sessionize",
+    "a5_corpus_counts",
     "f11_json_block_extract",
     "j1_fuzzy_catalog_match",
     "a1_a2_tarification_totals",

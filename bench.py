@@ -149,6 +149,8 @@ def main() -> None:
             "link_outdegree",
             "link_host_pagerank",
             "text_bm25_topk",
+            "events_asof_profile",
+            "sketch_kmv_distinct",
         ]
 
         def run(name: str) -> None:

@@ -1,0 +1,148 @@
+"""As-of join (operators/asof.asof_join): randomized differential vs a
+pure-Python scan twin, equal-ts inclusion, duplicate-(key, ts) right
+rows, tolerance, composite keys, null-payload-field survival,
+no-match null extension, validation."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_application_spark.operators.asof import asof_join
+
+
+def _twin(left, right, tolerance=None):
+    """Scan twin: for each left (key, ts, lid), the matching right row
+    is the max by (ts, payload) among rows with right.ts <= left.ts
+    (and >= left.ts - tolerance when bounded)."""
+    out = []
+    for k, lts, lid in left:
+        cands = [
+            (rts, p)
+            for rk, rts, p in right
+            if rk == k
+            and rts <= lts
+            and (tolerance is None or lts - rts <= tolerance)
+        ]
+        if cands:
+            rts, p = max(cands)
+            out.append((k, lts, lid, rts, p))
+        else:
+            out.append((k, lts, lid, None, None))
+    return sorted(out, key=lambda r: r[2])
+
+
+def _run(spark, left, right, tolerance=None):
+    ldf = spark.createDataFrame(left, "k long, ts long, lid long")
+    rdf = spark.createDataFrame(right, "k long, vts long, p long")
+    got = asof_join(
+        ldf, rdf, on="k", left_ts="ts", right_ts="vts",
+        payload=["p"], tolerance=tolerance,
+    )
+    assert got.columns == ["k", "ts", "lid", "vts", "p"]
+    return sorted(
+        [(r.k, r.ts, r.lid, r.vts, r.p) for r in got.collect()],
+        key=lambda r: r[2],
+    )
+
+
+def test_randomized_differential_vs_scan_twin(spark):
+    rng = random.Random(7)
+    for trial in range(4):
+        # tiny ts range forces equal-ts collisions on both sides
+        left = [
+            (rng.randrange(5), rng.randrange(20), i) for i in range(60)
+        ]
+        right = [
+            (rng.randrange(5), rng.randrange(20), rng.randrange(1000))
+            for _ in range(40)
+        ]
+        tol = None if trial % 2 == 0 else rng.randrange(1, 8)
+        assert _run(spark, left, right, tol) == _twin(left, right, tol), (
+            trial,
+            tol,
+        )
+
+
+def test_equal_ts_version_is_visible(spark):
+    # backward-INCLUSIVE: the version published at exactly the event ts wins
+    assert _run(spark, [(1, 10, 0)], [(1, 10, 77), (1, 9, 66)]) == [
+        (1, 10, 0, 10, 77)
+    ]
+
+
+def test_duplicate_key_ts_right_rows_resolve_to_max_payload(spark):
+    got = _run(spark, [(1, 10, 0)], [(1, 10, 3), (1, 10, 9), (1, 10, 5)])
+    assert got == [(1, 10, 0, 10, 9)]
+
+
+def test_no_match_extends_with_nulls(spark):
+    assert _run(spark, [(1, 5, 0)], [(1, 6, 1), (2, 1, 2)]) == [
+        (1, 5, 0, None, None)
+    ]
+    assert _run(spark, [(1, 5, 0)], []) == [(1, 5, 0, None, None)]
+
+
+def test_tolerance_bounds_the_lookback(spark):
+    left = [(1, 100, 0)]
+    right = [(1, 90, 1)]
+    assert _run(spark, left, right, tolerance=10) == [(1, 100, 0, 90, 1)]
+    assert _run(spark, left, right, tolerance=9) == [(1, 100, 0, None, None)]
+
+
+def test_null_payload_field_inside_matched_version_survives(spark):
+    # the right row travels as one struct, so a NULL payload FIELD in
+    # the matched version must not fall through to an older version
+    ldf = spark.createDataFrame([(1, 10, 0)], "k long, ts long, lid long")
+    rdf = spark.createDataFrame(
+        [(1, 5, 11), (1, 8, None)], "k long, vts long, p long"
+    )
+    row = asof_join(
+        ldf, rdf, on="k", left_ts="ts", right_ts="vts", payload=["p"]
+    ).collect()[0]
+    assert (row.vts, row.p) == (8, None)
+
+
+def test_composite_key(spark):
+    ldf = spark.createDataFrame(
+        [(1, "a", 10, 0), (1, "b", 10, 1)], "k1 long, k2 string, ts long, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(1, "a", 4, 100), (1, "b", 6, 200)], "k1 long, k2 string, vts long, p long"
+    )
+    got = {
+        r.lid: (r.vts, r.p)
+        for r in asof_join(
+            ldf, rdf, on=["k1", "k2"], left_ts="ts", right_ts="vts",
+            payload=["p"],
+        ).collect()
+    }
+    assert got == {0: (4, 100), 1: (6, 200)}
+
+
+def test_validation(spark):
+    ldf = spark.createDataFrame([(1, 10, 0)], "k long, ts long, p long")
+    rdf = spark.createDataFrame([(1, 5, 1)], "k long, vts long, p long")
+    with pytest.raises(ValueError, match="at least one right column"):
+        asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="vts", payload=[])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="vts", payload=["p"])
+    ldf2 = ldf.withColumnRenamed("p", "lid")
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(
+            ldf2, rdf, on="k", left_ts="ts", right_ts="vts",
+            payload=["p"], tolerance=-1,
+        )
+
+
+def test_left_columns_pass_through_untouched(spark):
+    ldf = spark.createDataFrame(
+        [(1, 10, "x", 3.5)], "k long, ts long, tag string, score double"
+    )
+    rdf = spark.createDataFrame([(1, 2, 9)], "k long, vts long, p long")
+    row = asof_join(
+        ldf, rdf, on="k", left_ts="ts", right_ts="vts", payload=["p"]
+    ).collect()[0]
+    assert (row.k, row.ts, row.tag, row.score, row.vts, row.p) == (
+        1, 10, "x", 3.5, 2, 9,
+    )

@@ -1,0 +1,87 @@
+"""KMV distinct-count sketch (operators/sketches.kmv_distinct):
+randomized differential vs a hashlib twin of the integer spec, the
+exact small-cardinality branch, null exclusion, accuracy sanity at
+k=64, validation."""
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_application_spark.operators.sketches import _HEX_WIDTH, _SPACE, kmv_distinct
+
+
+def _twin(rows, k):
+    """Dict-model twin: md5-hex truncation, distinct, sort, bottom-k,
+    same integer estimate arithmetic."""
+    groups = {}
+    for g, v in rows:
+        if v is None:
+            continue
+        groups.setdefault(g, set()).add(
+            hashlib.md5(str(v).encode()).hexdigest()[:_HEX_WIDTH]
+        )
+    out = {}
+    for g, hs in groups.items():
+        bottom = sorted(hs)[:k]
+        n_seen = len(bottom)
+        kth = bottom[-1]
+        est = (
+            n_seen
+            if n_seen < k
+            else ((k - 1) * _SPACE) // max(1, int(kth, 16))
+        )
+        out[g] = (n_seen, kth, est)
+    return out
+
+
+def _run(spark, rows, k):
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = kmv_distinct(df, "g", F.col("v"), k=k)
+    assert got.columns == ["g", "n_seen", "kth_hash", "distinct_est"]
+    return {r.g: (r.n_seen, r.kth_hash, r.distinct_est) for r in got.collect()}
+
+
+def test_randomized_differential_vs_hashlib_twin(spark):
+    rng = random.Random(11)
+    for trial, k in enumerate([2, 5, 16]):
+        rows = [
+            (f"g{rng.randrange(4)}", rng.randrange(200)) for _ in range(600)
+        ]
+        assert _run(spark, rows, k) == _twin(rows, k), (trial, k)
+
+
+def test_small_groups_are_exact(spark):
+    # fewer distinct values than k -> n_seen < k -> the count is exact
+    rows = [("a", v % 3) for v in range(50)] + [("b", 7)]
+    got = _run(spark, rows, 16)
+    assert got["a"][0] == 3 and got["a"][2] == 3
+    assert got["b"][0] == 1 and got["b"][2] == 1
+
+
+def test_nulls_contribute_nothing(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2), ("z", None)], "g string, v long"
+    )
+    got = {
+        r.g: (r.n_seen, r.distinct_est)
+        for r in kmv_distinct(df, "g", F.col("v"), k=8).collect()
+    }
+    # an all-null group has no distinct values and no sketch row at all
+    assert got == {"a": (2, 2)}
+
+
+def test_estimate_accuracy_at_k64(spark):
+    # deterministic fixture: 2000 distinct values, each duplicated;
+    # KMV stderr at k=64 is ~12.6%, so 40% is a loose-but-meaningful gate
+    rows = [("big", v) for v in range(2000)] * 2
+    est = _run(spark, rows, 64)["big"][2]
+    assert abs(est - 2000) / 2000 < 0.40, est
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    for bad in (1, 0, -3, 32001):
+        with pytest.raises(ValueError, match="k must be"):
+            kmv_distinct(df, "g", F.col("v"), k=bad)

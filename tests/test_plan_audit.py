@@ -436,3 +436,27 @@ def test_pagerank_plan_has_no_cartesian(spark):
     plan = plan_of(spark, "link_host_pagerank")
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan  # checkpoint-backed, not re-derived
+
+
+def test_asof_plan_is_one_exchange_no_join(spark):
+    # the union+window as-of shape: ONE shuffle on the key, a sort, and
+    # NO join operator at all — the plan that survives hot keys where a
+    # range join would materialize O(|left_k| * |right_k|) pairs.
+    # (the second exchange below is the gate FIXTURE's `distinct
+    # user_id` version synthesis, not part of asof_join itself)
+    plan = plan_of(spark, "events_asof_profile")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" in plan
+
+
+def test_kmv_sketch_plan_group_limits_before_shuffle(spark):
+    # stage 2's row_number<=k filter must become WindowGroupLimit (its
+    # partial mode caps each map task at k rows per group pre-shuffle);
+    # the gate query's exact-count join adds one shuffled join on host
+    plan = plan_of(spark, "sketch_kmv_distinct")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
