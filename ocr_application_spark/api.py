@@ -108,8 +108,10 @@ from ocr_application_spark.sources.snapshots import (  # noqa: F401
     expire_snapshots,
     gc_orphan_files,
     merge_pages,
+    plan_scan,
     read_snapshot,
     read_snapshot_diff,
+    scan_snapshot,
     snapshot_info,
     snapshot_versions,
 )

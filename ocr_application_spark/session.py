@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # write timestamps as annotated INT64 micros, not legacy INT96:
+        # INT96 columns carry NO parquet min/max stats, which would
+        # blind the snapshot zone maps (plan_scan) to every temporal
+        # predicate — e.g. incremental scans of a crawl table by
+        # warc_ts. Readers (Spark, DuckDB, pyarrow) handle both.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch = the unit of kernel work. 8192 measured +25% over
         # 2048 on ~3KB pages (fewer per-batch handshakes); at production

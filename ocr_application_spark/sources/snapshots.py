@@ -23,6 +23,13 @@ are reproduced honestly:
   drops the replaced partitions' files from the new manifest while the
   bytes stay on disk for older snapshots (Iceberg's delete-by-manifest,
   GC deferred to an expire step);
+* **zone maps ride the manifest** — every commit records per-file
+  min/max column stats harvested from the parquet FOOTERS already on
+  disk (no data pass, exactly how Iceberg fills its manifests);
+  ``plan_scan``/``scan_snapshot`` skip files whose range cannot match
+  a predicate BEFORE Spark ever opens them — the data-skipping layer
+  that, on a 10^12-row table, turns a point-range query from "open
+  every footer" into "open the few files whose zone intersects";
 * **schema evolution is additive and read-time** — an incremental
   commit may ADD columns (Iceberg add-column); readers align every
   data file to the snapshot's recorded schema, so pre-evolution files
@@ -283,6 +290,22 @@ def commit(
         ]
     visible.extend(new_files)
 
+    # zone maps: surviving files carry their parent stats forward (file
+    # bytes are immutable, so the stats stay true); new files harvest
+    # min/max from the parquet footers just written — O(footers), never
+    # a data pass. A file with no usable stats simply has no entry and
+    # is kept by every scan (pruning is only ever an optimization).
+    parent_stats = (
+        _load_manifest(path, parent).get("stats", {})
+        if parent and mode != "replace_all"
+        else {}
+    )
+    stats = {f: parent_stats[f] for f in visible if f in parent_stats}
+    for f in new_files:
+        s = _footer_zone_stats(f)
+        if s:
+            stats[f] = s
+
     os.makedirs(_snap_dir(path), exist_ok=True)
     manifest = {
         "version": version,
@@ -298,6 +321,7 @@ def commit(
         # empty DataFrame with the right schema
         "schema": df.schema.json(),
         "files": sorted(visible),
+        "stats": stats,
     }
     tmp = os.path.join(_snap_dir(path), f".v{version}.json.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as fh:
@@ -657,3 +681,157 @@ def gc_orphan_files(path: str, grace_seconds: float = 3 * 24 * 3600) -> dict:
         "skipped_in_grace": n_in_grace,
         "live_files": len(live),
     }
+
+
+# --- zone-map data skipping ----------------------------------------------------
+# Stats are restricted to parquet physical types whose footer min/max
+# is EXACT (INT32/INT64/FLOAT/DOUBLE — covering ints, longs, floats,
+# doubles, dates, timestamps). String/byte stats are deliberately
+# excluded: parquet writers may TRUNCATE long binary min/max values,
+# and a truncated max understates the file's range — pruning on it
+# could silently drop matching rows. Exclusion only costs pruning
+# opportunity, never correctness (the residual row filter always runs).
+_ZONE_PHYSICAL = ("INT32", "INT64", "FLOAT", "DOUBLE")
+
+
+def _zone_value(v):
+    """Footer stat / predicate bound -> the one JSON-safe comparison
+    domain per type family: ints and floats pass through, timestamps
+    become exact integer epoch-MICROseconds (the repo-wide cross-engine
+    convention; integer timedelta division, never a float round-trip),
+    dates become days-since-epoch. None = not zone-comparable."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    return None
+
+
+def _footer_zone_stats(data_file: str) -> dict:
+    """{column: [min, max]} over ALL row groups of one parquet file,
+    from the footer metadata alone. A column earns an entry only if
+    every row group has exact-type min/max stats for it; anything else
+    (nested paths, strings, missing stats, unconvertible values) is
+    silently absent — absent means "never skip on this column"."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(_uri_to_local(data_file)).metadata
+    except Exception:
+        return {}
+    mins: dict = {}
+    maxs: dict = {}
+    bad: set = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for i in range(g.num_columns):
+            c = g.column(i)
+            name = c.path_in_schema
+            if "." in name or name in bad:
+                bad.add(name)
+                continue
+            st = c.statistics
+            if (
+                c.physical_type not in _ZONE_PHYSICAL
+                or st is None
+                or not st.has_min_max
+            ):
+                bad.add(name)
+                continue
+            lo, hi = _zone_value(st.min), _zone_value(st.max)
+            if lo is None or hi is None:
+                bad.add(name)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {n: [mins[n], maxs[n]] for n in mins if n not in bad}
+
+
+def plan_scan(path: str, ranges: dict, version: int | None = None) -> dict:
+    """Manifest-level file pruning for ``ranges`` ({column: (lo, hi)},
+    inclusive bounds, None = unbounded): returns
+    {version, files, skipped, total, schema} where ``files`` is the
+    subset of the snapshot's data files whose zone can intersect every
+    range. Files without stats for a column are kept — over-keeping is
+    free (the scan's residual filter enforces the exact predicate),
+    over-skipping would be a wrong answer, so every uncertain case
+    keeps. Pure manifest arithmetic: no Spark job, no file opens."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot v{v} not found (have {versions})")
+    m = _load_manifest(path, v)
+    schema_cols = {f["name"] for f in json.loads(m["schema"])["fields"]}
+    unknown = sorted(set(ranges) - schema_cols)
+    if unknown:
+        raise ValueError(f"ranges on columns not in snapshot schema: {unknown}")
+    # a bound that doesn't convert (e.g. a string) prunes nothing from
+    # its side; the residual filter still applies it exactly
+    conv = {
+        c: (
+            _zone_value(lo) if lo is not None else None,
+            _zone_value(hi) if hi is not None else None,
+        )
+        for c, (lo, hi) in ranges.items()
+    }
+    stats = m.get("stats", {})
+    kept = []
+    for f in m["files"]:
+        fs = stats.get(f, {})
+        drop = False
+        for c in ranges:
+            if c not in fs:
+                continue
+            clo, chi = conv[c]
+            fmin, fmax = fs[c]
+            if (chi is not None and fmin > chi) or (
+                clo is not None and fmax < clo
+            ):
+                drop = True
+                break
+        if not drop:
+            kept.append(f)
+    return {
+        "version": v,
+        "files": kept,
+        "skipped": len(m["files"]) - len(kept),
+        "total": len(m["files"]),
+        "schema": m["schema"],
+    }
+
+
+def scan_snapshot(
+    spark: SparkSession, path: str, ranges: dict, version: int | None = None
+) -> DataFrame:
+    """Zone-map-pruned snapshot scan: semantically IDENTICAL to
+    ``read_snapshot(...).filter(lo <= col <= hi for every range)`` —
+    pinned by tests/test_zonemap.py's randomized differential — but
+    files whose footer stats cannot match are never handed to Spark at
+    all, so at 10^12 rows a clustered point-range query opens a handful
+    of files instead of the whole table. The residual filter ALWAYS
+    runs (zone maps are a pruning layer, never the predicate)."""
+    plan = plan_scan(path, ranges, version)
+    if not plan["files"]:
+        from pyspark.sql import types as T
+
+        df = spark.createDataFrame(
+            [], T.StructType.fromJson(json.loads(plan["schema"]))
+        )
+    else:
+        df = _read_files(spark, path, plan["files"], schema_json=plan["schema"])
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(c) <= F.lit(hi))
+    return df
