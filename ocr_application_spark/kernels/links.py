@@ -145,17 +145,37 @@ def host_pagerank(
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     damping_pct = int(damping_pct)
     scale = int(scale)
+    if scale < 100:
+        # the integer spec needs nonnegative operands (trunc == floor)
+        # and enough fixed-point resolution for div-by-100 teleport math
+        raise ValueError(f"scale must be >= 100, got {scale}")
 
     # canonicalize duplicate (src, dst) rows FIRST: floor division is
     # not additive, so (r*w1) div W + (r*w2) div W != (r*(w1+w2)) div W
     # — merging makes the result independent of input row granularity
     # (host_link_edges output is already merged; this is a cheap
-    # re-group for it, a correctness step for raw edge lists)
+    # re-group for it, a correctness step for raw edge lists).
+    # Weights must be strictly positive: w <= 0 would make wtot 0 (a
+    # silent NULL-div mass drop on Spark, an error on the oracle side)
+    # or negative (breaking trunc == floor) — fail per-row instead,
+    # inside the existing scan (no extra pass)
+    w_checked = F.when(
+        F.col("n_links").cast("long") > 0, F.col("n_links").cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "host_pagerank: n_links must be > 0 (edge %s -> %s has %s)",
+                F.col("src_host"),
+                F.col("dst_host"),
+                F.col("n_links").cast("string"),
+            )
+        ).cast("long")
+    )
     e = (
         edges.select(
             F.col("src_host").alias("src"),
             F.col("dst_host").alias("dst"),
-            F.col("n_links").cast("long").alias("w"),
+            w_checked.alias("w"),
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))

@@ -73,9 +73,22 @@ def asof_join(
     clash = (set(payload) | {right_ts}) & set(left.columns)
     if clash:
         raise ValueError(f"right columns collide with left columns: {sorted(clash)}")
+    reserved = {"_ats", "_ar", "_as", "_m"} & (
+        set(left.columns) | set(keys) | set(payload) | {right_ts}
+    )
+    if reserved:
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by asof_join's "
+            "internal working columns; rename them first"
+        )
     if tolerance is not None and int(tolerance) < 0:
         raise ValueError(f"tolerance must be >= 0, got {tolerance}")
 
+    # a version with NULL right_ts is "published at no time": it can
+    # never satisfy right_ts <= left_ts, and left un-dropped it would
+    # sort NULLS-FIRST into every key group and become a phantom
+    # fallback match (payload with vts NULL)
+    right = right.filter(F.col(right_ts).isNotNull())
     rstruct = F.struct(F.col(right_ts).alias("_ts"), *[F.col(p) for p in payload])
     rt = right.select(
         *[F.col(c) for c in keys],

@@ -73,8 +73,7 @@ def kmv_distinct(df: DataFrame, group: str, value: Column, k: int = 64) -> DataF
     pairs = (
         df.select(F.col(group), h.alias("h"))
         .filter(F.col("h").isNotNull())
-        .groupBy(group, "h")
-        .agg(F.count("*").alias("_c"))
+        .distinct()  # map-side partial dedup, same as groupBy with no aggs
     )
     w = Window.partitionBy(group).orderBy("h")
     ranked = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -330,8 +330,17 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # tokenization — the expensive full-corpus explode — runs exactly
+    # ONCE: tf is eagerly checkpointed (constant-size plan, blocks
+    # released by the ContextCleaner when the result is dropped), and
+    # dl, the corpus stats, dft and the postings join all derive from
+    # it instead of re-scanning the corpus
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")
     ).first()  # two scalars to the driver, like host_pagerank's n

@@ -695,32 +695,47 @@ _ZONE_PHYSICAL = ("INT32", "INT64", "FLOAT", "DOUBLE")
 
 
 def _zone_value(v):
-    """Footer stat / predicate bound -> the one JSON-safe comparison
-    domain per type family: ints and floats pass through, timestamps
-    become exact integer epoch-MICROseconds (the repo-wide cross-engine
-    convention; integer timedelta division, never a float round-trip),
-    dates become days-since-epoch. None = not zone-comparable."""
+    """Footer stat / predicate bound -> (family, value) in the one
+    JSON-safe comparison domain per type FAMILY: finite ints and floats
+    pass through as ("num", v), timestamps become ("ts",
+    exact-integer-epoch-MICROseconds) (integer timedelta division,
+    never a float round-trip), dates become ("date", days-since-epoch).
+    (None, None) = not zone-comparable.
+
+    The family travels with the stored stat and is re-derived from the
+    predicate bound at scan time: comparing values across families
+    (date-days vs timestamp-micros) would over-SKIP — a silent wrong
+    answer — so plan_scan only ever prunes within one family. NaN/inf
+    are rejected both because their comparisons are meaningless and
+    because json.dump would emit non-standard tokens that break the
+    manifest for every strict JSON consumer."""
     import datetime as _dt
+    import math
 
     if isinstance(v, bool):
-        return None
-    if isinstance(v, (int, float)):
-        return v
+        return None, None
+    if isinstance(v, float):
+        return ("num", v) if math.isfinite(v) else (None, None)
+    if isinstance(v, int):
+        return "num", v
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+        return "ts", (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+            microseconds=1
+        )
     if isinstance(v, _dt.date):
-        return (v - _dt.date(1970, 1, 1)).days
-    return None
+        return "date", (v - _dt.date(1970, 1, 1)).days
+    return None, None
 
 
 def _footer_zone_stats(data_file: str) -> dict:
-    """{column: [min, max]} over ALL row groups of one parquet file,
-    from the footer metadata alone. A column earns an entry only if
-    every row group has exact-type min/max stats for it; anything else
-    (nested paths, strings, missing stats, unconvertible values) is
-    silently absent — absent means "never skip on this column"."""
+    """{column: [min, max, family]} over ALL row groups of one parquet
+    file, from the footer metadata alone. A column earns an entry only
+    if every row group has exact-type min/max stats for it, all in one
+    type family; anything else (nested paths, strings, missing stats,
+    NaN/inf, unconvertible values) is silently absent — absent means
+    "never skip on this column"."""
     try:
         import pyarrow.parquet as pq
 
@@ -729,6 +744,7 @@ def _footer_zone_stats(data_file: str) -> dict:
         return {}
     mins: dict = {}
     maxs: dict = {}
+    fams: dict = {}
     bad: set = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -746,13 +762,14 @@ def _footer_zone_stats(data_file: str) -> dict:
             ):
                 bad.add(name)
                 continue
-            lo, hi = _zone_value(st.min), _zone_value(st.max)
-            if lo is None or hi is None:
+            flo, lo = _zone_value(st.min)
+            fhi, hi = _zone_value(st.max)
+            if flo is None or flo != fhi or fams.setdefault(name, flo) != flo:
                 bad.add(name)
                 continue
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return {n: [mins[n], maxs[n]] for n in mins if n not in bad}
+    return {n: [mins[n], maxs[n], fams[n]] for n in mins if n not in bad}
 
 
 def plan_scan(path: str, ranges: dict, version: int | None = None) -> dict:
@@ -776,11 +793,14 @@ def plan_scan(path: str, ranges: dict, version: int | None = None) -> dict:
     if unknown:
         raise ValueError(f"ranges on columns not in snapshot schema: {unknown}")
     # a bound that doesn't convert (e.g. a string) prunes nothing from
-    # its side; the residual filter still applies it exactly
+    # its side; the residual filter still applies it exactly. Each
+    # bound carries its FAMILY: pruning happens only when it matches
+    # the stored stat's family (a date bound against timestamp-micros
+    # stats would compare days to micros and over-skip)
     conv = {
         c: (
-            _zone_value(lo) if lo is not None else None,
-            _zone_value(hi) if hi is not None else None,
+            _zone_value(lo) if lo is not None else (None, None),
+            _zone_value(hi) if hi is not None else (None, None),
         )
         for c, (lo, hi) in ranges.items()
     }
@@ -790,10 +810,15 @@ def plan_scan(path: str, ranges: dict, version: int | None = None) -> dict:
         fs = stats.get(f, {})
         drop = False
         for c in ranges:
-            if c not in fs:
-                continue
-            clo, chi = conv[c]
-            fmin, fmax = fs[c]
+            entry = fs.get(c)
+            if not entry or len(entry) != 3:
+                continue  # no (or legacy family-less) stats: keep
+            fmin, fmax, fam = entry
+            (flo, clo), (fhi, chi) = conv[c]
+            if flo != fam:
+                clo = None
+            if fhi != fam:
+                chi = None
             if (chi is not None and fmin > chi) or (
                 clo is not None and fmax < clo
             ):

@@ -146,3 +146,29 @@ def test_left_columns_pass_through_untouched(spark):
     assert (row.k, row.ts, row.tag, row.score, row.vts, row.p) == (
         1, 10, "x", 3.5, 2, 9,
     )
+
+
+def test_null_right_ts_is_never_a_match(spark):
+    # a version "published at no time" must not become a phantom
+    # fallback (NULL sorts first and would shadow every key group)
+    ldf = spark.createDataFrame([(1, 10, 0)], "k long, ts long, lid long")
+    rdf = spark.createDataFrame([(1, None, 99)], "k long, vts long, p long")
+    row = asof_join(
+        ldf, rdf, on="k", left_ts="ts", right_ts="vts", payload=["p"]
+    ).collect()[0]
+    assert (row.vts, row.p) == (None, None)
+    # ...and a NULL-ts row must not shadow a real older version either
+    rdf2 = spark.createDataFrame(
+        [(1, None, 99), (1, 5, 7)], "k long, vts long, p long"
+    )
+    row = asof_join(
+        ldf, rdf2, on="k", left_ts="ts", right_ts="vts", payload=["p"]
+    ).collect()[0]
+    assert (row.vts, row.p) == (5, 7)
+
+
+def test_reserved_internal_names_rejected(spark):
+    ldf = spark.createDataFrame([(1, 10, 0)], "k long, ts long, _m long")
+    rdf = spark.createDataFrame([(1, 5, 1)], "k long, vts long, p long")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="vts", payload=["p"])

@@ -107,3 +107,21 @@ def test_pagerank_empty_graph(spark):
     out = host_pagerank(_to_df(spark, []), iterations=3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["host", "rank"]
+
+
+def test_nonpositive_or_null_weights_fail_loud(spark):
+    from ocr_application_spark.kernels.links import host_pagerank
+
+    for w in (0, -3, None):
+        edges = spark.createDataFrame(
+            [("a", "b", w)], "src_host string, dst_host string, n_links long"
+        )
+        with pytest.raises(Exception, match="n_links must be > 0"):
+            host_pagerank(edges, iterations=1).collect()
+    with pytest.raises(ValueError, match="scale"):
+        host_pagerank(
+            spark.createDataFrame(
+                [("a", "b", 1)], "src_host string, dst_host string, n_links long"
+            ),
+            scale=10,
+        )

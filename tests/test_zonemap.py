@@ -141,3 +141,47 @@ def test_unknown_range_column_raises(spark, tmpdir_scratch):
         plan_scan(t, {"nope": (1, 2)})
     with pytest.raises(FileNotFoundError):
         plan_scan(f"{tmpdir_scratch}/missing", {"doc_id": (1, 2)})
+
+
+def test_cross_family_bounds_never_prune(spark, tmpdir_scratch):
+    # a date bound against timestamp-micros stats must NOT be compared
+    # (days vs micros would over-skip); the residual filter still
+    # applies it through Spark's own coercion
+    t = f"{tmpdir_scratch}/fam"
+    rows = [(i, datetime.datetime(2024, 1, 11, i)) for i in range(5)]
+    commit(spark.createDataFrame(rows, "i long, ts timestamp").coalesce(1), t)
+    ranges = {"ts": (datetime.date(2024, 1, 11), datetime.date(2024, 1, 12))}
+    assert plan_scan(t, ranges)["skipped"] == 0
+    got = scan_snapshot(spark, t, ranges)
+    want = read_snapshot(spark, t).filter(
+        (F.col("ts") >= F.lit(datetime.date(2024, 1, 11)))
+        & (F.col("ts") <= F.lit(datetime.date(2024, 1, 12)))
+    )
+    assert _collect(got) == _collect(want)
+    assert got.count() == 5
+
+
+def test_nan_stats_keep_manifest_strict_json(spark, tmpdir_scratch):
+    import json as _json
+    import os
+
+    t = f"{tmpdir_scratch}/nan"
+    commit(
+        spark.createDataFrame(
+            [(1, float("nan")), (2, 1.5)], "i long, x double"
+        ).coalesce(1),
+        t,
+    )
+
+    def _reject(_):
+        raise AssertionError("manifest contains non-standard JSON constants")
+
+    with open(f"{t}/_snapshots/v1.json") as fh:
+        m = _json.load(fh, parse_constant=_reject)
+    # the NaN-tainted column earned no stats; the clean one did
+    for st in m["stats"].values():
+        assert "x" not in st
+        assert st["i"][:2] == [1, 2] and st["i"][2] == "num"
+    # and scanning on the NaN column stays correct (no pruning)
+    got = scan_snapshot(spark, t, {"x": (1.0, 2.0)})
+    assert sorted(r.i for r in got.collect()) == [2]
