@@ -34,6 +34,7 @@ def _modules():
         curation,
         dedup,
         forecast,
+        groupstats,
         kernels_entry,
         reference_ops,
         similarity,
@@ -69,6 +70,13 @@ def _modules():
         skew,
         curation,
         tpch,
+        # groupstats sits OUTSIDE the driver's 50-slot window by
+        # design, like the TPC-H demonstrators: exact percentiles and
+        # rollup are engine demonstrators with no reference analog,
+        # and every in-window slot is held by a flagship or a
+        # never-driver-checked op. Local parity still runs the
+        # identical oracle comparison on them every pytest run.
+        groupstats,
     ]
 
 

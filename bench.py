@@ -151,6 +151,8 @@ def main() -> None:
             "text_bm25_topk",
             "events_asof_profile",
             "sketch_kmv_distinct",
+            "group_percentiles_chars",
+            "events_rollup_daily",
         ]
 
         def run(name: str) -> None:

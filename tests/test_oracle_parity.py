@@ -92,7 +92,16 @@ def test_driver_window_covers_flagships_and_new_ops():
         "pivot_lang_by_source",
         "events_retention_cohorts",
     }
-    allowed_outside = tpch_demos | set(entrymod._ROTATED_BACK)
+    demonstrators_outside = {
+        # engine demonstrators with no reference analog, deliberately
+        # outside the 50-slot window like the TPC-H set (module order
+        # comment in __spark_entry__._modules); oracle-checked here
+        "group_percentiles_chars",
+        "events_rollup_daily",
+    }
+    allowed_outside = (
+        tpch_demos | demonstrators_outside | set(entrymod._ROTATED_BACK)
+    )
     assert outside <= allowed_outside, outside - allowed_outside
 
 

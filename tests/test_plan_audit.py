@@ -460,3 +460,20 @@ def test_kmv_sketch_plan_group_limits_before_shuffle(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_percentiles_plan_is_one_exchange(spark):
+    # exact order statistics pay exactly one sort-shuffle on the group
+    # key; the pct explode rides after the windows (never re-sorts)
+    plan = plan_of(spark, "group_percentiles_chars")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan
+
+
+def test_rollup_plan_is_single_aggregate_no_union(spark):
+    # Spark expands ROLLUP's grouping sets inside one aggregate via
+    # Expand — a self-union of three aggregations would scan 3x
+    plan = plan_of(spark, "events_rollup_daily")
+    assert "Expand" in plan
+    assert "Union" not in plan
