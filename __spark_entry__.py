@@ -107,7 +107,11 @@ def _modules():
 # untouched this round) rotate out for the two new ops
 # events_asof_profile (as-of join) and sketch_kmv_distinct (KMV
 # cardinality sketch).
+# w5_sweep_merge (r01 driver-green, sweep_merge untouched since r01)
+# rotates out for sketch_kmv_merged (the sketch-mergeability proof,
+# never driver-checked).
 _ROTATED_BACK = (
+    "w5_sweep_merge",
     "w2_line_sessionize",
     "a5_corpus_counts",
     "f11_json_block_extract",

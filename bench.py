@@ -151,6 +151,7 @@ def main() -> None:
             "text_bm25_topk",
             "events_asof_profile",
             "sketch_kmv_distinct",
+            "sketch_kmv_merged",
             "group_percentiles_chars",
             "events_rollup_daily",
         ]

@@ -70,13 +70,20 @@ def kmv_distinct(df: DataFrame, group: str, value: Column, k: int = 64) -> DataF
     # the order-by (Spark sorts NULLS FIRST asc, DuckDB NULLS LAST:
     # a null hash would corrupt rank 1 on one engine only)
     h = F.substring(F.md5(value.cast("string")), 1, _HEX_WIDTH)
-    pairs = (
-        df.select(F.col(group), h.alias("h"))
-        .filter(F.col("h").isNotNull())
-        .distinct()  # map-side partial dedup, same as groupBy with no aggs
-    )
+    pairs = df.select(F.col(group), h.alias("h")).filter(F.col("h").isNotNull())
+    return _bottomk_estimate(pairs, group, k)
+
+
+def _bottomk_estimate(pairs: DataFrame, group: str, k: int) -> DataFrame:
+    """(group, h) hash pairs -> the bottom-k estimate row per group.
+    Shared by the direct sketch and the merge path — they CANNOT
+    diverge. ``hashes`` (the sorted bottom-k hex array) is the
+    sketch's mergeable state."""
+    deduped = pairs.distinct()  # map-side partial, same as groupBy with no aggs
     w = Window.partitionBy(group).orderBy("h")
-    ranked = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    ranked = deduped.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
     # h is nonzero with probability 1 - 2^-48; greatest(1, .) keeps the
     # ANSI divide total without changing any realistic result
     est = F.when(
@@ -91,9 +98,36 @@ def kmv_distinct(df: DataFrame, group: str, value: Column, k: int = 64) -> DataF
         .agg(
             F.max("rn").cast("long").alias("n_seen"),
             F.max("h").alias("kth_hash"),
+            F.sort_array(F.collect_list("h")).alias("hashes"),
         )
-        .select(group, "n_seen", "kth_hash", est.cast("long").alias("distinct_est"))
+        .select(
+            group,
+            "n_seen",
+            "kth_hash",
+            est.cast("long").alias("distinct_est"),
+            "hashes",
+        )
     )
+
+
+def kmv_merge(sketches: DataFrame, group: str, k: int) -> DataFrame:
+    """Merge KMV sketches (rows carrying the ``hashes`` bottom-k array,
+    e.g. one sketch per day/partition/source) into one estimate per
+    ``group`` — PROVABLY identical to sketching the union directly:
+    any hash in the union's global bottom-k is necessarily in its own
+    slice's bottom-k, so min-k over the concatenated slice states loses
+    nothing. This is the 100 TB property: sketch each snapshot/day once
+    (O(k) state per group), then answer "distinct urls over any window"
+    by merging states — never rescanning data. Same estimate pipeline
+    as the direct path (shared `_bottomk_estimate`), so merged == direct
+    is pinned by construction AND by test."""
+    k = int(k)
+    if not 2 <= k <= 32000:
+        raise ValueError(f"k must be in [2, 32000], got {k}")
+    pairs = sketches.select(
+        F.col(group), F.explode("hashes").alias("h")
+    )
+    return _bottomk_estimate(pairs, group, k)
 
 
 _KMV_ORACLE = f"""
@@ -141,8 +175,54 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("h%02d", (F.col("doc_id") % 89).cast("int")).alias("host"),
         (F.col("doc_id") % 997).alias("v"),
     )
-    sk = kmv_distinct(hosted, "host", F.col("v"), k=64)
+    sk = kmv_distinct(hosted, "host", F.col("v"), k=64).drop("hashes")
     exact = hosted.groupBy("host").agg(
         F.countDistinct("v").cast("long").alias("n_exact")
     )
     return sk.join(exact, "host")
+
+
+_KMV_MERGED_ORACLE = f"""
+    with vals as (
+      select printf('h%02d', cast(doc_id % 89 as int)) as host,
+             substr(md5(cast(doc_id % 997 as varchar)), 1, {_HEX_WIDTH}) as h
+      from documents
+    ),
+    pairs as (select host, h from vals group by host, h),
+    ranked as (
+      select host, h,
+             row_number() over (partition by host order by h) as rn
+      from pairs
+    ),
+    agg as (
+      select host, cast(max(rn) as bigint) as n_seen, max(h) as kth_hash
+      from ranked where rn <= 64 group by host
+    )
+    select host, n_seen, kth_hash,
+           cast(case when n_seen < 64 then n_seen
+                else (63 * {_SPACE}) //
+                     greatest(1, cast(('0x' || kth_hash) as bigint))
+                end as bigint) as distinct_est
+    from agg
+    """
+
+
+@_q("sketch_kmv_merged", _KMV_MERGED_ORACLE)
+def sketch_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability gate: sketch each (host, source) SLICE separately,
+    then kmv_merge the slice states per host — and the oracle is the
+    DIRECT whole-corpus KMV SQL, so the bit-exact match IS the proof
+    that merging bottom-k states over any partitioning loses nothing
+    (the property that lets a 10^12-row table answer distinct-count
+    windows from O(k)-sized per-snapshot states, never a rescan)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sliced = docs.select(
+        F.format_string("h%02d", (F.col("doc_id") % 89).cast("int")).alias("host"),
+        F.col("source"),
+        (F.col("doc_id") % 997).alias("v"),
+    ).withColumn("slice", F.concat_ws("|", "host", "source"))
+    per_slice = kmv_distinct(sliced, "slice", F.col("v"), k=64)
+    states = per_slice.select(
+        F.split(F.col("slice"), "\\|").getItem(0).alias("host"), "hashes"
+    )
+    return kmv_merge(states, "host", k=64).drop("hashes")

@@ -14,7 +14,7 @@ from ocr_application_spark.operators.sketches import _HEX_WIDTH, _SPACE, kmv_dis
 
 def _twin(rows, k):
     """Dict-model twin: md5-hex truncation, distinct, sort, bottom-k,
-    same integer estimate arithmetic."""
+    same integer estimate arithmetic, plus the mergeable hash state."""
     groups = {}
     for g, v in rows:
         if v is None:
@@ -32,15 +32,18 @@ def _twin(rows, k):
             if n_seen < k
             else ((k - 1) * _SPACE) // max(1, int(kth, 16))
         )
-        out[g] = (n_seen, kth, est)
+        out[g] = (n_seen, kth, est, tuple(bottom))
     return out
 
 
 def _run(spark, rows, k):
     df = spark.createDataFrame(rows, "g string, v long")
     got = kmv_distinct(df, "g", F.col("v"), k=k)
-    assert got.columns == ["g", "n_seen", "kth_hash", "distinct_est"]
-    return {r.g: (r.n_seen, r.kth_hash, r.distinct_est) for r in got.collect()}
+    assert got.columns == ["g", "n_seen", "kth_hash", "distinct_est", "hashes"]
+    return {
+        r.g: (r.n_seen, r.kth_hash, r.distinct_est, tuple(r.hashes))
+        for r in got.collect()
+    }
 
 
 def test_randomized_differential_vs_hashlib_twin(spark):
@@ -85,3 +88,33 @@ def test_validation(spark):
     for bad in (1, 0, -3, 32001):
         with pytest.raises(ValueError, match="k must be"):
             kmv_distinct(df, "g", F.col("v"), k=bad)
+
+
+def test_merge_of_slice_sketches_equals_direct(spark):
+    from ocr_application_spark.operators.sketches import kmv_merge
+
+    rng = random.Random(41)
+    rows = [(f"g{rng.randrange(3)}", rng.randrange(500)) for _ in range(900)]
+    k = 16
+    direct = _run(spark, rows, k)
+    # sketch three arbitrary slices independently, merge their states
+    slices = [rows[0::3], rows[1::3], rows[2::3]]
+    states = None
+    for s in slices:
+        df = spark.createDataFrame(s, "g string, v long")
+        st = kmv_distinct(df, "g", F.col("v"), k=k).select("g", "hashes")
+        states = st if states is None else states.unionByName(st)
+    merged = kmv_merge(states, "g", k=k)
+    got = {
+        r.g: (r.n_seen, r.kth_hash, r.distinct_est, tuple(r.hashes))
+        for r in merged.collect()
+    }
+    assert got == direct
+
+
+def test_merge_validation(spark):
+    from ocr_application_spark.operators.sketches import kmv_merge
+
+    df = spark.createDataFrame([("a", ["ff"])], "g string, hashes array<string>")
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_merge(df, "g", k=1)

@@ -84,6 +84,7 @@ def test_driver_window_covers_flagships_and_new_ops():
         "text_bm25_topk",
         "events_asof_profile",
         "sketch_kmv_distinct",
+        "sketch_kmv_merged",
     }
     assert must_cover <= window, must_cover - window
     tpch_demos = {n for n in names if n.startswith(("q1", "q3", "q4", "q5", "q6", "q7"))} | {
