@@ -73,7 +73,7 @@ def asof_join(
     clash = (set(payload) | {right_ts}) & set(left.columns)
     if clash:
         raise ValueError(f"right columns collide with left columns: {sorted(clash)}")
-    reserved = {"_ats", "_ar", "_as", "_m"} & (
+    reserved = {"_ats", "_ar", "_as", "_m", "_ts"} & (
         set(left.columns) | set(keys) | set(payload) | {right_ts}
     )
     if reserved:

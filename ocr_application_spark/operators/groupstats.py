@@ -49,6 +49,14 @@ def group_percentiles(
         raise ValueError(f"pcts must be non-empty, each in [1, 100]: {pcts}")
     if len(set(pcts)) != len(pcts):
         raise ValueError(f"duplicate percentiles: {pcts}")
+    reserved = {"_rn", "_n", "pct"} & {group, value}
+    if reserved:
+        # withColumn would silently REPLACE a user column of the same
+        # name with the working rank/count (wrong values, no error)
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by "
+            "group_percentiles' working columns; rename them first"
+        )
     wo = Window.partitionBy(group).orderBy(value)
     wc = Window.partitionBy(group)
     return (

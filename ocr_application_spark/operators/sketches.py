@@ -66,20 +66,25 @@ def kmv_distinct(df: DataFrame, group: str, value: Column, k: int = 64) -> DataF
     k = int(k)
     if not 2 <= k <= 32000:
         raise ValueError(f"k must be in [2, 32000], got {k}")
-    # NULL values contribute no distinct element — and must never reach
-    # the order-by (Spark sorts NULLS FIRST asc, DuckDB NULLS LAST:
-    # a null hash would corrupt rank 1 on one engine only)
     h = F.substring(F.md5(value.cast("string")), 1, _HEX_WIDTH)
-    pairs = df.select(F.col(group), h.alias("h")).filter(F.col("h").isNotNull())
+    pairs = df.select(F.col(group), h.alias("h"))
     return _bottomk_estimate(pairs, group, k)
 
 
 def _bottomk_estimate(pairs: DataFrame, group: str, k: int) -> DataFrame:
     """(group, h) hash pairs -> the bottom-k estimate row per group.
     Shared by the direct sketch and the merge path — they CANNOT
-    diverge. ``hashes`` (the sorted bottom-k hex array) is the
-    sketch's mergeable state."""
-    deduped = pairs.distinct()  # map-side partial, same as groupBy with no aggs
+    diverge. ``hashes`` (the sorted bottom-k hex array) plus
+    ``sketch_k`` (the k it was built at) are the sketch's mergeable
+    state."""
+    # NULL hashes (NULL input values, or NULL elements in an externally
+    # reconstructed state array) contribute no distinct element — and
+    # must never reach the order-by (Spark sorts NULLS FIRST asc,
+    # DuckDB NULLS LAST: a null hash would corrupt rank 1 on one
+    # engine only)
+    deduped = pairs.filter(
+        F.col("h").isNotNull()
+    ).distinct()  # map-side partial, same as groupBy with no aggs
     w = Window.partitionBy(group).orderBy("h")
     ranked = deduped.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
@@ -106,17 +111,23 @@ def _bottomk_estimate(pairs: DataFrame, group: str, k: int) -> DataFrame:
             "kth_hash",
             est.cast("long").alias("distinct_est"),
             "hashes",
+            F.lit(k).cast("long").alias("sketch_k"),
         )
     )
 
 
 def kmv_merge(sketches: DataFrame, group: str, k: int) -> DataFrame:
-    """Merge KMV sketches (rows carrying the ``hashes`` bottom-k array,
-    e.g. one sketch per day/partition/source) into one estimate per
-    ``group`` — PROVABLY identical to sketching the union directly:
-    any hash in the union's global bottom-k is necessarily in its own
-    slice's bottom-k, so min-k over the concatenated slice states loses
-    nothing. This is the 100 TB property: sketch each snapshot/day once
+    """Merge KMV sketches (rows carrying the ``hashes`` bottom-k array
+    and its ``sketch_k``, e.g. one sketch per day/partition/source)
+    into one estimate per ``group`` — PROVABLY identical to sketching
+    the union directly, PROVIDED merge-k <= every slice's sketch_k:
+    then any hash in the union's global bottom-k is necessarily in its
+    own slice's bottom-k, so min-k over the concatenated states loses
+    nothing. Merging at k LARGER than a slice was built with would
+    silently underestimate (ranks slice_k+1..k of the union are
+    missing from that state), so each state row asserts
+    ``k <= sketch_k`` inline — per-row, inside the existing scan, fail
+    loud. This is the 100 TB property: sketch each snapshot/day once
     (O(k) state per group), then answer "distinct urls over any window"
     by merging states — never rescanning data. Same estimate pipeline
     as the direct path (shared `_bottomk_estimate`), so merged == direct
@@ -124,13 +135,26 @@ def kmv_merge(sketches: DataFrame, group: str, k: int) -> DataFrame:
     k = int(k)
     if not 2 <= k <= 32000:
         raise ValueError(f"k must be in [2, 32000], got {k}")
-    pairs = sketches.select(
-        F.col(group), F.explode("hashes").alias("h")
+    checked = F.when(F.col("sketch_k") >= k, F.col("hashes")).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"kmv_merge: cannot merge at k={k} a sketch built with "
+                "sketch_k=%s (missing ranks would silently "
+                "underestimate); rebuild slices at k >= merge k",
+                F.col("sketch_k").cast("string"),
+            )
+        ).cast("array<string>")
     )
+    pairs = sketches.select(F.col(group), F.explode(checked).alias("h"))
     return _bottomk_estimate(pairs, group, k)
 
 
-_KMV_ORACLE = f"""
+# ONE SQL rendering of the KMV spec (hash, bottom-k, estimate),
+# composed by BOTH gate oracles — the direct and the merged gate must
+# share it so a future estimator change (e.g. the documented
+# widen-to-15-hex production variant) cannot make them diverge.
+def _kmv_core_ctes(k: int = 64) -> str:
+    return f"""
     with vals as (
       select printf('h%02d', cast(doc_id % 89 as int)) as host,
              substr(md5(cast(doc_id % 997 as varchar)), 1, {_HEX_WIDTH}) as h
@@ -144,18 +168,26 @@ _KMV_ORACLE = f"""
     ),
     agg as (
       select host, cast(max(rn) as bigint) as n_seen, max(h) as kth_hash
-      from ranked where rn <= 64 group by host
-    ),
+      from ranked where rn <= {k} group by host
+    )"""
+
+
+def _kmv_est_sql(k: int = 64, prefix: str = "") -> str:
+    return f"""cast(case when {prefix}n_seen < {k} then {prefix}n_seen
+                else ({k - 1} * {_SPACE}) //
+                     greatest(1, cast(('0x' || {prefix}kth_hash) as bigint))
+                end as bigint) as distinct_est"""
+
+
+_KMV_ORACLE = f"""
+    {_kmv_core_ctes()},
     exact as (
       select printf('h%02d', cast(doc_id % 89 as int)) as host,
              cast(count(distinct doc_id % 997) as bigint) as n_exact
       from documents group by host
     )
     select a.host, a.n_seen, a.kth_hash,
-           cast(case when a.n_seen < 64 then a.n_seen
-                else (63 * {_SPACE}) //
-                     greatest(1, cast(('0x' || a.kth_hash) as bigint))
-                end as bigint) as distinct_est,
+           {_kmv_est_sql(prefix="a.")},
            e.n_exact
     from agg a join exact e on e.host = a.host
     """
@@ -175,7 +207,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("h%02d", (F.col("doc_id") % 89).cast("int")).alias("host"),
         (F.col("doc_id") % 997).alias("v"),
     )
-    sk = kmv_distinct(hosted, "host", F.col("v"), k=64).drop("hashes")
+    sk = kmv_distinct(hosted, "host", F.col("v"), k=64).drop("hashes", "sketch_k")
     exact = hosted.groupBy("host").agg(
         F.countDistinct("v").cast("long").alias("n_exact")
     )
@@ -183,26 +215,9 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KMV_MERGED_ORACLE = f"""
-    with vals as (
-      select printf('h%02d', cast(doc_id % 89 as int)) as host,
-             substr(md5(cast(doc_id % 997 as varchar)), 1, {_HEX_WIDTH}) as h
-      from documents
-    ),
-    pairs as (select host, h from vals group by host, h),
-    ranked as (
-      select host, h,
-             row_number() over (partition by host order by h) as rn
-      from pairs
-    ),
-    agg as (
-      select host, cast(max(rn) as bigint) as n_seen, max(h) as kth_hash
-      from ranked where rn <= 64 group by host
-    )
+    {_kmv_core_ctes()}
     select host, n_seen, kth_hash,
-           cast(case when n_seen < 64 then n_seen
-                else (63 * {_SPACE}) //
-                     greatest(1, cast(('0x' || kth_hash) as bigint))
-                end as bigint) as distinct_est
+           {_kmv_est_sql()}
     from agg
     """
 
@@ -223,6 +238,8 @@ def sketch_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("slice", F.concat_ws("|", "host", "source"))
     per_slice = kmv_distinct(sliced, "slice", F.col("v"), k=64)
     states = per_slice.select(
-        F.split(F.col("slice"), "\\|").getItem(0).alias("host"), "hashes"
+        F.split(F.col("slice"), "\\|").getItem(0).alias("host"),
+        "hashes",
+        "sketch_k",
     )
-    return kmv_merge(states, "host", k=64).drop("hashes")
+    return kmv_merge(states, "host", k=64).drop("hashes", "sketch_k")

@@ -55,3 +55,14 @@ def test_validation(spark):
     for bad in ([], [0], [101], [50, 50]):
         with pytest.raises(ValueError):
             group_percentiles(df, "g", "v", bad)
+
+
+def test_reserved_working_names_rejected(spark):
+    # withColumn('_n', ...) would silently replace a user column of
+    # that name with the group count
+    df = spark.range(3).selectExpr("'a' as g", "id as _n")
+    with pytest.raises(ValueError, match="reserved"):
+        group_percentiles(df, "g", "_n", [50])
+    df2 = spark.range(3).selectExpr("'a' as pct", "id as v")
+    with pytest.raises(ValueError, match="reserved"):
+        group_percentiles(df2, "pct", "v", [50])

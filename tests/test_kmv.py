@@ -39,7 +39,10 @@ def _twin(rows, k):
 def _run(spark, rows, k):
     df = spark.createDataFrame(rows, "g string, v long")
     got = kmv_distinct(df, "g", F.col("v"), k=k)
-    assert got.columns == ["g", "n_seen", "kth_hash", "distinct_est", "hashes"]
+    assert got.columns == [
+        "g", "n_seen", "kth_hash", "distinct_est", "hashes", "sketch_k",
+    ]
+    assert {r.sketch_k for r in got.collect()} <= {k}
     return {
         r.g: (r.n_seen, r.kth_hash, r.distinct_est, tuple(r.hashes))
         for r in got.collect()
@@ -102,7 +105,7 @@ def test_merge_of_slice_sketches_equals_direct(spark):
     states = None
     for s in slices:
         df = spark.createDataFrame(s, "g string, v long")
-        st = kmv_distinct(df, "g", F.col("v"), k=k).select("g", "hashes")
+        st = kmv_distinct(df, "g", F.col("v"), k=k).select("g", "hashes", "sketch_k")
         states = st if states is None else states.unionByName(st)
     merged = kmv_merge(states, "g", k=k)
     got = {
@@ -115,6 +118,39 @@ def test_merge_of_slice_sketches_equals_direct(spark):
 def test_merge_validation(spark):
     from ocr_application_spark.operators.sketches import kmv_merge
 
-    df = spark.createDataFrame([("a", ["ff"])], "g string, hashes array<string>")
+    df = spark.createDataFrame(
+        [("a", ["ff"], 8)], "g string, hashes array<string>, sketch_k long"
+    )
     with pytest.raises(ValueError, match="k must be"):
         kmv_merge(df, "g", k=1)
+
+
+def test_merge_at_larger_k_than_slices_fails_loud(spark):
+    # merging at k > slice sketch_k would silently UNDERestimate
+    # (ranks slice_k+1..k of the union are missing from the state)
+    from ocr_application_spark.operators.sketches import kmv_merge
+
+    rows = [("a", v) for v in range(100)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    states = kmv_distinct(df, "g", F.col("v"), k=8).select(
+        "g", "hashes", "sketch_k"
+    )
+    with pytest.raises(Exception, match="cannot merge at k=16"):
+        kmv_merge(states, "g", k=16).collect()
+    # ...while merging at a SMALLER k than the slices is sound
+    down = kmv_merge(states, "g", k=4).collect()[0]
+    direct = kmv_distinct(df, "g", F.col("v"), k=4).collect()[0]
+    assert (down.n_seen, down.kth_hash, down.distinct_est) == (
+        direct.n_seen, direct.kth_hash, direct.distinct_est,
+    )
+
+
+def test_null_hash_in_reconstructed_state_is_ignored(spark):
+    from ocr_application_spark.operators.sketches import kmv_merge
+
+    df = spark.createDataFrame(
+        [("a", ["0f", None, "aa"], 8)],
+        "g string, hashes array<string>, sketch_k long",
+    )
+    row = kmv_merge(df, "g", k=8).collect()[0]
+    assert (row.n_seen, row.kth_hash) == (2, "aa")
