@@ -309,7 +309,12 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_IDF_CAP = 10**12
 
 
-def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    checkpoint_tokens: bool = False,
+) -> DataFrame:
     """(doc_id, text) x (query_id, qtext) -> per-query top-k docs by the
     integer BM25 spec above: (query_id, doc_id, score_micro, rank).
 
@@ -330,16 +335,17 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
     ).filter(F.col("term") != "")
-    # tokenization — the expensive full-corpus explode — runs exactly
-    # ONCE: tf is eagerly checkpointed (constant-size plan, blocks
-    # released by the ContextCleaner when the result is dropped), and
-    # dl, the corpus stats, dft and the postings join all derive from
-    # it instead of re-scanning the corpus
-    tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # checkpoint_tokens is the materialize-vs-rescan dial: lazily the
+    # corpus is tokenized once for the stats action and three more
+    # times inside the scoring job (tf->dft, tf->join, dl); eagerly
+    # checkpointing tf tokenizes ONCE but writes a corpus-sized
+    # intermediate. Measured at sf0.1 (~130-char docs): lazy ~1.15s,
+    # checkpointed ~1.3-2.0s — re-scanning tiny docs beats
+    # materializing. On wide-document corpora (100KB pages) the
+    # explode dominates and the checkpoint wins; flip it there.
+    if checkpoint_tokens:
+        tf = tf.localCheckpoint(eager=True)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")

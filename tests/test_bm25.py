@@ -102,3 +102,16 @@ def test_bm25_validation_and_empty(spark):
     with pytest.raises(ValueError, match="k must be"):
         _run(spark, [(1, "x")], [("q", "x")], k=0)
     assert _run(spark, [(1, ""), (2, "  ")], [("q", "x")]) == []
+
+
+def test_checkpoint_tokens_dial_is_value_neutral(spark):
+    # the materialize-vs-rescan dial must not change a single value
+    docs = [(i, f"term{i % 7} shared word{i % 3}") for i in range(40)]
+    queries = [("q", "term1 shared")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id string, qtext string")
+    lazy = sorted(map(tuple, bm25_topk(ddf, qdf, k=10).collect()))
+    ckpt = sorted(
+        map(tuple, bm25_topk(ddf, qdf, k=10, checkpoint_tokens=True).collect())
+    )
+    assert lazy == ckpt
