@@ -110,7 +110,11 @@ def _modules():
 # w5_sweep_merge (r01 driver-green, sweep_merge untouched since r01)
 # rotates out for sketch_kmv_merged (the sketch-mergeability proof,
 # never driver-checked).
+# dedup_ngram_jaccard (r02-green, the jaccard posting plan untouched
+# this round) rotates out for link_anchor_texts (new anchor kernel,
+# never driver-checked).
 _ROTATED_BACK = (
+    "dedup_ngram_jaccard",
     "w5_sweep_merge",
     "w2_line_sessionize",
     "a5_corpus_counts",

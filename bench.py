@@ -147,6 +147,7 @@ def main() -> None:
             "emb_neardup_multiprobe",
             "dedup_minhash_band_dial",
             "link_outdegree",
+            "link_anchor_texts",
             "link_host_pagerank",
             "text_bm25_topk",
             "events_asof_profile",

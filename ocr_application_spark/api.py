@@ -40,6 +40,7 @@ from ocr_application_spark.analytics.tarification import (  # noqa: F401
 from ocr_application_spark.kernels.classify import classify as recognize  # noqa: F401
 from ocr_application_spark.kernels.extract import extract, quarantine_split  # noqa: F401
 from ocr_application_spark.kernels.links import (  # noqa: F401
+    extract_anchors,
     extract_outlinks,
     host_link_edges,
     host_pagerank,

@@ -79,6 +79,93 @@ def outlinks_of(page_url: str, html_text: str) -> set[str]:
     return out
 
 
+# anchor text: the close positions are precomputed once and looked up
+# by bisect, so N unclosed opens before one close stay linear; the raw
+# anchor window is bounded (hostile pages can't make one span O(page))
+_A_CLOSE = re.compile(r"</[aA]\s*+>")
+_TAG_STRIP = re.compile(r"<[^>]*+>?")
+_ANCHOR_CAP = 500  # normalized chars kept
+_ANCHOR_RAW_WINDOW = 4096  # raw chars read after the open tag
+
+
+def _normalize_anchor(raw_span: str) -> str:
+    """Raw inter-tag span -> anchor text: inner tags stripped FIRST
+    (so '&lt;b&gt;' unescaping to '<b>' stays text, exactly like
+    html.parser's data events), entities unescaped, whitespace
+    collapsed, capped."""
+    return " ".join(_html.unescape(_TAG_STRIP.sub("", raw_span)).split())[
+        :_ANCHOR_CAP
+    ]
+
+
+def anchors_of(page_url: str, html_text: str) -> set[tuple[str, str]]:
+    """Distinct (outlink, anchor) pairs of one decoded page. The anchor
+    is the text between the open tag and the FIRST subsequent ``</a>``
+    (html.parser event semantics, pinned by the differential in
+    tests/test_links.py): inner tags dropped, entities unescaped,
+    whitespace collapsed, at most ``_ANCHOR_CAP`` chars. A self-closed
+    ``<a .../>`` or an open with no later close has anchor ''. Hostile
+    pages: anchors read at most ``_ANCHOR_RAW_WINDOW`` raw chars per
+    link — a documented bound the differential corpus stays within."""
+    import bisect
+
+    closes = [m.start() for m in _A_CLOSE.finditer(html_text)]
+    out: set[tuple[str, str]] = set()
+    for m in _A_TAG.finditer(html_text):
+        attrs = m.group(1)
+        h = _HREF.search(attrs)
+        if h is None:
+            continue
+        raw = h.group(1) if h.group(1) is not None else (
+            h.group(2) if h.group(2) is not None else h.group(3)
+        )
+        link = resolve_outlink(page_url, raw)
+        if link is None:
+            continue
+        # XHTML self-close: a trailing '/' in the tag head that is NOT
+        # part of a bare href token ('<a href=/x/>' gives href '/x/',
+        # not a self-close — html.parser agrees)
+        stripped = attrs.rstrip()
+        if stripped.endswith("/") and h.end() < len(stripped):
+            out.add((link, ""))
+            continue
+        start = m.end()
+        i = bisect.bisect_left(closes, start)
+        if i < len(closes):
+            span = html_text[start : min(closes[i], start + _ANCHOR_RAW_WINDOW)]
+            out.add((link, _normalize_anchor(span)))
+        else:
+            out.add((link, ""))
+    return out
+
+
+def extract_anchors(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> (url, outlink, anchor), one row per
+    DISTINCT (outlink, anchor) pair per page — the anchor-text signal
+    (what OTHER pages say a url is about) that retrieval and quality
+    models train on. Same narrow Arrow-batched shape as
+    extract_outlinks; per-dst anchor aggregation downstream shuffles on
+    the destination key only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, links, anchors = [], [], []
+            for page_url, raw in zip(pdf["url"], pdf["html"]):
+                if raw is None:
+                    continue
+                for link, anchor in sorted(
+                    anchors_of(page_url, decode_html(bytes(raw)))
+                ):
+                    urls.append(page_url)
+                    links.append(link)
+                    anchors.append(anchor)
+            yield pd.DataFrame({"url": urls, "outlink": links, "anchor": anchors})
+
+    return pages.select("url", "html").mapInPandas(
+        run, schema="url string, outlink string, anchor string"
+    )
+
+
 def extract_outlinks(pages: DataFrame) -> DataFrame:
     """pages(url, html, ...) -> (url, outlink), one row per DISTINCT
     resolved outlink per page. Column-pruned scan, Arrow-batched, no

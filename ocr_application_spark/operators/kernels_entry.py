@@ -703,3 +703,46 @@ def link_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").alias("n_links"))
     )
     return host_pagerank(edges, iterations=4)
+
+
+# Constant-per-row oracle like _LINKS_ORACLE: the docwrap template's
+# six links carry fixed anchor texts (nav labels, the two sponsored
+# aside links, the footer terms link; article text is html-escaped so
+# it can never form an <a>), so every page yields the same sorted
+# (link TAB anchor) lines. Any page where the anchor kernel reads a
+# different pairing breaks its row.
+_ANCHORS_ORACLE = """
+    select 'https://docs.example/' || printf('%08d', doc_id) as url,
+           cast(6 as bigint) as n_pairs,
+           sha256(array_to_string([
+             'https://docs.example/about' || chr(9) || 'about',
+             'https://docs.example/ad1' || chr(9) || 'sponsored link one',
+             'https://docs.example/ad2' || chr(9) || 'sponsored link two',
+             'https://docs.example/home' || chr(9) || 'home',
+             'https://docs.example/index' || chr(9) || 'index',
+             'https://docs.example/terms' || chr(9) || 'terms'
+           ], chr(10))) as anchors_digest
+    from documents
+"""
+
+
+@_q("link_anchor_texts", _ANCHORS_ORACLE)
+def link_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text extraction (kernels/links.extract_anchors — what
+    OTHER pages say a url is about, the classic web-graph retrieval /
+    quality signal) value-checked end-to-end: documents -> docwrap
+    pages -> anchor kernel -> per-url pair count + sha256 of the sorted
+    (outlink TAB anchor) lines; the oracle reconstructs the template's
+    six links with their literal anchor texts."""
+    from ocr_application_spark.datagen.docwrap import documents_as_pages
+    from ocr_application_spark.kernels.links import extract_anchors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = extract_anchors(documents_as_pages(docs))
+    line = F.concat_ws("\t", F.col("outlink"), F.col("anchor"))
+    return pairs.groupBy("url").agg(
+        F.count("*").alias("n_pairs"),
+        F.sha2(
+            F.concat_ws("\n", F.sort_array(F.collect_list(line))), 256
+        ).alias("anchors_digest"),
+    )

@@ -155,3 +155,124 @@ def test_outlinks_on_synth_corpus(spark):
         assert outlinks_of(r.url, decode_html(bytes(r.html))) == want
         n_checked += 1
     assert n_checked >= 400  # the corpus is html-dominated
+
+
+def _reference_anchors(page_url: str, html_text: str) -> set:
+    """Independent anchor reference: html.parser events — every <a href>
+    start opens a collector fed by data events; the first </a> end
+    closes ALL open collectors (the regex spec's 'text to the first
+    subsequent close'); a start-end tag (XHTML self-close) and an open
+    that never closes yield anchor ''."""
+    from html.parser import HTMLParser
+    from urllib.parse import urldefrag, urljoin
+
+    out: set = set()
+
+    def _norm(parts) -> str:
+        return " ".join("".join(parts).split())[:500]
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.open = []
+
+        def _link(self, attrs):
+            for k, v in attrs:
+                if k != "href" or v is None:
+                    continue
+                raw = v.strip()
+                if not raw or raw.startswith("#"):
+                    return None
+                if raw.lower().startswith(
+                    ("javascript:", "mailto:", "data:", "tel:")
+                ):
+                    return None
+                link, _ = urldefrag(urljoin(page_url, raw))
+                return link or None
+            return None
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                link = self._link(attrs)
+                if link is not None:
+                    self.open.append((link, []))
+
+        def handle_startendtag(self, tag, attrs):
+            if tag == "a":
+                link = self._link(attrs)
+                if link is not None:
+                    out.add((link, ""))
+
+        def handle_endtag(self, tag):
+            if tag == "a":
+                for link, parts in self.open:
+                    out.add((link, _norm(parts)))
+                self.open.clear()
+
+        def handle_data(self, data):
+            for _link, parts in self.open:
+                parts.append(data)
+
+    p = P()
+    try:
+        p.feed(html_text)
+        p.close()
+    except Exception:
+        pass
+    for link, _parts in p.open:  # unclosed opens: anchor ''
+        out.add((link, ""))
+    return out
+
+
+_ANCHOR_CASES = [
+    '<a href="/plain">plain text</a>',
+    '<a href="/bold"><b>deep</b>er</a>',
+    '<a href="/entity">a &amp; b &lt;c&gt;</a>',
+    '<a href="/ws">  spaced \n  words  </a>',
+    '<a href="/empty"></a>',
+    '<a href="/img"><img src="x.png"></a>',
+    '<a href="/outer">one<a href="/inner">two</a>',
+    '<a href="/dupanchor">same</a><a href="/dupanchor">same</a>',
+    '<a href="/twoanchors">first</a><a href="/twoanchors">second</a>',
+    '<a href="/selfclose"/>after<a href="/next">n</a>',
+    '<a href="/unclosed">never closed text',
+    '<A HREF="/upper">UP</A>',
+    '<a href="/q?a=1&amp;b=2">entity in href</a>',
+]
+
+
+def test_anchors_match_htmlparser_reference():
+    from ocr_application_spark.kernels.links import anchors_of
+
+    base = "https://host7.example/dir/page.html"
+    for html_text in _ANCHOR_CASES:
+        got = anchors_of(base, html_text)
+        want = _reference_anchors(base, html_text)
+        assert got == want, (html_text, got, want)
+    soup = "".join(_ANCHOR_CASES)
+    assert anchors_of(base, soup) == _reference_anchors(base, soup)
+    # the outlink projection of the anchor kernel must agree with the
+    # outlink kernel itself on the original adversarial corpus
+    from ocr_application_spark.kernels.links import outlinks_of
+
+    for html_text in _CASES + _ANCHOR_CASES:
+        assert {l for l, _ in anchors_of(base, html_text)} == outlinks_of(
+            base, html_text
+        ), html_text
+
+
+def test_anchors_linear_on_hostile_input():
+    from ocr_application_spark.kernels.links import anchors_of
+
+    t0 = time.monotonic()
+    anchors_of("https://h.example/", '<a href="/x">' * 30_000)  # no closes
+    assert time.monotonic() - t0 < 1.0
+    t0 = time.monotonic()
+    anchors_of("https://h.example/", '<a href="/x">t</a>' * 20_000)
+    assert time.monotonic() - t0 < 1.0
+    # many opens before ONE close: spans bounded by the raw window
+    t0 = time.monotonic()
+    anchors_of(
+        "https://h.example/", '<a href="/x">pad ' * 20_000 + "</a>"
+    )
+    assert time.monotonic() - t0 < 2.0

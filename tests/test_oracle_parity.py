@@ -80,6 +80,7 @@ def test_driver_window_covers_flagships_and_new_ops():
         "emb_neardup_multiprobe",
         "dedup_minhash_band_dial",
         "link_outdegree",
+        "link_anchor_texts",
         "link_host_pagerank",
         "text_bm25_topk",
         "events_asof_profile",
