@@ -35,6 +35,7 @@ def _modules():
         dedup,
         forecast,
         groupstats,
+        heavyhitters,
         kernels_entry,
         reference_ops,
         similarity,
@@ -70,13 +71,15 @@ def _modules():
         skew,
         curation,
         tpch,
-        # groupstats sits OUTSIDE the driver's 50-slot window by
-        # design, like the TPC-H demonstrators: exact percentiles and
-        # rollup are engine demonstrators with no reference analog,
-        # and every in-window slot is held by a flagship or a
+        # groupstats and heavyhitters sit OUTSIDE the driver's 50-slot
+        # window by design, like the TPC-H demonstrators: exact
+        # percentiles/rollup and the Misra-Gries frequent-key plan are
+        # engine demonstrators with no direct reference analog, and
+        # every in-window slot is held by a flagship or a
         # never-driver-checked op. Local parity still runs the
         # identical oracle comparison on them every pytest run.
         groupstats,
+        heavyhitters,
     ]
 
 

@@ -100,6 +100,7 @@ def test_driver_window_covers_flagships_and_new_ops():
         # comment in __spark_entry__._modules); oracle-checked here
         "group_percentiles_chars",
         "events_rollup_daily",
+        "text_heavy_hitters",
     }
     allowed_outside = (
         tpch_demos | demonstrators_outside | set(entrymod._ROTATED_BACK)
