@@ -37,6 +37,7 @@ def _modules():
         groupstats,
         heavyhitters,
         kernels_entry,
+        lm,
         reference_ops,
         similarity,
         sketches,
@@ -63,6 +64,7 @@ def _modules():
         ann_ivf,
         asof,
         sketches,
+        lm,
         reference_ops,
         dedup,
         textfns,
@@ -116,7 +118,11 @@ def _modules():
 # dedup_ngram_jaccard (r02-green, the jaccard posting plan untouched
 # this round) rotates out for link_anchor_texts (new anchor kernel,
 # never driver-checked).
+# text_vocabulary (r02-green, its TakeOrdered plan untouched this
+# round) rotates out for text_lm_score (new CCNet-style bigram-LM
+# scoring op, never driver-checked).
 _ROTATED_BACK = (
+    "text_vocabulary",
     "dedup_ngram_jaccard",
     "w5_sweep_merge",
     "w2_line_sessionize",

@@ -155,6 +155,7 @@ def main() -> None:
             "sketch_kmv_merged",
             "group_percentiles_chars",
             "events_rollup_daily",
+            "text_lm_score",
         ]
 
         def run(name: str) -> None:

@@ -1,0 +1,101 @@
+"""Bigram-LM scoring (operators/lm.py): edge cases the driver fixtures
+never exercise, the min_count pruning dial, and the plan contract.
+
+Oracle parity for the gate query runs in test_oracle_parity.py like
+every other queries() entry; these tests pin the semantics.
+"""
+
+import math
+
+import pandas as pd
+import pytest
+
+from ocr_application_spark.operators.lm import (
+    bigram_lm_tables,
+    score_documents,
+    text_lm_score,
+)
+
+COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=COLS))
+
+
+def test_short_docs_excluded_and_oov_counted(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat sat", "en", "s", 11),
+            (2, "single", "en", "s", 6),  # 1 token: no bigrams, no row
+            (3, "völlig unbekannte wörter", "de", "s", 24),  # all OOV
+        ],
+    )
+    big, ctx, vocab = bigram_lm_tables(docs)
+    out = {r["doc_id"]: r for r in score_documents(docs, big, ctx, vocab).collect()}
+    assert set(out) == {1, 3}
+    # training slice = docs 1 and 2 (both en); doc 2 has no bigrams but
+    # its token still enters the vocabulary: V = {the,cat,sat,single} = 4
+    assert out[1]["n_bigrams"] == 2 and out[1]["oov_bigrams"] == 0
+    # seen bigrams: c12 = 1, c1 = 1, V = 4 -> ln(2/5) per pair
+    expected = 2 * round(1e6 * math.log(2.0 / 5.0))
+    assert out[1]["lm_logprob_micro"] == expected
+    # doc 3 is not training (lang=de) but is scored; every pair unseen
+    assert out[3]["n_bigrams"] == 2 and out[3]["oov_bigrams"] == 2
+    assert out[3]["lm_logprob_micro"] == 2 * round(1e6 * math.log(1.0 / 4.0))
+
+
+def test_min_count_prunes_model_to_oov(spark):
+    # "a b" appears twice, "b c" once; min_count=2 drops "b c"
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c", "en", "s", 5),
+            (2, "a b", "en", "s", 3),
+        ],
+    )
+    big1, ctx1, vocab = bigram_lm_tables(docs, min_count=1)
+    big2, ctx2, _ = bigram_lm_tables(docs, min_count=2)
+    assert big1.count() == 2 and big2.count() == 1
+    s1 = {r["doc_id"]: r for r in score_documents(docs, big1, ctx1, vocab).collect()}
+    s2 = {r["doc_id"]: r for r in score_documents(docs, big2, ctx2, vocab).collect()}
+    assert s1[1]["oov_bigrams"] == 0 and s2[1]["oov_bigrams"] == 1
+    # pruning can only lower (or keep) the smoothed log-prob
+    for d in (1, 2):
+        assert s2[d]["lm_logprob_micro"] <= s1[d]["lm_logprob_micro"]
+
+
+def test_reference_like_docs_score_higher(spark):
+    """The point of the CCNet filter: text made of training bigrams
+    outscores (per-bigram) text the model never saw."""
+    train = [(i, "the quick brown fox jumps", "en", "s", 25) for i in range(10)]
+    docs = _docs(
+        spark,
+        train
+        + [
+            (100, "the quick brown fox", "en", "s", 19),
+            (101, "zxq wvu tsr qpo nml", "en", "s", 19),
+        ],
+    )
+    big, ctx, vocab = bigram_lm_tables(docs)
+    out = {r["doc_id"]: r for r in score_documents(docs, big, ctx, vocab).collect()}
+    rate = lambda r: r["lm_logprob_micro"] / r["n_bigrams"]  # noqa: E731
+    assert rate(out[100]) > rate(out[101])
+
+
+def test_empty_training_slice_yields_null_scores_not_garbage(spark):
+    """V = 0 makes the smoothed ratio 1/0 = inf, whose ANSI bigint cast
+    would throw mid-job; the operator guards it to NULL scores (loud
+    downstream) while the structural counts stay correct."""
+    docs = _docs(spark, [(1, "sin datos de entrenamiento", "es", "s", 26)])
+    big, ctx, vocab = bigram_lm_tables(docs)
+    out = score_documents(docs, big, ctx, vocab).collect()
+    assert out[0]["oov_bigrams"] == out[0]["n_bigrams"] == 3
+    assert out[0]["lm_logprob_micro"] is None
+
+
+def test_gate_query_runs_at_sf0001(spark):
+    out = text_lm_score(spark, "/root/testdata/sf0.001")
+    assert out.count() == 500
+    assert out.where("lm_logprob_micro >= 0").count() == 0  # log-probs are negative

@@ -477,3 +477,16 @@ def test_rollup_plan_is_single_aggregate_no_union(spark):
     plan = plan_of(spark, "events_rollup_daily")
     assert "Expand" in plan
     assert "Union" not in plan
+
+
+def test_lm_score_plan_prunes_scans_no_cartesian_no_python(spark):
+    # model training + scoring is pure JVM aggregation/join: the score
+    # scan reads only (doc_id, text), train scans only (text, lang);
+    # the 1-row vocab scalar broadcasts (BNLJ is fine for one row), the
+    # model joins are hash joins, and nothing is a cartesian product
+    plan = plan_of(spark, "text_lm_score")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    cols = {c for s in schemas for c in re.findall(r"(\w+):", s)}
+    assert cols <= {"struct", "doc_id", "text", "lang"}, cols
