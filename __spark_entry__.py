@@ -48,6 +48,7 @@ def _modules():
         textfns,
         tpch,
         urlops,
+        warc_entry,
     )
 
     # Order matters: the driver's correctness gate samples the FIRST 50
@@ -65,6 +66,7 @@ def _modules():
         asof,
         sketches,
         lm,
+        warc_entry,
         reference_ops,
         dedup,
         textfns,
@@ -121,7 +123,12 @@ def _modules():
 # text_vocabulary (r02-green, its TakeOrdered plan untouched this
 # round) rotates out for text_lm_score (new CCNet-style bigram-LM
 # scoring op, never driver-checked).
+# dedup_minhash_lsh (r02-green) rotates out for warc_wet_roundtrip
+# (new WET segment source, never driver-checked); the banding code it
+# shares with dedup_minhash_band_dial stays in-window through the dial
+# query, which exercises the identical signature/band/pair machinery.
 _ROTATED_BACK = (
+    "dedup_minhash_lsh",
     "text_vocabulary",
     "dedup_ngram_jaccard",
     "w5_sweep_merge",

@@ -156,6 +156,7 @@ def main() -> None:
             "group_percentiles_chars",
             "events_rollup_daily",
             "text_lm_score",
+            "warc_wet_roundtrip",
         ]
 
         def run(name: str) -> None:

@@ -55,6 +55,11 @@ from ocr_application_spark.operators.lm import (  # noqa: F401
     bigram_lm_tables,
     score_documents,
 )
+from ocr_application_spark.sources.warc import (  # noqa: F401
+    pack_wet_segments,
+    parse_wet_bytes,
+    parse_wet_segments,
+)
 from ocr_application_spark.operators.sketches import (  # noqa: F401
     kmv_distinct,
     kmv_merge,

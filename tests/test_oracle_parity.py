@@ -87,6 +87,7 @@ def test_driver_window_covers_flagships_and_new_ops():
         "sketch_kmv_distinct",
         "sketch_kmv_merged",
         "text_lm_score",
+        "warc_wet_roundtrip",
     }
     assert must_cover <= window, must_cover - window
     tpch_demos = {n for n in names if n.startswith(("q1", "q3", "q4", "q5", "q6", "q7"))} | {

@@ -490,3 +490,17 @@ def test_lm_score_plan_prunes_scans_no_cartesian_no_python(spark):
     schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
     cols = {c for s in schemas for c in re.findall(r"(\w+):", s)}
     assert cols <= {"struct", "doc_id", "text", "lang"}, cols
+
+
+def test_warc_roundtrip_plan_one_pack_shuffle_parse_unshuffled(spark):
+    # pack = exactly one hash exchange on the segment key; the parse
+    # kernel is the only Python stage and runs on whatever partitioning
+    # the pack produced (segments are self-contained, no re-shuffle);
+    # the scan prunes to (doc_id, text)
+    plan = plan_of(spark, "warc_wet_roundtrip")
+    assert "CartesianProduct" not in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id", "text"}

@@ -1,0 +1,122 @@
+"""WET/WARC segment source (sources/warc.py): byte-framing round-trip
+on adversarial payloads, malformed-input quarantine semantics, packing
+determinism. The gate query's oracle parity runs in test_oracle_parity.
+"""
+
+import pandas as pd
+import pytest
+
+from ocr_application_spark.sources.warc import (
+    pack_wet_segments,
+    parse_wet_bytes,
+    parse_wet_segments,
+)
+
+ADVERSARIAL_TEXTS = [
+    "plain words",
+    "",  # empty payload: Content-Length 0
+    "embedded\r\n\r\nrecord separator",
+    "WARC/1.0\r\nWARC-Type: conversion\r\n\r\nfake inner record\r\n\r\n",
+    "unicode — naïve café 世界 🚀",
+    "Content-Length: 999999",
+    "trailing newlines\r\n\r\n\r\n",
+    " \t leading ws",
+    "a" * 10_000,
+]
+
+
+def _pages(spark, texts):
+    rows = [
+        (f"https://t.example/{i:04d}", f"2024-01-01T00:00:{i % 60:02d}Z", t)
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["url", "warc_date", "text"]))
+
+
+def test_roundtrip_identity_on_adversarial_payloads(spark):
+    pages = _pages(spark, ADVERSARIAL_TEXTS)
+    parsed = parse_wet_segments(pack_wet_segments(pages, n_segments=3))
+    got = {r["url"]: r for r in parsed.collect()}
+    assert len(got) == len(ADVERSARIAL_TEXTS)
+    for i, t in enumerate(ADVERSARIAL_TEXTS):
+        r = got[f"https://t.example/{i:04d}"]
+        assert r["status"] == "ok"
+        assert r["text"] == t
+        assert r["n_bytes"] == len(t.encode("utf-8"))
+        assert r["warc_date"] == f"2024-01-01T00:00:{i % 60:02d}Z"
+
+
+def test_packing_is_deterministic(spark):
+    pages = _pages(spark, ADVERSARIAL_TEXTS)
+    a = {r["seg"]: bytes(r["payload"]) for r in pack_wet_segments(pages, 3).collect()}
+    b = {r["seg"]: bytes(r["payload"]) for r in pack_wet_segments(pages, 3).collect()}
+    assert a == b
+    assert sum(len(v) for v in a.values()) > 0
+
+
+def _record(url: str, body: bytes) -> bytes:
+    return (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "
+        + url.encode()
+        + b"\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "
+        + str(len(body)).encode()
+        + b"\r\n\r\n"
+        + body
+        + b"\r\n\r\n"
+    )
+
+
+def test_truncated_segment_quarantines_remainder_keeps_prefix():
+    blob = _record("https://a", b"first ok") + _record("https://b", b"second")[:-6]
+    out = parse_wet_bytes(blob)
+    assert [r["status"] for r in out][0] == "ok"
+    assert out[0]["text"] == "first ok"
+    assert len(out) == 2 and out[1]["status"].startswith("malformed:framing")
+
+
+def test_invalid_utf8_payload_quarantines_record_parsing_continues():
+    blob = _record("https://a", b"\xff\xfe broken") + _record("https://b", b"fine")
+    out = parse_wet_bytes(blob)
+    assert out[0]["status"].startswith("malformed:payload-encoding")
+    assert out[1] == {
+        "url": "https://b",
+        "warc_date": "2024-01-01T00:00:00Z",
+        "text": "fine",
+        "n_bytes": 4,
+        "status": "ok",
+    }
+
+
+def test_bad_version_and_header_shapes():
+    assert parse_wet_bytes(b"HTTP/1.1 200 OK\r\n\r\n")[0]["status"].startswith(
+        "malformed:version"
+    )
+    assert parse_wet_bytes(b"WARC/1.0\r\nno colon line\r\n\r\nx\r\n\r\n")[0][
+        "status"
+    ].startswith("malformed:header-line")
+    no_len = b"WARC/1.0\r\nWARC-Target-URI: u\r\n\r\nx\r\n\r\n"
+    assert parse_wet_bytes(no_len)[0]["status"].startswith("malformed:content-length")
+    assert parse_wet_bytes(b"WARC/1.0\r\nWARC-Type: conversion")[0]["status"].startswith(
+        "malformed:unterminated-header"
+    )
+
+
+def test_content_length_frames_through_lookalike_bodies():
+    """A body that BEGINS with a valid-looking record must not desync
+    the parser: framing is length-based, never marker-based."""
+    inner = _record("https://inner", b"decoy")
+    blob = _record("https://outer", inner) + _record("https://after", b"tail")
+    out = parse_wet_bytes(blob)
+    assert [r["url"] for r in out] == ["https://outer", "https://after"]
+    assert out[0]["text"] == inner.decode("utf-8")
+
+
+def test_empty_segment_and_empty_roundtrip(spark):
+    assert parse_wet_bytes(b"") == []
+    pages = spark.createDataFrame([], "url string, warc_date string, text string")
+    assert parse_wet_segments(pack_wet_segments(pages, 2)).count() == 0
+
+
+def test_pack_rejects_bad_segment_count(spark):
+    with pytest.raises(ValueError):
+        pack_wet_segments(_pages(spark, ["x"]), 0)
