@@ -31,6 +31,7 @@ def _modules():
     from ocr_application_spark.operators import (
         ann_ivf,
         asof,
+        buckets_entry,
         curation,
         dedup,
         forecast,
@@ -84,6 +85,9 @@ def _modules():
         # identical oracle comparison on them every pytest run.
         groupstats,
         heavyhitters,
+        # bucketed co-located join: same demonstrator class — the
+        # write-once/join-shuffle-free layout proof, plan-pinned
+        buckets_entry,
     ]
 
 

@@ -157,6 +157,7 @@ def main() -> None:
             "events_rollup_daily",
             "text_lm_score",
             "warc_wet_roundtrip",
+            "bucketed_colocated_join",
         ]
 
         def run(name: str) -> None:

@@ -55,6 +55,10 @@ from ocr_application_spark.operators.lm import (  # noqa: F401
     bigram_lm_tables,
     score_documents,
 )
+from ocr_application_spark.operators.buckets_entry import (  # noqa: F401
+    bucketed_join,
+    write_bucketed,
+)
 from ocr_application_spark.sources.warc import (  # noqa: F401
     pack_wet_segments,
     parse_wet_bytes,

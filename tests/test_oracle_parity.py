@@ -103,6 +103,7 @@ def test_driver_window_covers_flagships_and_new_ops():
         "group_percentiles_chars",
         "events_rollup_daily",
         "text_heavy_hitters",
+        "bucketed_colocated_join",
     }
     allowed_outside = (
         tpch_demos | demonstrators_outside | set(entrymod._ROTATED_BACK)

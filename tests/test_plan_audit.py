@@ -504,3 +504,15 @@ def test_warc_roundtrip_plan_one_pack_shuffle_parse_unshuffled(spark):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id", "text"}
+
+
+def test_bucketed_join_has_no_exchange_before_the_merge(spark):
+    # both fact tables are written bucketBy(8, orderkey): the
+    # SortMergeJoin consumes bucket i of each side directly — the only
+    # exchange in the whole plan is the final groupBy's, and both scans
+    # advertise the bucketed layout
+    plan = plan_of(spark, "bucketed_colocated_join")
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastExchange" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert plan.count("Bucketed: true") == 2, plan
