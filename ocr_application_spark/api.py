@@ -109,6 +109,7 @@ from ocr_application_spark.session import (  # noqa: F401
 )
 from ocr_application_spark.streaming.stream import (  # noqa: F401
     run_stream_ingest,
+    run_wet_stream_to_table,
 )
 from ocr_application_spark.operators.bpe import (  # noqa: F401
     bpe_apply,

@@ -370,3 +370,61 @@ def run_stream_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- streaming WET ingest ------------------------------------------------------
+
+WET_SEGMENTS_SCHEMA = "seg bigint, payload binary, n_records int"
+
+
+def stream_wet_segments(
+    spark: SparkSession, input_path: str, max_files: int = 4
+) -> DataFrame:
+    """File-source stream of packed WET segment blobs (sources/warc.py)
+    — the Common-Crawl drop-folder shape: shards land as files, each a
+    self-contained batch of framed records."""
+    return (
+        spark.readStream.schema(WET_SEGMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_path)
+    )
+
+
+def run_wet_stream_to_table(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint: str,
+):
+    """Stream-parse WET segments with the batch kernel (mapInPandas is
+    streaming-compatible — same parse_wet_bytes spec, two execution
+    modes) and the same earned exactly-once sink contract as
+    run_stream_to_table: per-epoch overwrite dirs, epoch-0 reset on a
+    wiped checkpoint, malformed records quarantined, never dropped."""
+    import shutil
+
+    from ocr_application_spark.sources.warc import parse_wet_segments
+
+    parsed = parse_wet_segments(stream_wet_segments(spark, input_path))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id == 0:
+            shutil.rmtree(out_path, ignore_errors=True)
+            shutil.rmtree(f"{out_path}_quarantine", ignore_errors=True)
+        batch_df.persist()
+        try:
+            ok = batch_df.where(F.col("status") == "ok")
+            bad = batch_df.where(F.col("status") != "ok")
+            ok.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+            bad.write.mode("overwrite").parquet(
+                f"{out_path}_quarantine/epoch={epoch_id}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        parsed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -120,3 +120,36 @@ def test_empty_segment_and_empty_roundtrip(spark):
 def test_pack_rejects_bad_segment_count(spark):
     with pytest.raises(ValueError):
         pack_wet_segments(_pages(spark, ["x"]), 0)
+
+
+def test_wet_stream_matches_batch(spark, tmpdir_scratch):
+    """Stream-parsed WET segments == batch-parsed, value level; a
+    malformed segment lands in quarantine, not in the output."""
+    from ocr_application_spark.streaming.stream import run_wet_stream_to_table
+
+    pages = _pages(spark, ADVERSARIAL_TEXTS)
+    segs = pack_wet_segments(pages, n_segments=4)
+    inp = tmpdir_scratch + "/segs"
+    # repartition: several files so the stream sees multiple batches
+    segs.repartition(4).write.parquet(inp)
+    # plus one poisoned segment file: truncated framing
+    poisoned = spark.createDataFrame(
+        [(999, bytearray(b"WARC/1.0\r\nWARC-Target-URI: u\r\nContent-Length: 5\r\n\r\nab"), 1)],
+        "seg bigint, payload binary, n_records int",
+    )
+    poisoned.write.mode("append").parquet(inp)
+
+    q = run_wet_stream_to_table(
+        spark, inp, tmpdir_scratch + "/out", tmpdir_scratch + "/ckpt"
+    )
+    assert q.awaitTermination(120)
+
+    got = spark.read.parquet(tmpdir_scratch + "/out")
+    batch = parse_wet_segments(segs).where("status = 'ok'")
+    assert got.count() == batch.count()
+    a = {(r.url, r.text, r.warc_date) for r in got.collect()}
+    b = {(r.url, r.text, r.warc_date) for r in batch.collect()}
+    assert a == b
+    quar = spark.read.parquet(tmpdir_scratch + "/out_quarantine")
+    assert quar.count() == 1
+    assert quar.collect()[0]["status"].startswith("malformed:framing")
