@@ -194,10 +194,45 @@ def curate(
     return curated, metrics
 
 
+def stage_wet_input(spark, segments_dir: str, staged_dir: str) -> dict:
+    """Convert a WET segment drop folder into the documents shape the
+    funnel consumes, materialized once at ``staged_dir`` (every gate
+    re-reads the documents parquet, so staging is required, not waste).
+    ONE parse pass (persisted) feeds both the staged documents and the
+    quarantine table — the byte-level kernel never runs twice over the
+    corpus for a metrics line. Returns the ingest metrics."""
+    from ocr_application_spark.sources.warc import (
+        parse_wet_segments,
+        wet_to_documents,
+    )
+
+    parsed = parse_wet_segments(spark.read.parquet(segments_dir)).persist()
+    try:
+        wet_to_documents(parsed).write.mode("overwrite").parquet(
+            f"{staged_dir}/documents.parquet"
+        )
+        parsed.where(F.col("status") != "ok").write.mode("overwrite").parquet(
+            f"{staged_dir}/quarantine.parquet"
+        )
+        n_all = parsed.count()
+        n_ok = spark.read.parquet(f"{staged_dir}/documents.parquet").count()
+    finally:
+        parsed.unpersist()
+    return {"stage": "wet_ingest", "records": n_all, "rows_out": n_ok,
+            "malformed": n_all - n_ok, "staged": staged_dir}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
-                    help="directory containing documents.parquet")
+                    help="directory containing documents.parquet (or WET "
+                         "segment parquet with --input-format wet)")
+    ap.add_argument("--input-format", default="documents",
+                    choices=("documents", "wet"),
+                    help="'wet': --input is a packed WET segment table "
+                         "(sources/warc.py shape); it is parsed and staged "
+                         "into the documents shape under --output before "
+                         "the gates run")
     ap.add_argument("--output", required=True)
     ap.add_argument("--gates", default=",".join(DEFAULT_GATES),
                     help=f"comma list from {ALL_GATES} (order is fixed; "
@@ -216,7 +251,12 @@ def main() -> None:
     spark = get_spark("curate_job")
     try:
         gates = tuple(g for g in args.gates.split(",") if g)
-        curated, metrics = curate(spark, args.input, gates=gates,
+        input_dir = args.input
+        pre_metrics = []
+        if args.input_format == "wet":
+            input_dir = args.output.rstrip("/") + "_wet_staged"
+            pre_metrics.append(stage_wet_input(spark, args.input, input_dir))
+        curated, metrics = curate(spark, input_dir, gates=gates,
                                   n_shards=args.shards,
                                   dedup_index=args.dedup_index)
         (
@@ -227,7 +267,7 @@ def main() -> None:
         out = spark.read.parquet(args.output)
         by_split = {r["split"]: r["n"] for r in
                     out.groupBy("split").agg(F.count("*").alias("n")).collect()}
-        for m in metrics:
+        for m in pre_metrics + metrics:
             print(json.dumps(m))
         print(json.dumps({"stage": "write", "rows_out": sum(by_split.values()),
                           "by_split": by_split, "output": args.output}))

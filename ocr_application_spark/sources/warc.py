@@ -195,3 +195,28 @@ def parse_wet_segments(segments: DataFrame) -> DataFrame:
     whatever partitioning the scan produced.
     """
     return segments.select("seg", "payload").mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
+
+
+def wet_to_documents(parsed: DataFrame) -> DataFrame:
+    """Parsed WET records (``parse_wet_segments`` output) -> the
+    input_hint ``documents`` shape, so the curation funnel
+    (jobs/curate_job.py) can consume a Common-Crawl-style drop folder
+    directly.
+
+    doc_id is xxhash64(url) — deterministic across runs/partitionings
+    (the holdout/shard coins downstream are pure functions of it, so a
+    re-crawl of the same url lands in the same split); source is the
+    url host (what the domain-mixture sampler stratifies on); lang is
+    NULL — unknown at ingest, the clean gate infers its own language
+    signal from the text. Malformed records are excluded here; the
+    caller routes them to quarantine (jobs/curate_job.stage_wet_input
+    does, from the same single parse pass).
+    """
+    ok = parsed.where(F.col("status") == "ok")
+    return ok.select(
+        F.xxhash64("url").alias("doc_id"),
+        "text",
+        F.lit(None).cast("string").alias("lang"),
+        F.parse_url("url", F.lit("HOST")).alias("source"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )

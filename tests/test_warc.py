@@ -153,3 +153,42 @@ def test_wet_stream_matches_batch(spark, tmpdir_scratch):
     quar = spark.read.parquet(tmpdir_scratch + "/out_quarantine")
     assert quar.count() == 1
     assert quar.collect()[0]["status"].startswith("malformed:framing")
+
+
+def test_curate_job_wet_input_mode(spark, tmpdir_scratch):
+    """The funnel consumes a WET drop folder end-to-end: stage (one
+    parse pass -> documents shape + quarantine), then gate chain."""
+    from jobs.curate_job import curate, stage_wet_input
+
+    # stopword/unique-token interleave: enough stopwords for the clean
+    # gate's language signal, every n-gram distinct so the Gopher
+    # repetition gate (which rightly kills copy-pasted filler) passes
+    stops = ("the", "of", "and", "a", "to")
+    texts = [
+        " ".join(
+            t for j in range(20) for t in (stops[j % 5], f"unique{i}word{j}")
+        )
+        for i in range(40)
+    ]
+    pages = _pages(spark, texts)
+    inp = tmpdir_scratch + "/segs"
+    pack_wet_segments(pages, n_segments=4).write.parquet(inp)
+    spark.createDataFrame(
+        [(999, bytearray(b"garbage not warc"), 1)],
+        "seg bigint, payload binary, n_records int",
+    ).write.mode("append").parquet(inp)
+
+    staged = tmpdir_scratch + "/staged"
+    m = stage_wet_input(spark, inp, staged)
+    assert m["records"] == 41 and m["rows_out"] == 40 and m["malformed"] == 1
+    assert spark.read.parquet(staged + "/quarantine.parquet").count() == 1
+
+    docs = spark.read.parquet(staged + "/documents.parquet")
+    assert docs.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert docs.where("source = 't.example'").count() == 40
+    assert docs.select("doc_id").distinct().count() == 40
+
+    curated, metrics = curate(spark, staged, gates=("clean", "repetition"))
+    assert metrics[0]["rows_in"] == 40
+    assert curated.count() > 0
+    assert set(curated.columns) >= {"doc_id", "text", "split", "shard"}
