@@ -45,13 +45,44 @@ import json
 from pyspark.sql import functions as F
 
 
-#: default gate chain; "c4" and "gopher_quality" are opt-in dials — the
-#: C4 line rules and the full Gopher rule card assume prose-shaped text
-#: (terminal punctuation, English stop words), so a recipe flips them on
-#: per corpus rather than eating a 100% kill rate on corpora they don't
-#: fit (exactly how C4/MassiveText pipelines stage their own gates).
+#: default gate chain; "c4", "gopher_quality" and "lm" are opt-in dials —
+#: the C4 line rules and the full Gopher rule card assume prose-shaped
+#: text (terminal punctuation, English stop words) and the lm gate needs
+#: a usable reference slice to train on, so a recipe flips them on per
+#: corpus rather than eating a 100% kill rate on corpora they don't fit
+#: (exactly how C4/MassiveText/CCNet pipelines stage their own gates).
 DEFAULT_GATES = ("clean", "repetition", "rank")
-ALL_GATES = ("clean", "c4", "gopher_quality", "repetition", "rank")
+ALL_GATES = ("clean", "c4", "gopher_quality", "repetition", "rank", "lm")
+
+
+def _lm_verdicts(spark, docs, keep_quantile: float):
+    """CCNet-proper perplexity gate (opt-in like c4/gopher_quality): an
+    add-one bigram model trains on the corpus's lang='en' slice
+    (operators/lm.py — at production scale, point it at a curated
+    reference corpus instead) and a document survives if its per-bigram
+    log-prob rate clears the corpus's ``keep_quantile`` percentile —
+    a relative cut, so the dial is a kept-fraction, not a magic
+    absolute threshold. Docs with <2 tokens can't be assessed and are
+    dropped. Fails loud when the training slice is empty (e.g. a WET
+    staging where lang is NULL) rather than silently killing the
+    corpus with NULL scores."""
+    from ocr_application_spark.operators.lm import bigram_lm_tables, score_documents
+
+    big, ctx, vocab = bigram_lm_tables(docs)
+    if vocab.collect()[0]["v_size"] == 0:
+        raise ValueError(
+            "lm gate: empty training slice (no lang='en' docs) — "
+            "train on a reference corpus or skip the lm gate"
+        )
+    scored = score_documents(docs, big, ctx, vocab)
+    rates = scored.where(F.col("n_bigrams") > 0).select(
+        "doc_id",
+        (F.col("lm_logprob_micro").cast("double") / F.col("n_bigrams")).alias("rate"),
+    )
+    thr = rates.agg(F.expr(f"percentile(rate, {keep_quantile})").alias("thr"))
+    return rates.crossJoin(F.broadcast(thr)).withColumn(
+        "keep", F.col("rate") >= F.col("thr")
+    )
 
 # the previous curate() call's surviving-id persist: the returned plan
 # references it, so nothing else frees it — a long-lived session calling
@@ -66,6 +97,7 @@ def curate(
     gates=DEFAULT_GATES,
     n_shards: int = 8,
     dedup_index: str | None = None,
+    lm_keep_quantile: float = 0.25,
 ):
     """Return (curated DataFrame, stage-metrics list). ``input_dir``
     must contain documents.parquet (the input_hint documents shape).
@@ -152,6 +184,9 @@ def curate(
                    text_gopher_repetition(spark, input_dir), cur)
     if "rank" in gates:
         cur = gate("rank_quality", text_rank_quality(spark, input_dir), cur)
+    if "lm" in gates:
+        cur = gate("lm_perplexity", _lm_verdicts(spark, docs, lm_keep_quantile),
+                   cur)
 
     # when the c4 gate ran, the shipped text is the line-filtered
     # reconstruction (kept lines rejoined in order) — the same bytes the
@@ -239,6 +274,9 @@ def main() -> None:
                          "'c4' rebuilds text from surviving lines)")
     ap.add_argument("--shards", type=int, default=8,
                     help="trainer hand-off shard count (deterministic)")
+    ap.add_argument("--lm-keep-quantile", type=float, default=0.25,
+                    help="lm gate: drop docs whose per-bigram log-prob "
+                         "rate is below this corpus percentile")
     ap.add_argument("--dedup-index", default=None,
                     help="persisted fingerprint-index path: dedupe this "
                          "batch against prior runs BEFORE the gates "
@@ -258,7 +296,8 @@ def main() -> None:
             pre_metrics.append(stage_wet_input(spark, args.input, input_dir))
         curated, metrics = curate(spark, input_dir, gates=gates,
                                   n_shards=args.shards,
-                                  dedup_index=args.dedup_index)
+                                  dedup_index=args.dedup_index,
+                                  lm_keep_quantile=args.lm_keep_quantile)
         (
             curated.write.mode("overwrite")
             .partitionBy("split")

@@ -99,3 +99,35 @@ def test_gate_query_runs_at_sf0001(spark):
     out = text_lm_score(spark, "/root/testdata/sf0.001")
     assert out.count() == 500
     assert out.where("lm_logprob_micro >= 0").count() == 0  # log-probs are negative
+
+
+def test_lm_gate_in_curation_funnel(spark, tmpdir_scratch):
+    """Opt-in lm gate: gibberish falls below the keep-quantile of the
+    per-bigram log-prob rate, reference-like prose survives; an input
+    with no trainable slice fails loud instead of zeroing the corpus."""
+    from jobs.curate_job import curate
+
+    prose = [
+        (i, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60)
+        for i in range(20)
+    ]
+    junk = [
+        (100 + i, f"zq{i}w vx{i}u tr{i}s qo{i}p nl{i}m kj{i}h", "en", "s", 30)
+        for i in range(4)
+    ]
+    _docs(spark, prose + junk).write.mode("overwrite").parquet(
+        tmpdir_scratch + "/documents.parquet"
+    )
+    curated, metrics = curate(
+        spark, tmpdir_scratch, gates=("lm",), lm_keep_quantile=4 / 24
+    )
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert all(i in kept for i in range(20))
+    assert all(100 + i not in kept for i in range(4))
+    assert metrics[0]["stage"] == "lm_perplexity" and metrics[0]["dropped"] == 4
+
+    _docs(spark, [(1, "nur deutsch hier", "de", "s", 16)]).write.mode(
+        "overwrite"
+    ).parquet(tmpdir_scratch + "/documents.parquet")
+    with pytest.raises(ValueError, match="empty training slice"):
+        curate(spark, tmpdir_scratch, gates=("lm",))
