@@ -34,6 +34,7 @@ def _modules():
         buckets_entry,
         curation,
         dedup,
+        entropy,
         forecast,
         groupstats,
         heavyhitters,
@@ -68,6 +69,7 @@ def _modules():
         sketches,
         lm,
         warc_entry,
+        entropy,
         reference_ops,
         dedup,
         textfns,
@@ -127,11 +129,22 @@ def _modules():
 # text_vocabulary (r02-green, its TakeOrdered plan untouched this
 # round) rotates out for text_lm_score (new CCNet-style bigram-LM
 # scoring op, never driver-checked).
+# corpus_clean_pipeline (r02-green, its langid/quality/survivor
+# expressions untouched this round) rotates out for text_char_entropy
+# (new exact-entropy quality signal, never driver-checked).
 # dedup_minhash_lsh (r02-green) rotates out for warc_wet_roundtrip
 # (new WET segment source, never driver-checked); the banding code it
 # shares with dedup_minhash_band_dial stays in-window through the dial
 # query, which exercises the identical signature/band/pair machinery.
+# Never-sampled-BY-DESIGN entries (distinct from _ROTATED_BACK's
+# previously-driver-green names): rows-only queries whose value
+# contract is pytest-pinned — a window slot would buy only the weak
+# rows-only check, so they yield their slot to oracle-paired ops.
+# Justifications live in COVERAGE.md next to each op.
+_OUTSIDE_WINDOW = ("text_compression_ratio",)
+
 _ROTATED_BACK = (
+    "corpus_clean_pipeline",
     "dedup_minhash_lsh",
     "text_vocabulary",
     "dedup_ngram_jaccard",
@@ -170,7 +183,9 @@ _ROTATED_BACK = (
 
 
 def _rotate(entries: dict) -> dict:
-    back = {n: entries[n] for n in _ROTATED_BACK if n in entries}
+    back = {
+        n: entries[n] for n in (*_OUTSIDE_WINDOW, *_ROTATED_BACK) if n in entries
+    }
     front = {n: v for n, v in entries.items() if n not in back}
     front.update(back)
     return front

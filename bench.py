@@ -158,6 +158,8 @@ def main() -> None:
             "text_lm_score",
             "warc_wet_roundtrip",
             "bucketed_colocated_join",
+            "text_char_entropy",
+            "text_compression_ratio",
         ]
 
         def run(name: str) -> None:

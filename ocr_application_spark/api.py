@@ -51,6 +51,10 @@ from ocr_application_spark.lineage import bucket_lineage as lineage  # noqa: F40
 from ocr_application_spark.operators.asof import asof_join  # noqa: F401
 from ocr_application_spark.operators.groupstats import group_percentiles  # noqa: F401
 from ocr_application_spark.operators.heavyhitters import heavy_hitters  # noqa: F401
+from ocr_application_spark.operators.entropy import (  # noqa: F401
+    char_entropy_cols,
+    compression_ratio,
+)
 from ocr_application_spark.operators.lm import (  # noqa: F401
     bigram_lm_tables,
     score_documents,

@@ -88,6 +88,7 @@ def test_driver_window_covers_flagships_and_new_ops():
         "sketch_kmv_merged",
         "text_lm_score",
         "warc_wet_roundtrip",
+        "text_char_entropy",
     }
     assert must_cover <= window, must_cover - window
     tpch_demos = {n for n in names if n.startswith(("q1", "q3", "q4", "q5", "q6", "q7"))} | {
@@ -106,7 +107,10 @@ def test_driver_window_covers_flagships_and_new_ops():
         "bucketed_colocated_join",
     }
     allowed_outside = (
-        tpch_demos | demonstrators_outside | set(entrymod._ROTATED_BACK)
+        tpch_demos
+        | demonstrators_outside
+        | set(entrymod._ROTATED_BACK)
+        | set(entrymod._OUTSIDE_WINDOW)
     )
     assert outside <= allowed_outside, outside - allowed_outside
 
