@@ -132,6 +132,21 @@ def _modules():
 # corpus_clean_pipeline (r02-green, its langid/quality/survivor
 # expressions untouched this round) rotates out for text_char_entropy
 # (new exact-entropy quality signal, never driver-checked).
+# emb_neardup_pairs (r02-green) rotates out for text_pmi_collocations
+# (new collocation op, never driver-checked); the shared quantized pair
+# scorer stays in-window through emb_neardup_multiprobe, which
+# exercises the identical bucket/score machinery plus the probe ring.
+# url_holdout_split (new r03, never driver-checked) yields its slot to
+# events_interval_overlap (bucketized range join, new): every piece of
+# its machinery keeps an in-window twin — canonicalization through
+# url_canonicalize/url_canonical_dupes, the md5 hex-coin bridge through
+# sample_stratified and shard_shuffle — while the range-join plan is
+# brand-new physical machinery with no twin at all.
+# sketch_kmv_distinct (new r03, never driver-checked) yields its slot
+# to classify_nb_langid (new trained-NB classifier): the KMV sketch
+# construction it would prove stays driver-checked through
+# sketch_kmv_merged, whose merged==direct oracle rebuilds the same
+# per-partition sketches before the merge — the weaker loss.
 # dedup_minhash_lsh (r02-green) rotates out for warc_wet_roundtrip
 # (new WET segment source, never driver-checked); the banding code it
 # shares with dedup_minhash_band_dial stays in-window through the dial
@@ -144,6 +159,9 @@ def _modules():
 _OUTSIDE_WINDOW = ("text_compression_ratio",)
 
 _ROTATED_BACK = (
+    "url_holdout_split",
+    "sketch_kmv_distinct",
+    "emb_neardup_pairs",
     "corpus_clean_pipeline",
     "dedup_minhash_lsh",
     "text_vocabulary",

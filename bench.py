@@ -160,6 +160,9 @@ def main() -> None:
             "bucketed_colocated_join",
             "text_char_entropy",
             "text_compression_ratio",
+            "text_pmi_collocations",
+            "classify_nb_langid",
+            "events_interval_overlap",
         ]
 
         def run(name: str) -> None:

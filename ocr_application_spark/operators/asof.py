@@ -198,3 +198,135 @@ def events_asof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, vers, on="user_id", left_ts="ts_us", right_ts="ver_ts_us",
         payload=["plan_id"],
     )
+
+
+# --- bin-bucketized interval overlap join ----------------------------------
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    on: list[str],
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket: int,
+) -> DataFrame:
+    """Interval overlap join at shuffle-join cost — the bin-bucketized
+    range-join plan (the technique behind Databricks' RANGE_JOIN hint;
+    vanilla Spark would execute the raw theta predicate as a per-key
+    nested loop that dies on hot keys at 100 TB).
+
+    Both sides explode their [start, end] interval (CLOSED, integer
+    units — callers use the unix_micros convention) into coarse bins of
+    width ``bucket``; the join is a plain equi-join on (*on, bin), so it
+    hash-partitions and AQE-skew-splits like any other shuffle join.
+    The residual predicate keeps (1) truly overlapping pairs and (2)
+    only the CANONICAL bin — the one containing max(a_start, b_start),
+    which every overlapping pair shares exactly once — so duplicate
+    emission is impossible by construction and no distinct/dedup
+    shuffle is ever needed.
+
+    All bin math is integer division (``div``), never float: a double
+    s/W near a bin boundary can round across it and silently LOSE a
+    pair; ``div`` is exact and identical in both engines for the
+    non-negative epoch range. Intervals longer than ``bucket`` emit
+    ceil(len/bucket)+1 copies — size ``bucket`` to the typical interval
+    length (the recall/cost dial of the plan; correctness never depends
+    on it). Start/end columns must be non-negative integers; end >=
+    start is required (F.sequence would silently DESCEND otherwise).
+    """
+    if bucket <= 0:
+        raise ValueError(f"bucket must be a positive integer, got {bucket}")
+
+    def bins(s: str, e: str):
+        return F.sequence(
+            F.expr(f"{s} div {int(bucket)}"), F.expr(f"{e} div {int(bucket)}")
+        )
+
+    clash = (set(a.columns) & set(b.columns)) - set(on)
+    if clash:
+        raise ValueError(f"non-key columns collide across sides: {sorted(clash)}")
+    if "_bin" in set(a.columns) | set(b.columns):
+        raise ValueError("column name '_bin' is reserved by interval_overlap_join")
+    ae = a.withColumn("_bin", F.explode(bins(a_start, a_end)))
+    be = b.withColumn("_bin", F.explode(bins(b_start, b_end)))
+    canonical = F.expr(
+        f"greatest({a_start}, {b_start}) div {int(bucket)}"
+    )
+    return (
+        ae.join(be, [*on, "_bin"])
+        .where(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+            & (F.col("_bin") == canonical)
+        )
+        .drop("_bin")
+    )
+
+
+# click attention window: 2 h; view dwell window: 90 min — the bins
+# are sized to the longer one so each interval spans at most 2 bins
+# (lengths chosen so the sf0.01 fixture yields ~150 pairs — enough to
+# exercise the canonical-bin dedup across bin boundaries)
+_OVL_A_US = 7_200_000_000
+_OVL_B_US = 5_400_000_000
+
+_OVERLAP_ORACLE = f"""
+    with e as (
+      select event_id, user_id, event_type, epoch_us(ts) as us from events
+    ),
+    a as (
+      select event_id as a_id, user_id, us as a_s, us + {_OVL_A_US} as a_e
+      from e where event_type = 'click'
+    ),
+    b as (
+      select event_id as b_id, user_id, us as b_s, us + {_OVL_B_US} as b_e
+      from e where event_type = 'view'
+    )
+    select a.user_id, a_id, b_id,
+           least(a_e, b_e) - greatest(a_s, b_s) as overlap_us
+    from a join b on a.user_id = b.user_id
+                 and a.a_s <= b.b_e and b.b_s <= a.a_e
+"""
+
+
+@_q("events_interval_overlap", _OVERLAP_ORACLE)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for :func:`interval_overlap_join`: every (click-attention,
+    view-dwell) interval pair per user that overlaps in time, with the
+    exact integer overlap length. The oracle is the raw theta join —
+    a DELIBERATELY different plan (fine at sf, fatal at scale), so
+    agreement proves the bucketized rewrite loses and invents nothing.
+    """
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    a = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("us").alias("a_s"),
+        (F.col("us") + _OVL_A_US).alias("a_e"),
+    )
+    b = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        F.col("us").alias("b_s"),
+        (F.col("us") + _OVL_B_US).alias("b_e"),
+    )
+    pairs = interval_overlap_join(
+        a, b, on=["user_id"], a_start="a_s", a_end="a_e",
+        b_start="b_s", b_end="b_e", bucket=_OVL_A_US,
+    )
+    return pairs.select(
+        "user_id",
+        "a_id",
+        "b_id",
+        (
+            F.least(F.col("a_e"), F.col("b_e"))
+            - F.greatest(F.col("a_s"), F.col("b_s"))
+        ).alias("overlap_us"),
+    )

@@ -190,3 +190,257 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     big, ctx, vocab = bigram_lm_tables(docs)
     return score_documents(docs, big, ctx, vocab)
+
+
+# --- PMI collocations ------------------------------------------------------
+
+_MIN_PAIR = 5  # standard min-support cut: PMI is unstable on rare pairs
+
+
+_PMI_ORACLE = f"""
+    with toks as (
+      select doc_id, string_split(text, ' ') as t from documents
+    ),
+    pairs as (
+      select t[u.i] as w1, t[u.i+1] as w2
+      from toks, unnest(range(1, len(t))) u(i)
+    ),
+    big as (
+      select w1, w2, count(*) as c12 from pairs group by 1, 2
+      having count(*) >= {_MIN_PAIR}
+    ),
+    uni as (
+      select u.tok as token, count(*) as c from toks, unnest(t) u(tok) group by 1
+    ),
+    n as (select count(*) as n_pairs from pairs)
+    select b.w1, b.w2, b.c12,
+           cast(round(1e6 * (ln(cast(b.c12 as double)) + ln(cast(n.n_pairs as double))
+                             - ln(cast(u1.c as double)) - ln(cast(u2.c as double))), 0)
+                as bigint) as pmi_micro_nats
+    from big b
+    join uni u1 on b.w1 = u1.token
+    join uni u2 on b.w2 = u2.token
+    cross join n
+    order by pmi_micro_nats desc, b.w1, b.w2
+    limit 100
+"""
+
+
+_NB_SALT = ":nbtrain"  # distinct from shard_coin's ":shard" — splits must not correlate
+
+
+_NB_ORACLE = f"""
+    with coined as (
+      select *, substr(md5(cast(doc_id as varchar) || '{_NB_SALT}'), 1, 1) < '8'
+                  as is_train
+      from documents
+    ),
+    doctf as (
+      select doc_id, u.tok as token, count(*) as tf
+      from coined, unnest(list_filter(string_split(text, ' '), x -> x != '')) u(tok)
+      group by 1, 2
+    ),
+    traintok as (
+      select lang, u.tok as token, count(*) as c_lt
+      from coined, unnest(list_filter(string_split(text, ' '), x -> x != '')) u(tok)
+      where is_train
+      group by 1, 2
+    ),
+    langs as (
+      select lang, sum(c_lt) as c_l from traintok group by 1
+    ),
+    priors as (
+      select lang, count(*) as n_l from coined where is_train group by 1
+    ),
+    consts as (
+      select count(distinct token) as v_size,
+             (select count(*) from coined where is_train) as n_train
+      from traintok
+    ),
+    scored as (
+      select d.doc_id, l.lang,
+             sum(d.tf * cast(round(1e6 * ln(cast(coalesce(t.c_lt, 0) + 1 as double)
+                                            / cast(l.c_l + c.v_size as double)), 0)
+                             as bigint))
+             + cast(round(1e6 * ln(cast(p.n_l as double)
+                                   / cast(c.n_train as double)), 0) as bigint)
+               as score_micro
+      from doctf d
+      cross join langs l
+      join priors p on p.lang = l.lang
+      cross join consts c
+      left join traintok t on t.token = d.token and t.lang = l.lang
+      group by d.doc_id, l.lang, p.n_l, c.n_train
+    ),
+    ranked as (
+      select doc_id, lang as pred_lang, score_micro,
+             row_number() over (partition by doc_id
+                                order by score_micro desc, lang) as rn,
+             lead(score_micro) over (partition by doc_id
+                                     order by score_micro desc, lang) as second
+      from scored
+    )
+    select r.doc_id, c.lang, c.is_train, r.pred_lang,
+           r.score_micro, r.score_micro - r.second as margin_micro,
+           r.pred_lang = c.lang as correct
+    from ranked r join coined c using (doc_id)
+    where r.rn = 1
+"""
+
+
+def nb_langid(docs: DataFrame) -> DataFrame:
+    """Trained multinomial Naive-Bayes language classifier — the
+    fastText-style model-based filtering stage of an LLM data pipeline
+    (GPT-3/LLaMA-class corpora gate documents with exactly this shape:
+    train a cheap linear classifier on a labeled slice, score the whole
+    crawl, keep by predicted class/margin). Input: (doc_id, lang, text).
+
+    Train/apply split is the deterministic md5 coin (top hex digit <
+    '8' ~ 50%, salt ':nbtrain' so it cannot correlate with the shard
+    split). Per-token log-likelihoods ln((c_lt+1)/(c_l+V)) are ratios
+    of exact integers quantized to micro-nats BEFORE the tf-weighted
+    sum (repo invariant), the class prior joins in the same integer
+    form, so the per-(doc, lang) score is an exact integer in both
+    engines and the argmax — row_number over (score desc, lang) — is a
+    total order that cannot diverge on ties. The runner-up score prices
+    the decision margin.
+
+    Scale: the model is V x n_langs rows (bounded by the labeled
+    corpus, not the crawl); doc tokens collapse to (doc, token, tf)
+    first, the langs/priors/consts dims broadcast, and the model join
+    is a token equi-join AQE broadcasts when small. The only window is
+    partitioned by doc_id over exactly n_langs rows.
+    """
+    coin = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_NB_SALT)))
+    coined = docs.withColumn("is_train", F.substring(coin, 1, 1) < "8")
+    tok = F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias(
+        "token"
+    )
+    doctf = (
+        coined.select("doc_id", tok)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    traintok = (
+        coined.where("is_train")
+        .select("lang", tok)
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("c_lt"))
+    )
+    langs = traintok.groupBy("lang").agg(F.sum("c_lt").alias("c_l"))
+    priors = coined.where("is_train").groupBy("lang").agg(F.count("*").alias("n_l"))
+    consts = traintok.agg(F.countDistinct("token").alias("v_size")).crossJoin(
+        coined.where("is_train").agg(F.count("*").alias("n_train"))
+    )
+    q_tok = F.col("tf") * F.round(
+        F.lit(1e6)
+        * F.log(
+            (F.coalesce(F.col("c_lt"), F.lit(0)) + 1).cast("double")
+            / (F.col("c_l") + F.col("v_size")).cast("double")
+        ),
+        0,
+    ).cast("bigint")
+    prior_q = F.round(
+        F.lit(1e6)
+        * F.log(F.col("n_l").cast("double") / F.col("n_train").cast("double")),
+        0,
+    ).cast("bigint")
+    model = traintok.select(
+        F.col("token").alias("m_token"), F.col("lang").alias("m_lang"), "c_lt"
+    )
+    scored = (
+        doctf.crossJoin(F.broadcast(langs.join(priors, "lang")))
+        .crossJoin(F.broadcast(consts))
+        .join(
+            model,
+            (F.col("token") == F.col("m_token")) & (F.col("lang") == F.col("m_lang")),
+            "left",
+        )
+        .groupBy("doc_id", "lang", "n_l", "n_train")
+        .agg(F.sum(q_tok).alias("ll_micro"))
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("ll_micro") + prior_q).alias("score_micro"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), "lang")
+    ranked = scored.select(
+        "doc_id",
+        F.col("lang").alias("pred_lang"),
+        "score_micro",
+        F.row_number().over(w).alias("rn"),
+        F.lead("score_micro").over(w).alias("second"),
+    ).where(F.col("rn") == 1)
+    return (
+        ranked.join(coined.select("doc_id", "lang", "is_train"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "is_train",
+            "pred_lang",
+            "score_micro",
+            (F.col("score_micro") - F.col("second")).alias("margin_micro"),
+            (F.col("pred_lang") == F.col("lang")).alias("correct"),
+        )
+    )
+
+
+@_q("classify_nb_langid", _NB_ORACLE)
+def classify_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry for :func:`nb_langid` over the documents table. Note
+    the synthetic corpus draws all five langs from ONE shared 31-token
+    vocabulary, so corpus accuracy (~0.44) reflects the data's lexical
+    ceiling, not the operator — `tests/test_lm.py` proves the model
+    learns on a separable fixture via a pure-Python differential twin.
+    """
+    return nb_langid(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@_q("text_pmi_collocations", _PMI_ORACLE)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PMI collocations over the corpus bigrams (min support
+    _MIN_PAIR=5). PMI is computed as ln(c12)+ln(N)-ln(c1)-ln(c2) — the SAME
+    IEEE op sequence in both engines (mirrored verbatim in the oracle),
+    never the product form whose int64 multiply overflows at crawl
+    scale — then quantized to integer micro-nats; the top-100 cut is
+    totally ordered by (pmi desc, w1, w2) so ranking cannot diverge.
+    Plan: two count shuffles + model equi-joins; the limit runs as
+    TakeOrderedAndProject, never a global sort materialization.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.split(F.col("text"), " ").alias("t")).where(F.size("t") >= 2)
+    pairs = toks.select(F.explode(_bigrams(F.col("t"))).alias("p")).select("p.w1", "p.w2")
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= _MIN_PAIR)
+    )
+    uni = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    n = pairs.agg(F.count("*").alias("n_pairs"))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.lit(1e6)
+        * (
+            F.log(F.col("c12").cast("double"))
+            + F.log(F.col("n_pairs").cast("double"))
+            - F.log(F.col("c1").cast("double"))
+            - F.log(F.col("c2").cast("double"))
+        ),
+        0,
+    ).cast("bigint")
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "c12", pmi.alias("pmi_micro_nats"))
+        .orderBy(F.desc("pmi_micro_nats"), "w1", "w2")
+        .limit(100)
+    )

@@ -172,3 +172,90 @@ def test_reserved_internal_names_rejected(spark):
     rdf = spark.createDataFrame([(1, 5, 1)], "k long, vts long, p long")
     with pytest.raises(ValueError, match="reserved"):
         asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="vts", payload=["p"])
+
+
+# --- interval_overlap_join --------------------------------------------------
+
+
+def _ovl(spark, a_rows, b_rows, bucket):
+    from ocr_application_spark.operators.asof import interval_overlap_join
+
+    a = spark.createDataFrame(a_rows, "k long, a_id long, a_s long, a_e long")
+    b = spark.createDataFrame(b_rows, "k long, b_id long, b_s long, b_e long")
+    return {
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            a, b, on=["k"], a_start="a_s", a_end="a_e",
+            b_start="b_s", b_end="b_e", bucket=bucket,
+        ).collect()
+    }
+
+
+def test_overlap_closed_endpoints_and_bin_crossing(spark):
+    # closed intervals: touching endpoints ARE an overlap; pairs whose
+    # intervals meet across a bin boundary must survive (the canonical
+    # bin is the one holding max(starts)); disjoint pairs never appear
+    a = [(1, 10, 100, 200), (1, 11, 950, 1050)]   # 11 straddles bin 0|1
+    b = [
+        (1, 20, 200, 300),     # touches a10 at exactly 200 -> overlap
+        (1, 21, 1040, 1100),   # overlaps a11 across the bin boundary
+        (1, 22, 300, 400),     # disjoint from a10 (301..), from a11
+        (2, 23, 100, 200),     # right key, wrong partition key
+    ]
+    got = _ovl(spark, a, b, bucket=1000)
+    assert got == {(10, 20), (11, 21)}
+
+
+def test_overlap_matches_naive_join_on_random_intervals(spark):
+    # randomized differential vs the O(n^2) definition, long intervals
+    # included (spanning many bins) — the bucketization must lose and
+    # invent nothing, and emit each pair exactly once
+    import random
+
+    rng = random.Random(7)
+    a = []
+    b = []
+    for i in range(120):
+        k = rng.randrange(4)
+        s = rng.randrange(0, 5000)
+        a.append((k, i, s, s + rng.randrange(0, 2500)))
+        k2 = rng.randrange(4)
+        s2 = rng.randrange(0, 5000)
+        b.append((k2, 1000 + i, s2, s2 + rng.randrange(0, 2500)))
+    want = {
+        (ai, bi)
+        for (ka, ai, s1, e1) in a
+        for (kb, bi, s2, e2) in b
+        if ka == kb and s1 <= e2 and s2 <= e1
+    }
+    # exactly-once: collect as a list and check no duplicates
+    from ocr_application_spark.operators.asof import interval_overlap_join
+
+    adf = spark.createDataFrame(a, "k long, a_id long, a_s long, a_e long")
+    bdf = spark.createDataFrame(b, "k long, b_id long, b_s long, b_e long")
+    rows = interval_overlap_join(
+        adf, bdf, on=["k"], a_start="a_s", a_end="a_e",
+        b_start="b_s", b_end="b_e", bucket=700,
+    ).collect()
+    got = [(r.a_id, r.b_id) for r in rows]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    assert set(got) == want
+
+
+def test_overlap_validation(spark):
+    import pytest as _pytest
+
+    from ocr_application_spark.operators.asof import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 1, 1, 2)], "k long, x long, a_s long, a_e long")
+    b = spark.createDataFrame([(1, 2, 1, 2)], "k long, x long, b_s long, b_e long")
+    with _pytest.raises(ValueError, match="collide"):
+        interval_overlap_join(a, b, ["k"], "a_s", "a_e", "b_s", "b_e", 10)
+    b2 = b.withColumnRenamed("x", "y")
+    with _pytest.raises(ValueError, match="positive"):
+        interval_overlap_join(a, b2, ["k"], "a_s", "a_e", "b_s", "b_e", 0)
+    with _pytest.raises(ValueError, match="reserved"):
+        interval_overlap_join(
+            a.withColumnRenamed("x", "_bin"), b2,
+            ["k"], "a_s", "a_e", "b_s", "b_e", 10,
+        )

@@ -131,3 +131,84 @@ def test_lm_gate_in_curation_funnel(spark, tmpdir_scratch):
     ).parquet(tmpdir_scratch + "/documents.parquet")
     with pytest.raises(ValueError, match="empty training slice"):
         curate(spark, tmpdir_scratch, gates=("lm",))
+
+
+# --- Naive-Bayes classifier -------------------------------------------------
+
+
+def _nb_twin(rows):
+    """Pure-Python replay of nb_langid: same coin, same add-one counts,
+    same micro-nat quantization (HALF_UP, like Spark/DuckDB round),
+    same (score desc, lang) argmax. Returns {doc_id: row-dict}."""
+    import hashlib
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = lambda x: int(  # noqa: E731
+        Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+    toks = {d: [t for t in text.split(" ") if t] for d, _, text in rows}
+    is_train = {
+        d: hashlib.md5(f"{d}:nbtrain".encode()).hexdigest()[0] < "8"
+        for d, _, _ in rows
+    }
+    c_lt, c_l, n_l, vocab, n_train = Counter(), Counter(), Counter(), set(), 0
+    for d, lang, _ in rows:
+        if not is_train[d]:
+            continue
+        n_train += 1
+        n_l[lang] += 1
+        for t in toks[d]:
+            c_lt[lang, t] += 1
+            c_l[lang] += 1
+            vocab.add(t)
+    out = {}
+    for d, lang, _ in rows:
+        if not toks[d]:
+            continue
+        scores = {}
+        for lg in n_l:
+            s = q(1e6 * math.log(n_l[lg] / n_train))
+            for t, tf in Counter(toks[d]).items():
+                s += tf * q(
+                    1e6 * math.log((c_lt[lg, t] + 1) / (c_l[lg] + len(vocab)))
+                )
+            scores[lg] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[d] = {
+            "lang": lang,
+            "is_train": is_train[d],
+            "pred_lang": ranked[0][0],
+            "score_micro": ranked[0][1],
+            "margin_micro": ranked[0][1] - ranked[1][1],
+            "correct": ranked[0][0] == lang,
+        }
+    return out
+
+
+def test_nb_langid_matches_python_twin_and_learns_separable_vocab(spark):
+    """On a fixture where each lang owns a disjoint vocabulary (plus a
+    shared filler), the trained model must classify every holdout doc
+    correctly AND every output cell must equal the pure-Python twin —
+    the same differential discipline as the extraction kernel."""
+    from ocr_application_spark.operators.lm import nb_langid
+
+    words = {"aa": "alpha beta gama", "bb": "delta eps zeta", "cc": "theta iota kapa"}
+    rows = []
+    for i in range(30):
+        lang = ("aa", "bb", "cc")[i % 3]
+        w = words[lang].split()
+        rows.append((i, lang, f"{w[i % 3]} shared {w[(i + 1) % 3]} {w[0]}"))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    )
+    got = {r["doc_id"]: r.asDict() for r in nb_langid(docs).collect()}
+    want = _nb_twin(rows)
+    assert set(got) == set(want)
+    for d, w in want.items():
+        g = got[d]
+        assert {k: g[k] for k in w} == w, f"doc {d}: {g} != {w}"
+    # both splits are non-degenerate and every holdout doc classifies right
+    holdout = [d for d, w in want.items() if not w["is_train"]]
+    assert holdout and len(holdout) < len(rows)
+    assert all(want[d]["correct"] for d in holdout)

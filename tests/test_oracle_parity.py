@@ -73,7 +73,7 @@ def test_driver_window_covers_flagships_and_new_ops():
         "url_crawl_filter",
         "sample_epochs_weighted",
         "dedup_consecutive_lines",
-        "url_holdout_split",
+        "events_interval_overlap",
         "url_canonicalize",
         "url_canonical_dupes",
         "kernel_normalize",
@@ -84,11 +84,12 @@ def test_driver_window_covers_flagships_and_new_ops():
         "link_host_pagerank",
         "text_bm25_topk",
         "events_asof_profile",
-        "sketch_kmv_distinct",
         "sketch_kmv_merged",
+        "classify_nb_langid",
         "text_lm_score",
         "warc_wet_roundtrip",
         "text_char_entropy",
+        "text_pmi_collocations",
     }
     assert must_cover <= window, must_cover - window
     tpch_demos = {n for n in names if n.startswith(("q1", "q3", "q4", "q5", "q6", "q7"))} | {

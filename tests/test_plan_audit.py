@@ -516,3 +516,44 @@ def test_bucketed_join_has_no_exchange_before_the_merge(spark):
     assert "CartesianProduct" not in plan and "BroadcastExchange" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_pmi_plan_takeordered_cut_pruned_scan_no_python(spark):
+    # the top-100 cut must compile to TakeOrderedAndProject (never a
+    # global sort materialization), all joins hash/broadcast (no
+    # cartesian), scans prune to text only, all math JVM-side
+    plan = plan_of(spark, "text_pmi_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    cols = {c for s in schemas for c in re.findall(r"(\w+):", s)}
+    assert cols <= {"struct", "text"}, cols
+
+
+def test_nb_langid_plan_pruned_scans_no_cartesian_no_python(spark):
+    # model/prior/const dims ride BroadcastNestedLoopJoin (1-row or
+    # n_langs-row sides, explicitly broadcast) — never CartesianProduct;
+    # every documents scan prunes to (doc_id, text, lang); the argmax
+    # window is partitioned (no global WindowExec warning path)
+    plan = plan_of(spark, "classify_nb_langid")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    cols = {c for s in schemas for c in re.findall(r"(\w+):", s)}
+    assert cols <= {"struct", "doc_id", "text", "lang"}, cols
+
+
+def test_interval_overlap_is_hash_join_not_nested_loop(spark):
+    # the whole point of the bucketized rewrite: the theta predicate
+    # must NOT execute as BroadcastNestedLoopJoin/CartesianProduct —
+    # the join is an equi-join on (user_id, _bin) with the overlap +
+    # canonical-bin checks as residuals, and the events scan prunes
+    # to the four used columns
+    plan = plan_of(spark, "events_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    cols = {c for s in schemas for c in re.findall(r"(\w+):", s)}
+    assert cols <= {"struct", "event_id", "user_id", "event_type", "ts"}, cols

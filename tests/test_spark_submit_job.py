@@ -256,11 +256,17 @@ def test_curate_optin_gates_rebuild_text(spark, tmpdir_scratch):
     with _pytest.raises(ValueError, match="unknown gates"):
         curate(spark, tmpdir_scratch, gates=("clean", "nope"))
 
-    curated, metrics = curate(spark, tmpdir_scratch, gates=ALL_GATES)
+    # lm_keep_quantile=0.0: the lm stage must run (stage row below) but
+    # its relative cut sits at the corpus minimum, so this test keeps
+    # its exact per-doc survivor accounting; the quantile dial itself
+    # is pinned by test_lm_gate_in_curation_funnel
+    curated, metrics = curate(
+        spark, tmpdir_scratch, gates=ALL_GATES, lm_keep_quantile=0.0
+    )
     stages = {m["stage"]: m for m in metrics}
     assert list(stages) == [
         "clean_lang_quality_dedup", "c4_line_rules", "gopher_quality",
-        "gopher_repetition", "rank_quality",
+        "gopher_repetition", "rank_quality", "lm_perplexity",
     ]
     for prev, cur in zip(metrics, metrics[1:]):
         assert cur["rows_in"] == prev["rows_out"]
