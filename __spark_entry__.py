@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _modules():
     from ocr_application_spark.operators import (
         ann_ivf,
+        ann_pq,
         asof,
         buckets_entry,
         curation,
@@ -65,6 +66,7 @@ def _modules():
         snapshots_entry,
         sweep_merge,
         ann_ivf,
+        ann_pq,
         asof,
         sketches,
         lm,
@@ -156,7 +158,11 @@ def _modules():
 # contract is pytest-pinned — a window slot would buy only the weak
 # rows-only check, so they yield their slot to oracle-paired ops.
 # Justifications live in COVERAGE.md next to each op.
-_OUTSIDE_WINDOW = ("text_compression_ratio",)
+# ann_pq_topk joins ann_ivf_topk's class: approximate BY DESIGN (no SQL
+# can refit the per-subspace k-means), rows-only, value contract pinned
+# by tests/test_ann_pq.py (ADC==reconstructed-dot identity, determinism,
+# measured recall floor) — a window slot would buy only the weak check.
+_OUTSIDE_WINDOW = ("text_compression_ratio", "ann_pq_topk")
 
 _ROTATED_BACK = (
     "url_holdout_split",

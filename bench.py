@@ -163,6 +163,7 @@ def main() -> None:
             "text_pmi_collocations",
             "classify_nb_langid",
             "events_interval_overlap",
+            "ann_pq_topk",
         ]
 
         def run(name: str) -> None:
