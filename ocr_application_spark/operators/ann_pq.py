@@ -270,3 +270,145 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring for why it is rows-only and outside the driver window;
     the value contract is pytest-pinned in tests/test_ann_pq.py)."""
     return pq_topk(spark, sf_dir)
+
+
+# --- IVF-PQ composition ------------------------------------------------------
+
+
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str, path: str, m: int = M_SUB
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the IVF-PQ index (Jegou et al. 2011, the composed
+    production design): rows carry ONLY (vec_id, codes) — M bytes of
+    payload — written PARTITIONED BY coarse cell, so a probe reads
+    nprobe/k of the corpus at 1/32 of the bytes. Full-precision vectors
+    never enter the index; they stay in the base table and are read
+    solely for the Q x shortlist re-rank join.
+
+    Returns (coarse codebook, PQ codebooks), both trained on the same
+    bounded deterministic sample recipes as their standalone ops.
+    """
+    from ocr_application_spark.operators.ann_ivf import (
+        _centroid_udfs,
+        train_codebook,
+    )
+
+    cent = train_codebook(spark, sf_dir)
+    books = train_pq_codebooks(spark, sf_dir, m=m)
+    cell_of, _ = _centroid_udfs(spark, cent)
+    enc = _encode_udf(spark, books)
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    (
+        vecs.select(
+            "vec_id",
+            enc("embedding").alias("codes"),
+            cell_of("embedding").alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return cent, books
+
+
+def _adc_at_udf(spark: SparkSession, books: np.ndarray, queries: np.ndarray):
+    """(codes, q_pos) -> double: ADC score of one code row against ONE
+    query — the per-candidate form used after the cell join (each
+    candidate row already knows which query probed it)."""
+    bc_books = spark.sparkContext.broadcast(books)
+    bc_q = spark.sparkContext.broadcast(queries)
+    state: dict = {}
+
+    @F.pandas_udf(T.DoubleType())
+    def adc_at(codes: pd.Series, q_pos: pd.Series) -> pd.Series:
+        if "lut" not in state:
+            b = bc_books.value
+            q = bc_q.value.astype(np.float64)
+            qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            m, k, sub = b.shape
+            qs = qn.reshape(len(qn), m, sub)
+            state["lut"] = np.einsum("qms,mks->mkq", qs, b)  # (m, k, Q)
+        lut = state["lut"]
+        c = np.stack(codes.to_numpy()).astype(np.int64)  # (N, m)
+        qp = q_pos.to_numpy().astype(np.int64)
+        scores = np.zeros(len(qp))
+        for j in range(c.shape[1]):
+            scores += lut[j][c[:, j], qp]
+        return pd.Series(scores)
+
+    return adc_at
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    cent: np.ndarray,
+    books: np.ndarray,
+    nprobe: int = 4,
+    k_top: int = _K_TOP,
+    shortlist: int = _SHORTLIST,
+) -> DataFrame:
+    """Query the on-disk IVF-PQ index: the bounded query set's probe
+    cells are computed driver-side (numpy over <= _Q_CAP x k scores)
+    and broadcast into the join against the cell-partitioned scan, so
+    dynamic partition pruning restricts the file read to the probed
+    cells; candidates are scored by ADC (codes only), shortlisted, and
+    exact-cosine re-ranked from the base table. ``nprobe == k`` probes
+    everything — pinned equal to the standalone ``pq_topk`` in pytest
+    (the composition changes WHERE candidates come from, never the
+    math). No self-filter: like ``pq_topk``, a query finds itself.
+    """
+    from ocr_application_spark.operators.ann_ivf import _centroid_udfs
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q_ids, q_mat = _load_queries(vecs)
+    qn = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    nprobe = max(1, min(int(nprobe), len(cent)))
+    # the probe set derives from the FILTERED embeddings scan (not a
+    # local relation): the selective predicate is what lets dynamic
+    # partition pruning push the probed-cell set into the index scan —
+    # the same shape as ann_ivf.probe_inverted_file, plan-asserted.
+    # q_pos (the LUT row) rides in via a broadcast of the bounded
+    # collected query list, which also enforces the _Q_CAP bound.
+    _, probe_cells = _centroid_udfs(spark, cent, nprobe=nprobe)
+    qmap = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(q_ids)], "q_pos int, q_id long"
+    )
+    qdf = (
+        vecs.filter(F.col("vec_id") % _QMOD == 0)
+        .join(F.broadcast(qmap), F.col("vec_id") == F.col("q_id"))
+        .select("q_pos", "q_id", F.explode(probe_cells("embedding")).alias("cell"))
+    )
+    index = spark.read.parquet(path)
+    adc_at = _adc_at_udf(spark, books, q_mat)
+    wa = Window.partitionBy("q_id").orderBy(F.desc("adc_score"), "cand_id")
+    sl = (
+        index.join(F.broadcast(qdf), "cell")
+        .select(
+            "q_pos",
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            adc_at("codes", "q_pos").alias("adc_score"),
+        )
+        .withColumn("adc_rank", F.row_number().over(wa))
+        .filter(F.col("adc_rank") <= shortlist)
+    )
+    bc_q = spark.sparkContext.broadcast(qn)
+
+    @F.pandas_udf(T.DoubleType())
+    def exact_cos(q_pos: pd.Series, emb: pd.Series) -> pd.Series:
+        q = bc_q.value
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x * q[q_pos.to_numpy()]).sum(axis=1))
+
+    full = vecs.select(F.col("vec_id").alias("cand_id"), "embedding")
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "cand_id")
+    return (
+        sl.join(full, "cand_id")
+        .withColumn("cos_sim", exact_cos("q_pos", "embedding"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k_top)
+        .select("q_id", "cand_id", "rank", "cos_sim")
+    )

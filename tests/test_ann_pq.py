@@ -121,3 +121,65 @@ def test_shortlist_dial_trades_recall(spark):
     lo = recall(pq_topk(spark, SF, shortlist=10))
     hi = recall(pq_topk(spark, SF, shortlist=100))
     assert hi >= lo
+
+
+# --- IVF-PQ composition ------------------------------------------------------
+
+
+def test_ivfpq_full_probe_equals_standalone_pq(spark, tmpdir_scratch):
+    """Probing every coarse cell makes the candidate source the whole
+    corpus, so the composed index must reproduce the standalone PQ
+    top-k EXACTLY — same pairs, same ranks, same float64 scores. The
+    composition may change where candidates come from, never the math."""
+    from ocr_application_spark.operators.ann_pq import build_ivfpq_index, ivfpq_topk
+
+    path = f"{tmpdir_scratch}/ivfpq"
+    cent, books = build_ivfpq_index(spark, SF, path)
+    composed = {
+        (r.q_id, r.cand_id): (r.rank, r.cos_sim)
+        for r in ivfpq_topk(spark, SF, path, cent, books, nprobe=len(cent)).collect()
+    }
+    standalone = {
+        (r.q_id, r.cand_id): (r.rank, r.cos_sim)
+        for r in pq_topk(spark, SF).collect()
+    }
+    assert composed == standalone
+
+
+def test_ivfpq_index_stores_codes_only_and_prunes_partitions(spark, tmpdir_scratch):
+    """The index rows must carry only (vec_id, codes) — full vectors
+    stay in the base table — and the probe-time scan must carry a
+    dynamicpruning partition filter (the nprobe/k storage-read claim)."""
+    from ocr_application_spark.operators.ann_pq import build_ivfpq_index, ivfpq_topk
+
+    path = f"{tmpdir_scratch}/ivfpq2"
+    cent, books = build_ivfpq_index(spark, SF, path)
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"vec_id", "codes", "cell"}
+    out = ivfpq_topk(spark, SF, path, cent, books, nprobe=2)
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in executed, executed
+
+
+def test_ivfpq_recall_at_default_probe(spark, tmpdir_scratch):
+    """nprobe=4 of 16 cells at the default shortlist must still clear a
+    useful recall floor (measured with margin; the dial pair
+    (nprobe, shortlist) is the cost/recall surface)."""
+    from ocr_application_spark.operators.ann_pq import build_ivfpq_index, ivfpq_topk
+
+    emb = _emb(spark)
+    ids = sorted(emb)
+    mat = np.stack([_norm(emb[i]) for i in ids])
+    path = f"{tmpdir_scratch}/ivfpq3"
+    cent, books = build_ivfpq_index(spark, SF, path)
+    got = {}
+    for r in ivfpq_topk(spark, SF, path, cent, books, nprobe=4).collect():
+        got.setdefault(r.q_id, set()).add(r.cand_id)
+    assert got
+    hits = total = 0
+    for q_id, cands in got.items():
+        order = np.argsort(-(mat @ _norm(emb[q_id])), kind="stable")
+        hits += len({ids[i] for i in order[:_K_TOP]} & cands)
+        total += _K_TOP
+    recall = hits / total
+    assert recall >= 0.35, f"recall@10 = {recall:.3f}"
