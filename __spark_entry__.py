@@ -165,6 +165,12 @@ def _modules():
 _OUTSIDE_WINDOW = ("text_compression_ratio", "ann_pq_topk")
 
 _ROTATED_BACK = (
+    # dedup_span_ratio yields its slot to dedup_span_strip (ExactSubstr
+    # REMOVAL, new): the strip oracle re-derives the identical dup-window
+    # grid/hash/>=2 machinery the ratio op would prove, and additionally
+    # pins the rebuilt cleaned bytes via sha256 — a strict superset of
+    # the ratio check (the kmv_distinct -> kmv_merged pattern).
+    "dedup_span_ratio",
     "url_holdout_split",
     "sketch_kmv_distinct",
     "emb_neardup_pairs",

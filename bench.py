@@ -131,6 +131,7 @@ def main() -> None:
             "sample_domain_mix",
             "text_rank_quality",
             "dedup_span_ratio",
+            "dedup_span_strip",
             "boilerplate_strip_source",
             "url_holdout_split",
             "sample_token_budget",

@@ -785,6 +785,123 @@ QUERIES["dedup_span_ratio"] = dedup_span_ratio
 ORACLES["dedup_span_ratio"] = _SPANDUP_ORACLE
 
 
+# --- exact-substring span REMOVAL (the second half of Lee et al. 2021's
+# ExactSubstr discipline): dedup_span_ratio only *measures* duplicated
+# spans; this operator actually removes them and returns the rebuilt
+# text, sha256-pinned. A token position is removed when ANY duplicated
+# window (same _SPAN_W/_SPAN_S grid, same >= 2-occurrences rule as the
+# ratio op) covers it; the document is rebuilt from the surviving tokens
+# in order. Unlike paragraph dedup (which keeps one canonical copy of a
+# duplicated chunk), ExactSubstr removal strips the span from EVERY
+# occurrence — the Lee et al. semantics, which they show trains better
+# than keep-one for pervasive boilerplate.
+#
+# Scale shape: the window hash count is one map-side-combined shuffle on
+# the 64-bit hash; duplicated windows join back on the hash; covered
+# START positions aggregate per doc (bounded by n_windows/doc); the
+# rebuild is a per-doc array filter with an exists() over the start
+# list — all JVM, no window function, no UDF, no per-position explode
+# (the oracle deliberately USES the per-position explode, so agreement
+# checks semantics across two different formulations).
+_SPANSTRIP_ORACLE = f"""
+with t as (
+  select doc_id, list_filter(string_split(text, ' '), x -> x != '') as w
+  from documents
+),
+wins as (
+  select doc_id, i * {_SPAN_S} as s,
+         substr(md5(array_to_string(
+           w[i * {_SPAN_S} + 1 : i * {_SPAN_S} + {_SPAN_W}], ' ')), 1, 16) as h
+  from t, unnest(range(0, (len(w) - {_SPAN_W}) // {_SPAN_S} + 1)) u(i)
+  where len(w) >= {_SPAN_W}
+),
+cnt as (select h, count(*) as c from wins group by 1),
+dup as (select doc_id, s from wins join cnt using (h) where c >= 2),
+cov as (
+  select distinct doc_id, s + j as p
+  from dup, unnest(range(0, {_SPAN_W})) v(j)
+),
+toks as (
+  select doc_id, generate_subscripts(w, 1) - 1 as p, unnest(w) as tok
+  from t
+),
+per as (
+  select k.doc_id,
+         count(*) as n_tokens,
+         sum(case when c.p is not null then 1 else 0 end) as n_removed,
+         coalesce(string_agg(case when c.p is null then k.tok end, ' '
+                             order by k.p), '') as cleaned
+  from toks k left join cov c on k.doc_id = c.doc_id and k.p = c.p
+  group by 1
+)
+select d.doc_id,
+       cast(coalesce(n_tokens, 0) as bigint) as n_tokens,
+       cast(coalesce(n_removed, 0) as bigint) as n_removed,
+       length(coalesce(cleaned, '')) as n_chars_clean,
+       sha256(coalesce(cleaned, '')) as digest
+from documents d left join per using (doc_id)
+"""
+
+
+def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal: strip every token covered by a corpus-
+    duplicated _SPAN_W-token window (stride _SPAN_S grid), rebuild the
+    text from survivors, pin the cleaned bytes via sha256."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = docs.select("doc_id", w.alias("w"))
+    n_win = F.floor((F.size("w") - _SPAN_W) / _SPAN_S) + 1
+    wins = (
+        toks.filter(F.size("w") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_win.cast("int") - 1),
+                    lambda i: F.struct(
+                        (i * _SPAN_S).alias("s"),
+                        F.substring(
+                            F.md5(
+                                F.array_join(
+                                    F.slice(F.col("w"), i * _SPAN_S + 1, _SPAN_W),
+                                    " ",
+                                )
+                            ),
+                            1,
+                            16,
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", F.col("win.s").alias("s"), F.col("win.h").alias("h"))
+    )
+    cnt = wins.groupBy("h").agg(F.count("*").alias("c"))
+    starts = (
+        wins.join(cnt.filter(F.col("c") >= 2).select("h"), "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("starts"))
+    )
+    j = toks.join(starts, "doc_id", "left")
+    st = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("w"),
+        lambda x, i: ~F.exists(st, lambda s: (i >= s) & (i < s + _SPAN_W)),
+    )
+    cleaned = F.array_join(kept, " ")
+    return j.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        (F.size("w") - F.size(kept)).cast("long").alias("n_removed"),
+        F.length(cleaned).alias("n_chars_clean"),
+        F.sha2(cleaned, 256).alias("digest"),
+    )
+
+
+QUERIES["dedup_span_strip"] = dedup_span_strip
+ORACLES["dedup_span_strip"] = _SPANSTRIP_ORACLE
+
+
 # --- per-source boilerplate-chunk removal (the RefinedWeb / CCNet
 # host-level boilerplate discipline): chunks of text that recur across
 # MANY DISTINCT documents of the same source are template furniture

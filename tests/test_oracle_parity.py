@@ -64,7 +64,7 @@ def test_driver_window_covers_flagships_and_new_ops():
         "seq_pack",
         "sample_domain_mix",
         "text_rank_quality",
-        "dedup_span_ratio",
+        "dedup_span_strip",
         "boilerplate_strip_source",
         "sample_token_budget",
         "text_gopher_quality",
@@ -357,6 +357,7 @@ def test_curation_oracles_survive_adversarial_text(spark, tmpdir_scratch):
         "sample_domain_mix",
         "text_rank_quality",
         "dedup_span_ratio",
+        "dedup_span_strip",
         "boilerplate_strip_source",
         "sample_token_budget",
         "text_gopher_quality",
