@@ -171,6 +171,12 @@ _ROTATED_BACK = (
     # pins the rebuilt cleaned bytes via sha256 — a strict superset of
     # the ratio check (the kmv_distinct -> kmv_merged pattern).
     "dedup_span_ratio",
+    # dedup_containment (new): its pair-generation core is the SAME
+    # _pair_intersections posting plan dedup_ngram_jaccard was
+    # driver-green with in r02; only the directed-ratio emission is new,
+    # and local parity pins it — a window slot would re-prove machinery
+    # the driver already certified.
+    "dedup_containment",
     "url_holdout_split",
     "sketch_kmv_distinct",
     "emb_neardup_pairs",

@@ -93,6 +93,7 @@ def main() -> None:
             "dedup_exact",
             "dedup_minhash_lsh",
             "dedup_ngram_jaccard",
+            "dedup_containment",
             "dedup_simhash",
             "text_quality_score",
             "text_langid_heuristic",

@@ -372,11 +372,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (boilerplate shingles) are the skew hazard at 100 TB: the _MAX_POSTING
     document-frequency cap drops them before pair emission (such shingles
     carry no dedup signal; denominators n_sh stay uncapped)."""
-    arr = _shingle_arr(_docs(spark, sf_dir))
-    # carry n_sh THROUGH the posting list (struct<doc_id, n_sh>) so no
-    # separate `sizes` relation exists — a sizes side-plan would recompute
-    # the shingle transform once per join side (projection collapse inlines
-    # narrow plans; only exchanges get reused)
+    inter = _pair_intersections(_shingle_arr(_docs(spark, sf_dir)))
+    j = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return inter.filter(j >= 0.2).select("doc_a", "doc_b", j.alias("jaccard"))
+
+
+def _pair_intersections(arr: DataFrame) -> DataFrame:
+    """(doc_a, n_a, doc_b, n_b, n_inter) over a (doc_id, sh) shingle-array
+    relation — the shared pair-generation core of the Jaccard and
+    containment ops. Carries n_sh THROUGH the posting list
+    (struct<doc_id, n_sh>) so no separate `sizes` relation exists — a
+    sizes side-plan would recompute the shingle transform once per join
+    side (projection collapse inlines narrow plans; only exchanges get
+    reused)."""
     sh = arr.select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     ).select(_h60("shingle").alias("h"), F.struct("doc_id", "n_sh").alias("d"))
@@ -400,15 +408,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    inter = (
+    return (
         posting.select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.n_a", "p.doc_b", "p.n_b")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "n_a", "n_b")  # n_a/n_b functionally dependent
         .agg(F.count("*").alias("n_inter"))
     )
-    j = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return inter.filter(j >= 0.2).select("doc_a", "doc_b", j.alias("jaccard"))
+
+
+# --- containment near-dup (asymmetric Jaccard) --------------------------------
+# Jaccard misses SUBSET duplication: a 50-token document quoted whole
+# inside a 5000-token page scores |A|/(|A|+|B|-|A|) ≈ 0.01 and survives
+# dedup, yet the small doc adds zero training signal (Broder 1997 calls
+# this containment; FineWeb/Dolma hit it on syndicated snippets and
+# quote farms). Containment(A in B) = |A∩B| / |A| flags it at ~1.0.
+# Same inverted-index posting plan and _MAX_POSTING skew cap as
+# dedup_ngram_jaccard — the pair intersection already carries both set
+# sizes through the posting struct, so both directed ratios fall out of
+# the SAME aggregation; no extra shuffle vs the symmetric op.
+_CONTAIN_T = 0.5
+
+@_q(
+    "dedup_containment",
+    f"""
+    with {_SHINGLES_CTE},
+    hsh as (select doc_id, {_H60_SQL_DUCK} as h from shingles),
+    sizes as (select doc_id, count(*) as n_sh from hsh group by doc_id),
+    capped as (
+      select doc_id, h from hsh
+      where h in (select h from hsh group by h
+                  having count(*) between 2 and {_MAX_POSTING})
+    ),
+    inter as (
+      select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
+      from capped a join capped b
+        on a.h = b.h and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    )
+    select doc_a, doc_b,
+           cast(n_inter as double) / sa.n_sh as cont_a,
+           cast(n_inter as double) / sb.n_sh as cont_b,
+           sa.n_sh < sb.n_sh as a_is_smaller
+    from inter
+      join sizes sa on sa.doc_id = doc_a
+      join sizes sb on sb.doc_id = doc_b
+    where cast(n_inter as double) / sa.n_sh >= {_CONTAIN_T}
+       or cast(n_inter as double) / sb.n_sh >= {_CONTAIN_T}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs: |A∩B|/|A| or |A∩B|/|B| >= _CONTAIN_T over
+    distinct word-3-gram sets (see module comment — catches the
+    doc-inside-doc duplication symmetric Jaccard can't)."""
+    inter = _pair_intersections(_shingle_arr(_docs(spark, sf_dir)))
+    ni = F.col("n_inter").cast("double")
+    cont_a, cont_b = ni / F.col("n_a"), ni / F.col("n_b")
+    return inter.filter((cont_a >= _CONTAIN_T) | (cont_b >= _CONTAIN_T)).select(
+        "doc_a",
+        "doc_b",
+        cont_a.alias("cont_a"),
+        cont_b.alias("cont_b"),
+        (F.col("n_a") < F.col("n_b")).alias("a_is_smaller"),
+    )
 
 
 # --- MinHash + LSH ---------------------------------------------------------------
