@@ -177,6 +177,13 @@ _ROTATED_BACK = (
     # and local parity pins it — a window slot would re-prove machinery
     # the driver already certified.
     "dedup_containment",
+    # sample_domain_mix yields its slot to text_hashed_tfidf (hashing-
+    # trick featurizer, new machinery: stateless hash dims + micro-nat
+    # idf): the domain-mix op's md5-hex-coin-under-threshold machinery
+    # keeps FOUR in-window twins (sample_token_budget — the identical
+    # coin<hex-threshold compare — plus sample_stratified,
+    # sample_epochs_weighted, shard_shuffle).
+    "sample_domain_mix",
     "url_holdout_split",
     "sketch_kmv_distinct",
     "emb_neardup_pairs",

@@ -120,6 +120,7 @@ def main() -> None:
             "streaming_extract_digest",
             "dedup_components",
             "text_vocabulary",
+            "text_hashed_tfidf",
             "snapshot_merge_upsert",
             "forecast_ar1",
             "ann_ivf_exhaustive",

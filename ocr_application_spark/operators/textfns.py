@@ -295,6 +295,91 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hashed TF-IDF document vectors (the hashing-trick featurizer) -----------
+# The text -> vector bridge of the pipeline: fixed-width sparse features
+# with NO vocabulary table (Weinberger et al. 2009's hashing trick —
+# the dimension is a hash of the token, so featurization is stateless,
+# streaming-safe, and identical on any engine/partitioning; fastText
+# and Vowpal Wabbit featurize this way). Output is the sparse form
+# (doc_id, dim, weight_micro): absent dims are zero. Weights are
+# tf * idf with idf = ln((N+1)/(df+1)) quantized to integer micro-nats
+# BEFORE the tf-multiply and the per-dim sum (repo invariant: never sum
+# floats whose association order differs across engines).
+#
+# Scale shape: tf is a (doc_id, token) map-side-combined aggregation,
+# df a (token) one; the tf->df equi-join shuffles on token (vocab can
+# be 10^8 at corpus scale — never broadcast), the final per-dim fold
+# shuffles on doc_id. Three bounded exchanges, no window, no UDF.
+_TFIDF_DIMS = 16
+
+@_q(
+    "text_hashed_tfidf",
+    f"""
+    with toks as (
+      select doc_id, unnest(string_split(text, ' ')) as token from documents
+    ),
+    tf as (
+      select doc_id, token, count(*) as tf
+      from toks where token != '' group by 1, 2
+    ),
+    df as (select token, count(distinct doc_id) as df from tf group by 1),
+    n as (select count(*) as n_docs from documents),
+    idf as (
+      select token, df,
+             cast(round(1e6 * ln(cast(n_docs + 1 as double)
+                                 / cast(df + 1 as double)), 0) as bigint)
+               as idf_micro
+      from df, n
+    )
+    select t.doc_id,
+           cast(cast(cast(concat('0x', substr(md5(t.token), 1, 8)) as ubigint)
+                % {_TFIDF_DIMS} as bigint) as bigint) as dim,
+           sum(t.tf * i.idf_micro) as weight_micro,
+           cast(count(*) as bigint) as n_terms
+    from tf t join idf i using (token)
+    group by 1, 2
+    """,
+)
+def text_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF-IDF: sparse (doc_id, dim, weight_micro, n_terms)
+    rows over _TFIDF_DIMS md5-hashed dimensions (see module comment)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    idf = df.crossJoin(F.broadcast(n)).select(
+        "token",
+        F.round(
+            F.lit(1e6)
+            * F.log(
+                (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")
+            ),
+            0,
+        )
+        .cast("bigint")
+        .alias("idf_micro"),
+    )
+    dim = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+        % _TFIDF_DIMS
+    )
+    # explicit shuffle-hash: at sf0.001 static size estimates would
+    # BROADCAST the tf side — the O(corpus-tokens) relation, a scale
+    # killer at 10^12 docs. Both sides are token-volume; hash-join on
+    # the token key with the (smaller) vocab side as build, no sorts.
+    return (
+        tf.join(idf.hint("shuffle_hash"), "token")
+        .groupBy("doc_id", dim.alias("dim"))
+        .agg(
+            F.sum(F.col("tf") * F.col("idf_micro")).alias("weight_micro"),
+            F.count("*").cast("bigint").alias("n_terms"),
+        )
+    )
+
+
 # --- BM25-shaped retrieval top-k ------------------------------------------------
 # Integer fixed-point BM25 variant, exact-by-spec like the forecast fits:
 # k1 = 12/10 and b = 3/4 enter as exact rationals, avgdl as an integer

@@ -62,7 +62,7 @@ def test_driver_window_covers_flagships_and_new_ops():
         "sample_stratified",
         "text_gopher_repetition",
         "seq_pack",
-        "sample_domain_mix",
+        "text_hashed_tfidf",
         "text_rank_quality",
         "dedup_span_strip",
         "boilerplate_strip_source",

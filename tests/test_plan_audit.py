@@ -557,3 +557,44 @@ def test_interval_overlap_is_hash_join_not_nested_loop(spark):
     schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
     cols = {c for s in schemas for c in re.findall(r"(\w+):", s)}
     assert cols <= {"struct", "event_id", "user_id", "event_type", "ts"}, cols
+
+
+def test_span_strip_plan_no_python_no_window_pruned_scan(spark):
+    # ExactSubstr removal: rebuild rides array HOFs (exists over the
+    # start list), never a window function, never Python; the documents
+    # scan prunes to (doc_id, text)
+    plan = plan_of(spark, "dedup_span_strip")
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    cols = {c for s in schemas for c in re.findall(r"(\w+):", s)}
+    assert cols <= {"struct", "doc_id", "text"}, cols
+
+
+def test_containment_shares_the_jaccard_posting_plan(spark):
+    # same inverted-index core as dedup_ngram_jaccard: pairs emit from
+    # posting arrays (no shingle self-join), so no join operator and no
+    # cartesian appears anywhere; one aggregate per keyed stage
+    plan = plan_of(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_hashed_tfidf_plan_token_join_not_broadcast(spark):
+    # the tf->idf equi-join keys on token: BOTH sides are token-volume
+    # at corpus scale (vocab is 10^8 rows), so neither may broadcast —
+    # the explicit shuffle_hash hint pins a hash join keyed on token
+    # (static sf0.001 estimates would otherwise broadcast the
+    # O(corpus-tokens) tf side). The only broadcast allowed is the
+    # 1-row n_docs scalar; aggregations partial-combine
+    plan = plan_of(spark, "text_hashed_tfidf")
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan, plan
+    # exactly one BroadcastExchange: the single-row corpus count
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1, plan
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    cols = {c for s in schemas for c in re.findall(r"(\w+):", s)}
+    assert cols <= {"struct", "doc_id", "text"}, cols
