@@ -171,6 +171,13 @@ _ROTATED_BACK = (
     # pins the rebuilt cleaned bytes via sha256 — a strict superset of
     # the ratio check (the kmv_distinct -> kmv_merged pattern).
     "dedup_span_ratio",
+    # link_host_hits (new): its graph plumbing — the same synth host
+    # multigraph, pre-merged edge table, integer fixed-point discipline
+    # and per-iteration localCheckpoint loop — keeps an in-window twin
+    # in link_host_pagerank; only the two-phase L1 normalization is new,
+    # and local parity pins it bit-for-bit at sf0.001 AND sf0.01, plus a
+    # randomized dict-model differential in test_linkgraph.py.
+    "link_host_hits",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

@@ -152,6 +152,7 @@ def main() -> None:
             "link_outdegree",
             "link_anchor_texts",
             "link_host_pagerank",
+            "link_host_hits",
             "text_bm25_topk",
             "events_asof_profile",
             "sketch_kmv_distinct",

@@ -331,6 +331,139 @@ def host_pagerank(
     return r
 
 
+def host_hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Weighted HITS (Kleinberg 1999) over (src_host, dst_host, n_links)
+    edges -> (host, hub, authority): the complement of PageRank's
+    global prior — hubs are pages that POINT AT good content (link
+    directories, aggregators: high hub, low authority ⇒ crawl them for
+    frontier discovery, downweight them as training text), authorities
+    are what good hubs point at.
+
+    INTEGER-EXACT by spec, same discipline as ``host_pagerank``: scores
+    live in ``scale`` fixed-point units, every step int64. ONE canonical
+    iteration sequence, mirrored verbatim in the SQL oracle:
+
+      a_raw(v) = sum over in-edges of w * h(u)      (exact int sum)
+      a(v)     = (scale * a_raw(v)) div sum(a_raw)  (L1 normalize)
+      h_raw(u) = sum over out-edges of w * a(v)     (uses the NEW a)
+      h(u)     = (scale * h_raw(u)) div sum(h_raw)
+
+    Division only happens at the two normalizations, AFTER the exact
+    integer sums — so unlike PageRank's per-edge floor division the
+    result here is independent of duplicate-edge granularity; edges are
+    still pre-merged to cut shuffle volume. All operands nonnegative ⇒
+    trunc == floor == DuckDB ``//``. Overflow bound: scores <= scale
+    after each norm, so ``scale * a_raw <= scale^2 * w_total`` needs
+    ``w_total < 2^63 / scale^2`` (~9.2e6 total link mass at the default
+    scale — raise scale only with a tighter graph bound).
+
+    Scale shape: the merged edge table is persisted once; each
+    iteration is two join+groupBy shuffles (in-phase keyed on dst,
+    out-phase on src) plus two single-row normalization aggregates that
+    ride a broadcast cross-join (never a driver collect). Per-iteration
+    eager localCheckpoint pins the lineage like the PageRank loop.
+    """
+    from ocr_application_spark.session import release_local_checkpoint
+
+    iterations = int(iterations)
+    if not 1 <= iterations <= 50:
+        raise ValueError(f"iterations must be in [1, 50], got {iterations}")
+    scale = int(scale)
+    if scale < 100:
+        raise ValueError(f"scale must be >= 100, got {scale}")
+
+    w_checked = F.when(
+        F.col("n_links").cast("long") > 0, F.col("n_links").cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "host_hits: n_links must be > 0 (edge %s -> %s has %s)",
+                F.col("src_host"),
+                F.col("dst_host"),
+                F.col("n_links").cast("string"),
+            )
+        ).cast("long")
+    )
+    e = (
+        edges.select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            w_checked.alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    nodes = (
+        e.select("src")
+        .union(e.select(F.col("dst").alias("src")))
+        .distinct()
+        .select(F.col("src").alias("host"))
+        .persist()
+    )
+    n = nodes.count()  # scalar driver action, like host_pagerank's
+    spark = edges.sparkSession
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "host string, hub long, authority long")
+    h0 = scale // n
+    state = nodes.select(
+        "host",
+        F.lit(h0).cast("long").alias("hub"),
+        F.lit(h0).cast("long").alias("authority"),
+    )
+    prev = None
+
+    def _phase(score: DataFrame, key_in: str, key_out: str, name: str) -> DataFrame:
+        # raw(v) = sum of w * score(u) over edges keyed u=key_in, v=key_out;
+        # then L1-normalize to `scale` fixed-point via a broadcast 1-row sum
+        raw = (
+            e.join(score, e[key_in] == score["host"])
+            .select(F.col(key_out).alias("host"), (F.col("w") * F.col("s")).alias("x"))
+            .groupBy("host")
+            .agg(F.sum("x").alias("raw"))
+        )
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        return (
+            nodes.join(raw, "host", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "host",
+                F.when(
+                    F.col("tot").isNull() | (F.col("tot") == 0), F.lit(0).cast("long")
+                )
+                .otherwise(F.expr("(cast(%d as bigint) * coalesce(raw, 0L)) div tot" % scale))
+                .alias(name),
+            )
+        )
+
+    for _ in range(iterations):
+        # checkpoint `a` eagerly: the hub phase AND the state join both
+        # consume it — unchecked, each iteration would recompute the
+        # authority phase twice
+        a = _phase(
+            state.select("host", F.col("hub").alias("s")), "src", "dst", "authority"
+        ).localCheckpoint(eager=True)
+        h = _phase(a.select("host", F.col("authority").alias("s")), "dst", "src", "hub")
+        state = (
+            h.join(a, "host")
+            .select("host", "hub", "authority")
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(a)
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = state
+    e.unpersist()
+    nodes.unpersist()
+    return state
+
+
 def host_link_edges(links: DataFrame) -> DataFrame:
     """(url, outlink) -> host-graph edges (src_host, dst_host, n_links):
     the crawl-frontier feature table (inter-host edges find new hosts;

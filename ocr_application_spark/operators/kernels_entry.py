@@ -688,8 +688,15 @@ def link_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward the teleport floor."""
     from ocr_application_spark.kernels.links import host_pagerank
 
+    return host_pagerank(_synth_host_edges(spark, sf_dir), iterations=4)
+
+
+def _synth_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 97-host doc_id-arithmetic multigraph shared by
+    the PageRank and HITS gate queries (oracle twin: the `raw`/`edges`
+    CTEs in their unrolled SQL)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    edges = (
+    return (
         docs.select(
             F.format_string("h%02d", (F.col("doc_id") % 89).cast("int")).alias(
                 "src_host"
@@ -702,7 +709,75 @@ def link_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.sum("w").alias("n_links"))
     )
-    return host_pagerank(edges, iterations=4)
+
+
+def _hits_oracle_sql(iters: int = 3, scale: int = 10**6) -> str:
+    """Unrolled integer-exact HITS oracle over the same doc_id-arithmetic
+    multigraph as the PageRank gate. Each iteration mirrors the kernel's
+    canonical sequence verbatim (see kernels/links.host_hits): exact
+    integer w*score sums, then ONE L1 normalization division per phase —
+    DuckDB ``//`` == Spark ``div`` on nonnegative int64."""
+    sql = f"""
+    with raw as (
+      select printf('h%02d', cast(doc_id % 89 as int)) as src,
+             printf('h%02d', cast((doc_id * 31 + 7) % 97 as int)) as dst,
+             cast(1 + doc_id % 3 as bigint) as w
+      from documents
+    ),
+    edges as (select src, dst, cast(sum(w) as bigint) as w
+              from raw group by src, dst),
+    nodes as (select distinct h as host from
+              (select src as h from edges union all select dst from edges)),
+    s0 as (select host,
+                  cast({scale} as bigint) // (select count(*) from nodes) as hub,
+                  cast({scale} as bigint) // (select count(*) from nodes) as authority
+           from nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    ar{i} as (
+      select e.dst as host, cast(sum(e.w * s.hub) as bigint) as raw
+      from edges e join s{i - 1} s on s.host = e.src group by e.dst
+    ),
+    a{i} as (
+      select n.host,
+             case when t.tot is null or t.tot = 0 then 0
+                  else ({scale} * coalesce(r.raw, 0)) // t.tot end as authority
+      from nodes n
+      left join ar{i} r on r.host = n.host,
+      (select sum(raw) as tot from ar{i}) t
+    ),
+    hr{i} as (
+      select e.src as host, cast(sum(e.w * a.authority) as bigint) as raw
+      from edges e join a{i} a on a.host = e.dst group by e.src
+    ),
+    s{i} as (
+      select n.host,
+             case when t.tot is null or t.tot = 0 then 0
+                  else ({scale} * coalesce(r.raw, 0)) // t.tot end as hub,
+             a.authority
+      from nodes n
+      left join hr{i} r on r.host = n.host
+      join a{i} a on a.host = n.host,
+      (select sum(raw) as tot from hr{i}) t
+    )"""
+    sql += (
+        f"\n    select host, cast(hub as bigint) as hub,"
+        f" cast(authority as bigint) as authority from s{iters}"
+    )
+    return sql
+
+
+@_q("link_host_hits", _hits_oracle_sql())
+def link_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph HITS hubs/authorities (kernels/links.host_hits — the
+    aggregator-vs-content signal PageRank can't give: a link directory
+    scores high hub / low authority, so the sampler can crawl it for
+    frontier discovery while downweighting its text) value-checked
+    end-to-end on the shared 97-host multigraph, bit-for-bit over 3
+    integer fixed-point iterations."""
+    from ocr_application_spark.kernels.links import host_hits
+
+    return host_hits(_synth_host_edges(spark, sf_dir), iterations=3)
 
 
 # Constant-per-row oracle like _LINKS_ORACLE: the docwrap template's

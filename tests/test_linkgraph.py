@@ -1,12 +1,12 @@
-"""Host PageRank (kernels/links.host_pagerank): randomized differential
-vs a pure-Python twin of the integer spec, teleport-floor property for
-inlink-free hosts, input validation, empty graph."""
+"""Host PageRank + HITS (kernels/links): randomized differential vs
+pure-Python twins of the integer specs, teleport-floor / hub-vs-
+authority properties, input validation, empty graph."""
 
 import random
 
 import pytest
 
-from ocr_application_spark.kernels.links import host_pagerank
+from ocr_application_spark.kernels.links import host_hits, host_pagerank
 
 SCALE = 10**9
 
@@ -107,6 +107,87 @@ def test_pagerank_empty_graph(spark):
     out = host_pagerank(_to_df(spark, []), iterations=3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["host", "rank"]
+
+
+def _reference_hits(edges, iterations=3, scale=10**6):
+    """Dict-model twin of host_hits' integer spec: exact w*score sums,
+    then ONE L1-normalizing floor division per phase, hub phase consuming
+    the freshly normalized authorities."""
+    w = {}
+    for s, d, k in edges:
+        w[(s, d)] = w.get((s, d), 0) + k
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    if not nodes:
+        return {}
+    h0 = scale // len(nodes)
+    hub = {n: h0 for n in nodes}
+    auth = {n: h0 for n in nodes}
+
+    def _norm(raw):
+        tot = sum(raw.values())
+        return {n: (scale * raw.get(n, 0)) // tot if tot else 0 for n in nodes}
+
+    for _ in range(iterations):
+        a_raw = {}
+        for (s, d), k in w.items():
+            a_raw[d] = a_raw.get(d, 0) + k * hub[s]
+        auth = _norm(a_raw)
+        h_raw = {}
+        for (s, d), k in w.items():
+            h_raw[s] = h_raw.get(s, 0) + k * auth[d]
+        hub = _norm(h_raw)
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_matches_dict_model_on_random_graphs(spark):
+    rng = random.Random(20260818)
+    for trial in range(6):
+        n_hosts = rng.randint(2, 12)
+        hosts = [f"h{i}" for i in range(n_hosts)]
+        edges = [
+            (rng.choice(hosts), rng.choice(hosts), rng.randint(1, 5))
+            for _ in range(rng.randint(1, 4 * n_hosts))
+        ]
+        iters = rng.randint(1, 4)
+        got = {
+            r["host"]: (r["hub"], r["authority"])
+            for r in host_hits(_to_df(spark, edges), iterations=iters).collect()
+        }
+        want = _reference_hits(edges, iterations=iters)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_hits_directory_host_is_hub_not_authority(spark):
+    # "dir" only points outward (a link directory): after one full
+    # iteration its authority is exactly 0 (no inlinks) while it owns
+    # all the hub mass; the pointed-at pages split the authority mass.
+    edges = [("dir", "a", 1), ("dir", "b", 1), ("dir", "c", 2)]
+    got = {
+        r["host"]: (r["hub"], r["authority"])
+        for r in host_hits(_to_df(spark, edges), iterations=3).collect()
+    }
+    assert got["dir"][1] == 0  # no inlinks => zero authority
+    assert got["a"][0] == got["b"][0] == got["c"][0] == 0  # no outlinks => zero hub
+    assert got["dir"][0] == 10**6  # sole hub takes the whole L1 scale
+    assert got["c"][1] > got["a"][1] == got["b"][1]  # weight-2 edge wins
+    # L1 invariant: each normalized side sums to <= scale (floor losses)
+    assert sum(a for _, a in got.values()) <= 10**6
+
+
+def test_hits_empty_graph_and_validation(spark):
+    out = host_hits(_to_df(spark, []), iterations=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["host", "hub", "authority"]
+    df = _to_df(spark, [("a", "b", 1)])
+    with pytest.raises(ValueError, match="iterations"):
+        host_hits(df, iterations=0)
+    with pytest.raises(ValueError, match="scale"):
+        host_hits(df, scale=10)
+    bad = spark.createDataFrame(
+        [("a", "b", 0)], "src_host string, dst_host string, n_links long"
+    )
+    with pytest.raises(Exception, match="n_links must be > 0"):
+        host_hits(bad, iterations=1).collect()
 
 
 def test_nonpositive_or_null_weights_fail_loud(spark):
