@@ -178,6 +178,11 @@ _ROTATED_BACK = (
     # and local parity pins it bit-for-bit at sf0.001 AND sf0.01, plus a
     # randomized dict-model differential in test_linkgraph.py.
     "link_host_hits",
+    # sketch_bloom_seen (new): its hash machinery — the 48-bit md5-slice
+    # integer discipline — keeps the in-window twin sketch_kmv_merged;
+    # the bit_or word state is new but local parity pins it bit-for-bit
+    # (false positives included) at sf0.001 AND sf0.01.
+    "sketch_bloom_seen",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

@@ -214,6 +214,200 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.join(exact, "host")
 
 
+# --- Bloom-filter seen-set sketch -----------------------------------
+#
+# The crawl-frontier primitive: "have we EVER fetched this url?" at
+# 10^12 scale cannot be an anti-join against the full corpus on every
+# increment — it needs an O(bits) mergeable state. Bloom state here is
+# sparse (word_idx, word) rows over 63-bit words (bit 63 stays unused:
+# DuckDB raises on 1<<63, and the sign bit buys nothing), k positions
+# per key via Kirsch-Mitzenmacher double hashing from two independent
+# 48-bit md5 slices — INTEGER-EXACT BY SPEC like KMV: same md5, same
+# div/mod arithmetic in both engines, so the oracle reproduces the
+# filter bit-for-bit, false positives included (a FP is not noise; it
+# is the deterministic consequence of the shared spec).
+#
+# Scale shape: build is explode(k)+groupBy(word_idx) — map-side partial
+# bit_or collapses each task to <= n_words rows before the exchange, so
+# the shuffle is O(tasks * n_words) regardless of corpus size; states
+# merge by the same bit_or (associative/commutative), so per-snapshot
+# blooms union without rescans; probe joins the (tiny, broadcast) state
+# to the increment's k positions and bool_ands the bit tests.
+
+_BLOOM_WORD_BITS = 63
+
+
+def _bloom_positions(value: Column, n_words: int, n_hashes: int) -> Column:
+    """k bit positions for a key, as an array<long> — double hashing
+    (h1 + i*h2) mod m over two independent 48-bit md5 slices."""
+    m = n_words * _BLOOM_WORD_BITS
+    s = value.cast("string")
+    # conv(substr(md5, ...), 16, 10) here == '0x'||substr(md5, ...) in
+    # the oracle: the spec is the two md5 slices, visibly identical
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_hashes) - 1)),
+        lambda i: (
+            F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+            + i.cast("long")
+            * F.conv(F.substring(F.md5(s), 13, 12), 16, 10).cast("long")
+        )
+        % F.lit(m),
+    )
+
+
+def bloom_build(
+    df: DataFrame, value: Column, n_words: int = 1024, n_hashes: int = 4
+) -> DataFrame:
+    """Keys -> sparse Bloom state (word_idx:long, word:long). Duplicate
+    keys are harmless (bit_or is idempotent); NULL keys contribute
+    nothing."""
+    n_words, n_hashes = int(n_words), int(n_hashes)
+    if not 1 <= n_words <= 10**7:
+        raise ValueError(f"n_words must be in [1, 1e7], got {n_words}")
+    if not 1 <= n_hashes <= 16:
+        raise ValueError(f"n_hashes must be in [1, 16], got {n_hashes}")
+    pos = F.explode(_bloom_positions(value, n_words, n_hashes)).alias("pos")
+    return (
+        df.filter(value.isNotNull())
+        .select(pos)
+        .select(
+            (F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+            F.expr(f"shiftleft(1L, cast(pos % {_BLOOM_WORD_BITS} as int))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_merge(states: DataFrame) -> DataFrame:
+    """Union sparse Bloom states (e.g. one per snapshot/source) into
+    one — bit_or over word_idx, the O(bits) no-rescan merge."""
+    return states.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_probe(
+    state: DataFrame,
+    probes: DataFrame,
+    key: str,
+    n_words: int = 1024,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Probe keys against a Bloom state -> (key, maybe_seen). maybe_seen
+    is false-negative-free by construction; false positives are part of
+    the deterministic spec. State is broadcast (<= n_words rows)."""
+    pos = F.explode(_bloom_positions(F.col(key), int(n_words), int(n_hashes))).alias(
+        "pos"
+    )
+    pbits = probes.select(F.col(key), pos).select(
+        key,
+        (F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+        F.expr(f"shiftleft(1L, cast(pos % {_BLOOM_WORD_BITS} as int))").alias("mask"),
+    )
+    return (
+        pbits.join(F.broadcast(state), "word_idx", "left")
+        .groupBy(key)
+        .agg(
+            F.min(
+                F.coalesce(
+                    (F.col("word").bitwiseAND(F.col("mask")) == F.col("mask")),
+                    F.lit(False),
+                )
+            ).alias("maybe_seen")
+        )
+    )
+
+
+# The gate filter is DELIBERATELY undersized (16 words = 1008 bits for
+# ~400 seen keys at sf0.01 -> ~80% fill): at production sizing the FP
+# rate at gate SF would be ~0 and the false-positive path would never
+# be exercised. Undersizing forces deterministic FPs that BOTH engines
+# must reproduce bit-for-bit — the probe verdict's hard part IS the FP.
+_BLOOM_WORDS = 16
+_BLOOM_K = 4
+_BLOOM_M = _BLOOM_WORDS * _BLOOM_WORD_BITS
+
+
+def _bloom_bits_sql(src: str) -> str:
+    """Shared hash->bit-position SQL: h1/h2 are the SAME two md5 slices
+    and the SAME double-hash arithmetic as _bloom_positions."""
+    return f"""
+      select key,
+             ((h1 + i * h2) % {_BLOOM_M}) // {_BLOOM_WORD_BITS} as word_idx,
+             1::bigint << cast((h1 + i * h2) % {_BLOOM_M} % {_BLOOM_WORD_BITS} as int) as mask
+      from (
+        select key,
+               ('0x' || substr(md5(cast(key as varchar)), 1, 12))::bigint as h1,
+               ('0x' || substr(md5(cast(key as varchar)), 13, 12))::bigint as h2
+        from {src}
+      ), unnest(range(0, {_BLOOM_K})) u(i)"""
+
+
+_BLOOM_ORACLE = f"""
+with seen as (
+  select distinct doc_id * 37 as key from documents where doc_id % 5 != 0
+),
+sbits as ({_bloom_bits_sql("seen")}),
+state as (select word_idx, bit_or(mask) as word from sbits group by 1),
+probes as (
+  select distinct doc_id * 37 as key from documents where doc_id % 3 = 0
+),
+pbits as ({_bloom_bits_sql("probes")}),
+verdict as (
+  select p.key,
+         min(coalesce((s.word & p.mask) = p.mask, false)) as maybe_seen
+  from pbits p left join state s using (word_idx)
+  group by p.key
+)
+select v.key, v.maybe_seen, (sn.key is not null) as truly_seen
+from verdict v left join seen sn on sn.key = v.key
+"""
+
+
+@_q("sketch_bloom_seen", _BLOOM_ORACLE)
+def sketch_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom seen-set gate: slice the corpus's seen keys by source,
+    build one sparse Bloom state per slice, bit_or-MERGE the states,
+    then probe an increment whose keys partially overlap — per probe
+    key, (maybe_seen, truly_seen). The oracle builds the filter
+    DIRECTLY from the whole corpus, so the bit-exact match proves both
+    the filter spec AND that slice-merge loses nothing; rows where
+    maybe_seen and not truly_seen are the filter's deterministic false
+    positives, reproduced identically by both engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select((F.col("doc_id") * 37).alias("key"), "source")
+        .distinct()
+    )
+    # per-source slice states built in ONE pass by grouping on
+    # (source, word_idx) — identical bit arithmetic to bloom_build,
+    # plus one tiny exchange for the merge
+    pos = F.explode(_bloom_positions(F.col("key"), _BLOOM_WORDS, _BLOOM_K)).alias(
+        "pos"
+    )
+    per_slice = (
+        seen.select("source", pos)
+        .select(
+            "source",
+            (F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+            F.expr(f"shiftleft(1L, cast(pos % {_BLOOM_WORD_BITS} as int))").alias("mask"),
+        )
+        .groupBy("source", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    state = bloom_merge(per_slice.select("word_idx", "word"))
+    probes = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") * 37).alias("key"))
+        .distinct()
+    )
+    verdict = bloom_probe(state, probes, "key", _BLOOM_WORDS, _BLOOM_K)
+    truly = seen.select("key").distinct().withColumn("t", F.lit(True))
+    return verdict.join(truly, "key", "left").select(
+        "key", "maybe_seen", F.coalesce(F.col("t"), F.lit(False)).alias("truly_seen")
+    )
+
+
 _KMV_MERGED_ORACLE = f"""
     {_kmv_core_ctes()}
     select host, n_seen, kth_hash,
