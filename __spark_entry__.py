@@ -183,6 +183,11 @@ _ROTATED_BACK = (
     # the bit_or word state is new but local parity pins it bit-for-bit
     # (false positives included) at sf0.001 AND sf0.01.
     "sketch_bloom_seen",
+    # sketch_cms_counts (new): same justification as sketch_bloom_seen —
+    # the identical md5-slice double-hash spec keeps the in-window twin
+    # sketch_kmv_merged; the sum-grid state is new but local parity pins
+    # it bit-for-bit (collision overestimates included) at both SFs.
+    "sketch_cms_counts",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

@@ -408,6 +408,173 @@ def sketch_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Count-Min frequency sketch --------------------------------------
+#
+# Completes the mergeable-sketch family: KMV answers "how many
+# distinct", Bloom answers "ever seen", Count-Min answers "about how
+# often" — the per-token / per-host frequency primitive whose exact
+# answer at 10^12 rows is a full groupBy over the corpus. State is
+# sparse (row_idx, col_idx, cnt) over a depth x width grid; per key,
+# row d hashes to column (h1 + d*h2) mod width — the SAME two 48-bit
+# md5 slices and double-hash arithmetic as the Bloom filter, so the
+# whole family shares one INTEGER-EXACT hash spec. Estimates are
+# min-over-rows of integer sums: >= the true count always (collisions
+# only ADD), and bit-identical across engines — an overestimate is the
+# deterministic consequence of the shared spec, not noise.
+#
+# Scale shape: build is explode(depth)+groupBy(row,col) — map-side
+# partial SUM collapses each task to <= depth*width rows before the
+# exchange, so the shuffle is O(tasks * depth * width) regardless of
+# corpus size; states merge by the same sum (associative/commutative),
+# so per-snapshot sketches union without rescans; query broadcasts the
+# <= depth*width-row state onto the probes' positions and takes the
+# row-minimum.
+
+_CMS_WIDTH = 16
+_CMS_DEPTH = 2
+
+
+def _cms_cells(value: Column, width: int, depth: int) -> Column:
+    """Per key: array of (row_idx, col_idx) structs — row d's column is
+    Kirsch-Mitzenmacher (h1 + d*h2) mod width over two independent
+    48-bit md5 slices (the Bloom family hash spec)."""
+    s = value.cast("string")
+    h1 = F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(s), 13, 12), 16, 10).cast("long")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(int(depth) - 1)),
+        lambda d: F.struct(
+            d.cast("int").alias("row_idx"),
+            ((h1 + d.cast("long") * h2) % F.lit(int(width))).alias("col_idx"),
+        ),
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value: Column,
+    weight: Column | None = None,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Keys -> sparse Count-Min state (row_idx:int, col_idx:long,
+    cnt:long). ``weight`` defaults to 1 per row (plain frequency);
+    NULL keys contribute nothing."""
+    width, depth = int(width), int(depth)
+    if not 1 <= width <= 10**7:
+        raise ValueError(f"width must be in [1, 1e7], got {width}")
+    if not 1 <= depth <= 16:
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+    w = F.lit(1).cast("long") if weight is None else weight.cast("long")
+    cell = F.explode(_cms_cells(value, width, depth)).alias("cell")
+    return (
+        df.filter(value.isNotNull())
+        .select(cell, w.alias("w"))
+        .groupBy(F.col("cell.row_idx").alias("row_idx"), F.col("cell.col_idx").alias("col_idx"))
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_merge(states: DataFrame) -> DataFrame:
+    """Union sparse Count-Min states (one per snapshot/source) into
+    one — sum over (row_idx, col_idx), the O(grid) no-rescan merge."""
+    return states.groupBy("row_idx", "col_idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    state: DataFrame,
+    probes: DataFrame,
+    key: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Probe keys against a Count-Min state -> (key, est_cnt). est_cnt
+    >= the true count always (collisions only add); the state (<=
+    depth*width rows) is broadcast."""
+    cell = F.explode(_cms_cells(F.col(key), int(width), int(depth))).alias("cell")
+    pcells = probes.select(F.col(key), cell).select(
+        key, F.col("cell.row_idx").alias("row_idx"), F.col("cell.col_idx").alias("col_idx")
+    )
+    return (
+        pcells.join(F.broadcast(state), ["row_idx", "col_idx"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est_cnt"))
+    )
+
+
+def _cms_cells_sql(src: str, key_expr: str = "token") -> str:
+    """Shared hash->cell SQL: the SAME md5 slices and double-hash
+    arithmetic as _cms_cells."""
+    return f"""
+      select {key_expr} as token, w,
+             cast(d as int) as row_idx,
+             (h1 + d * h2) % {_CMS_WIDTH} as col_idx
+      from (
+        select {key_expr}, w,
+               ('0x' || substr(md5({key_expr}), 1, 12))::bigint as h1,
+               ('0x' || substr(md5({key_expr}), 13, 12))::bigint as h2
+        from {src}
+      ), unnest(range(0, {_CMS_DEPTH})) u(d)"""
+
+
+_CMS_ORACLE = f"""
+with toks as (
+  select source, unnest(string_split(text, ' ')) as token, 1::bigint as w
+  from documents
+),
+cells as ({_cms_cells_sql("toks")}),
+state as (
+  select row_idx, col_idx, sum(w) as cnt from cells group by 1, 2
+),
+probes as (select distinct token, 1::bigint as w from toks),
+pcells as ({_cms_cells_sql("probes")}),
+est as (
+  select p.token, min(coalesce(s.cnt, 0)) as est_cnt
+  from pcells p left join state s using (row_idx, col_idx)
+  group by p.token
+),
+truth as (select token, count(*)::bigint as true_cnt from toks group by 1)
+select e.token, e.est_cnt, t.true_cnt
+from est e join truth t using (token)
+"""
+
+
+@_q("sketch_cms_counts", _CMS_ORACLE)
+def sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min token-frequency gate: tokenize the corpus (the
+    string_split-on-space spec the text ops share), build one sparse
+    CMS per source slice in a single pass, sum-MERGE the slices, probe
+    every distinct token, and join the exact count alongside — per
+    token, (est_cnt, true_cnt). The oracle builds the grid DIRECTLY
+    from the whole corpus, so the bit-exact match proves the sketch
+    spec AND lossless merge; the grid is DELIBERATELY undersized
+    (16x2 for the ~31-token synthetic vocabulary) so collision overestimates
+    (est_cnt > true_cnt) are live and reproduced identically by both
+    engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    # per-source slice states in ONE pass by grouping on
+    # (source, row, col) — identical cell arithmetic to cms_build
+    cell = F.explode(_cms_cells(F.col("token"), _CMS_WIDTH, _CMS_DEPTH)).alias("cell")
+    per_slice = (
+        toks.select("source", cell)
+        .select(
+            "source",
+            F.col("cell.row_idx").alias("row_idx"),
+            F.col("cell.col_idx").alias("col_idx"),
+        )
+        .groupBy("source", "row_idx", "col_idx")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    state = cms_merge(per_slice.select("row_idx", "col_idx", "cnt"))
+    probes = toks.select("token").distinct()
+    est = cms_query(state, probes, "token", _CMS_WIDTH, _CMS_DEPTH)
+    truth = toks.groupBy("token").agg(F.count("*").cast("long").alias("true_cnt"))
+    return est.join(truth, "token")
+
+
 _KMV_MERGED_ORACLE = f"""
     {_kmv_core_ctes()}
     select host, n_seen, kth_hash,
