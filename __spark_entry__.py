@@ -188,6 +188,12 @@ _ROTATED_BACK = (
     # sketch_kmv_merged; the sum-grid state is new but local parity pins
     # it bit-for-bit (collision overestimates included) at both SFs.
     "sketch_cms_counts",
+    # dedup_bloom_antijoin (new): its oracle is the NAIVE anti-join with
+    # no bloom in it (the skew_salted naive-form pattern), its exact
+    # path is the same left_anti machinery dedup_exact was driver-green
+    # with, and a randomized pytest pins parameter-independence; local
+    # parity pins the gate at both SFs.
+    "dedup_bloom_antijoin",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

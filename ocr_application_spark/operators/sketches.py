@@ -408,6 +408,70 @@ def sketch_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_antijoin_new(
+    new_keys: DataFrame,
+    seen_keys: DataFrame,
+    key: str,
+    n_words: int = 1024,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Keys of ``new_keys`` that do NOT appear in ``seen_keys`` —
+    EXACTLY (bit-identical to a plain left_anti join), but routed
+    through the Bloom filter first: keys the filter rules out
+    (maybe_seen=false) are provably new (no false negatives) and skip
+    the exact check entirely; only the maybe_seen survivors — true
+    dups plus the filter's FP-rate sliver — reach the exact anti-join.
+
+    The 100 TB shape for incremental crawl-frontier dedup: the seen
+    corpus is rescanned once into O(bits) of broadcastable state, and
+    the expensive shuffle anti-join against the full corpus runs over
+    (dup_rate + fp_rate) of the increment instead of all of it. Callers
+    keep ``new_keys`` pre-distincted on ``key``."""
+    state = bloom_build(seen_keys.select(F.col(key)), F.col(key), n_words, n_hashes)
+    verdict = bloom_probe(state, new_keys, key, n_words, n_hashes)
+    definitely_new = verdict.filter(~F.col("maybe_seen")).select(key)
+    suspects = verdict.filter(F.col("maybe_seen")).select(key)
+    confirmed_new = suspects.join(seen_keys.select(key), key, "left_anti")
+    return definitely_new.unionByName(confirmed_new)
+
+
+# The prefilter's whole claim is parameter-INdependence: the oracle is
+# the plain anti-join, with no bloom arithmetic at all — agreement
+# proves the two-path split loses and invents nothing (the
+# skew_salted_host_stats naive-form-oracle pattern).
+_BLOOM_ANTIJOIN_ORACLE = """
+with seen as (
+  select distinct doc_id * 37 as key from documents where doc_id % 5 != 0
+),
+probes as (
+  select distinct doc_id * 37 as key from documents where doc_id % 3 = 0
+)
+select key from probes
+where key not in (select key from seen)
+"""
+
+
+@_q("dedup_bloom_antijoin", _BLOOM_ANTIJOIN_ORACLE)
+def dedup_bloom_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered frontier dedup gate: same seen/increment split
+    as sketch_bloom_seen, same deliberately-undersized filter (so the
+    exact path really has FP survivors to reject), output = the truly
+    new keys. The oracle is the NAIVE anti-join with no bloom in it —
+    the bit-exact match proves the prefilter is a pure optimization."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select((F.col("doc_id") * 37).alias("key"))
+        .distinct()
+    )
+    probes = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") * 37).alias("key"))
+        .distinct()
+    )
+    return bloom_antijoin_new(probes, seen, "key", _BLOOM_WORDS, _BLOOM_K)
+
+
 # --- Count-Min frequency sketch --------------------------------------
 #
 # Completes the mergeable-sketch family: KMV answers "how many

@@ -121,3 +121,20 @@ def test_validation(spark):
         bloom_build(df, F.col("key"), 0, 4)
     with pytest.raises(ValueError, match="n_hashes"):
         bloom_build(df, F.col("key"), 8, 0)
+
+
+def test_antijoin_identical_to_plain_antijoin_randomized(spark):
+    from ocr_application_spark.operators.sketches import bloom_antijoin_new
+
+    rng = random.Random(23)
+    seen_keys = list({rng.randrange(5000) for _ in range(400)})
+    new_keys = list({rng.randrange(5000) for _ in range(300)})
+    want = sorted(set(new_keys) - set(seen_keys))
+    for n_words in (4, 16, 256):  # from absurdly-undersized to roomy
+        got = sorted(
+            r.key
+            for r in bloom_antijoin_new(
+                _keys_df(spark, new_keys), _keys_df(spark, seen_keys), "key", n_words, 3
+            ).collect()
+        )
+        assert got == want  # parameter-independent: always the exact set

@@ -598,3 +598,15 @@ def test_hashed_tfidf_plan_token_join_not_broadcast(spark):
     schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
     cols = {c for s in schemas for c in re.findall(r"(\w+):", s)}
     assert cols <= {"struct", "doc_id", "text"}, cols
+
+
+def test_bloom_antijoin_plan_broadcasts_state_no_python(spark):
+    # the Bloom state must reach the probes as a BroadcastExchange (it
+    # is <= n_words rows by construction), the exact check must stay a
+    # LeftAnti join over the suspects only, and the whole prefilter is
+    # JVM-side
+    plan = plan_of(spark, "dedup_bloom_antijoin")
+    assert "BroadcastExchange" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
