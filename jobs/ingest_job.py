@@ -75,12 +75,20 @@ def main() -> None:
     )
     ap.add_argument("--max-files", type=int, default=8, help="maxFilesPerTrigger")
     ap.add_argument(
+        "--bloom-prefilter",
+        action="store_true",
+        help="exact family only: route the index probe through the "
+        "persisted Bloom sidecar (verdicts bit-identical; cost dial)",
+    )
+    ap.add_argument(
         "--timeout",
         type=int,
         default=None,
         help="awaitTermination seconds (default: wait for drain)",
     )
     args = ap.parse_args()
+    if args.bloom_prefilter and args.family != "exact":
+        ap.error("--bloom-prefilter applies to --family exact only")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -105,6 +113,11 @@ def main() -> None:
         args.checkpoint,
         max_files=args.max_files,
         family=args.family,
+        ingest_kwargs=(
+            {"bloom_prefilter": True}
+            if args.bloom_prefilter and args.family == "exact"
+            else None
+        ),
     )
     if args.timeout is not None:
         drained = q.awaitTermination(args.timeout)

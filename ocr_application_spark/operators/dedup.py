@@ -60,6 +60,94 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- incremental recrawl ingest against a persisted fingerprint index ---------
+def _bloom_sidecar_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "_bloom"
+
+
+def _bloom_state_covering(
+    spark: SparkSession,
+    index_path: str,
+    current_version: int,
+    n_words: int,
+    n_hashes: int,
+) -> DataFrame:
+    """Bloom (word_idx, word) state covering EXACTLY the index's
+    ``current_version``, whatever the sidecar's condition: fresh
+    sidecar -> as stored; stale sidecar (crash between index and
+    sidecar commits, or a conflict-losing writer) -> topped up from the
+    O(new-rows) snapshot diff; missing / parameter-mismatched sidecar,
+    or a diff range crossing a compaction -> rebuilt from the full
+    index once. Staleness can only UNDER-fill the stored filter, so
+    healing is always additive — never a correctness event, only a
+    cost one."""
+    from ocr_application_spark.operators.sketches import bloom_build, bloom_merge
+    from ocr_application_spark.sources.snapshots import (
+        read_snapshot,
+        read_snapshot_diff,
+        snapshot_versions,
+    )
+
+    bpath = _bloom_sidecar_path(index_path)
+    if snapshot_versions(bpath):
+        st = read_snapshot(spark, bpath)
+        meta = st.select("covers_version", "n_words", "n_hashes").first()
+        if meta is not None and (meta.n_words, meta.n_hashes) == (n_words, n_hashes):
+            state = st.select("word_idx", "word")
+            if meta.covers_version == current_version:
+                return state
+            if meta.covers_version < current_version:
+                try:
+                    added = read_snapshot_diff(
+                        spark, index_path, meta.covers_version, current_version
+                    )
+                    return bloom_merge(
+                        state.unionByName(
+                            bloom_build(
+                                added, F.col("fingerprint"), n_words, n_hashes
+                            )
+                        )
+                    )
+                except (ValueError, FileNotFoundError):
+                    pass  # range crosses a rewrite/expiry: rebuild below
+    full = read_snapshot(spark, index_path, version=current_version)
+    return bloom_build(full, F.col("fingerprint"), n_words, n_hashes)
+
+
+def _commit_bloom_sidecar(
+    state: DataFrame,
+    index_path: str,
+    covers_version: int,
+    n_words: int,
+    n_hashes: int,
+) -> None:
+    """Replace the sidecar with ``state`` stamped as covering the index
+    at ``covers_version``. A concurrent writer losing the publish race
+    is harmless — the surviving sidecar is at worst STALE (under-
+    filled), which the next ingest's healing path tops up — so the
+    conflict is swallowed, unlike index commits which must fail loud."""
+    from ocr_application_spark.sources.snapshots import (
+        SnapshotConflictError,
+        commit,
+    )
+
+    rows = state.select(
+        "word_idx",
+        "word",
+        F.lit(int(covers_version)).alias("covers_version"),
+        F.lit(int(n_words)).alias("n_words"),
+        F.lit(int(n_hashes)).alias("n_hashes"),
+    )
+    try:
+        commit(
+            rows,
+            _bloom_sidecar_path(index_path),
+            mode="replace_all",
+            op_label=f"bloom-covers-v{covers_version}",
+        )
+    except SnapshotConflictError:
+        pass
+
+
 def fingerprint_index_ingest(
     spark: SparkSession,
     index_path: str,
@@ -68,6 +156,9 @@ def fingerprint_index_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     op_label: str = "fingerprint-ingest",
+    bloom_prefilter: bool = False,
+    bloom_words: int = 1 << 16,
+    bloom_hashes: int = 4,
 ) -> tuple[DataFrame, int]:
     """Dedupe a crawl increment against the PERSISTED corpus fingerprint
     index (a snapshot table of distinct ``md5(text)`` fingerprints),
@@ -101,6 +192,15 @@ def fingerprint_index_ingest(
     itself appends zero rows on replay (only fingerprints absent from
     the index are committed).
 
+    ``bloom_prefilter=True`` routes the index probe through a PERSISTED
+    Bloom sidecar (``{index_path}_bloom``, maintained incrementally in
+    O(novel) per ingest): fingerprints the filter rules out are
+    provably absent and skip the index join, so the corpus-sized
+    exchange carries only maybe_seen survivors. Verdicts, index
+    contents and replay-stability are BIT-IDENTICAL either way (no
+    false negatives) — the flag is purely a cost dial, and a stale or
+    lost sidecar self-heals from the snapshot diff.
+
     Reference analog: recrawl ingest into the pages store, SURVEY.md §2
     S7 + the exact-dedup family above.
     """
@@ -133,13 +233,66 @@ def fingerprint_index_ingest(
         idx = read_snapshot(spark, index_path, version=versions[-1]).select(
             "fingerprint", F.col("keeper_doc_id").alias("_idx_keeper")
         )
-        marked = keeper.join(idx, "fingerprint", "left")
+        if bloom_prefilter:
+            # Bloom pre-route (output PROVABLY identical — no false
+            # negatives, see sketches.bloom_antijoin_new): fingerprints
+            # the broadcast filter rules out skip the index join
+            # entirely, so the exchange against the (corpus-sized)
+            # index carries only the maybe_seen survivors — true
+            # recrawl dups plus the FP sliver — instead of the whole
+            # increment.
+            from ocr_application_spark.operators.sketches import bloom_probe
+
+            state = _bloom_state_covering(
+                spark, index_path, versions[-1], bloom_words, bloom_hashes
+            )
+            probe = bloom_probe(
+                state,
+                keeper.select("fingerprint"),
+                "fingerprint",
+                bloom_words,
+                bloom_hashes,
+            )
+            km = keeper.join(probe, "fingerprint")
+            suspects = km.filter(F.col("maybe_seen")).drop("maybe_seen")
+            clear = km.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            marked = suspects.join(idx, "fingerprint", "left").unionByName(
+                clear.withColumn("_idx_keeper", F.lit(None).cast("long"))
+            )
+        else:
+            marked = keeper.join(idx, "fingerprint", "left")
     else:  # bootstrap: empty index, every keeper is novel
         marked = keeper.withColumn("_idx_keeper", F.lit(None).cast("long"))
     novel = marked.filter(F.col("_idx_keeper").isNull()).select(
         "fingerprint", "keeper_doc_id"
     )
     version = commit(novel, index_path, op_label=op_label)
+    if bloom_prefilter:
+        # sidecar maintenance is O(novel): fold the JUST-COMMITTED rows
+        # (read back via the manifest diff — crash-consistent, never a
+        # recompute of the join) into the state and stamp it as
+        # covering the new version. A crash before this commit leaves
+        # the sidecar stale, which the next ingest's healing tops up.
+        from ocr_application_spark.operators.sketches import bloom_build, bloom_merge
+        from ocr_application_spark.sources.snapshots import read_snapshot_diff
+
+        if versions:
+            added = read_snapshot_diff(spark, index_path, versions[-1], version)
+            new_state = bloom_merge(
+                state.unionByName(
+                    bloom_build(added, F.col("fingerprint"), bloom_words, bloom_hashes)
+                )
+            )
+        else:
+            new_state = bloom_build(
+                read_snapshot(spark, index_path, version=version),
+                F.col("fingerprint"),
+                bloom_words,
+                bloom_hashes,
+            )
+        _commit_bloom_sidecar(
+            new_state, index_path, version, bloom_words, bloom_hashes
+        )
     rep = F.coalesce(F.col("_idx_keeper"), F.col("keeper_doc_id"))
     verdicts = fps.join(marked, "fingerprint").select(
         "doc_id",

@@ -260,6 +260,7 @@ def run_stream_ingest(
     checkpoint: str,
     max_files: int = 8,
     family: str = "exact",
+    ingest_kwargs: dict | None = None,
 ):
     """Continuous crawl ingestion with corpus-level dedup against a
     persisted index — ONE streaming front-end for all three batch
@@ -271,6 +272,11 @@ def run_stream_ingest(
                    stream; NEAR-dup verdicts per doc_id
       'semantic' — ``similarity.embedding_index_ingest`` over a vector
                    stream (``VECTORS_SCHEMA``); verdicts per vec_id
+
+    ``ingest_kwargs`` forwards family-specific dials verbatim (e.g.
+    ``{"bloom_prefilter": True}`` routes the exact family through its
+    persisted Bloom sidecar — verdicts bit-identical, see
+    ``fingerprint_index_ingest``).
 
     Each micro-batch runs one ingest against the persisted index (ONE
     snapshot commit per epoch, novel entries only) and lands the
@@ -354,7 +360,11 @@ def run_stream_ingest(
         batch_df.persist()
         try:
             verdicts, _v = ingest(
-                spark, index_path, batch_df, op_label=f"epoch-{epoch_id}"
+                spark,
+                index_path,
+                batch_df,
+                op_label=f"epoch-{epoch_id}",
+                **(ingest_kwargs or {}),
             )
             (
                 batch_df.join(verdicts, id_col)
