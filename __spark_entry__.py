@@ -194,6 +194,11 @@ _ROTATED_BACK = (
     # with, and a randomized pytest pins parameter-independence; local
     # parity pins the gate at both SFs.
     "dedup_bloom_antijoin",
+    # sketch_kmv_overlap (new): pure composition of the kmv_distinct /
+    # kmv_merge machinery sketch_kmv_merged keeps in-window — only the
+    # inclusion-exclusion arithmetic is new, and local parity pins it
+    # bit-for-bit at both SFs with the exact overlap joined alongside.
+    "sketch_kmv_overlap",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

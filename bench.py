@@ -168,6 +168,10 @@ def main() -> None:
             "classify_nb_langid",
             "events_interval_overlap",
             "ann_pq_topk",
+            "sketch_bloom_seen",
+            "sketch_cms_counts",
+            "dedup_bloom_antijoin",
+            "sketch_kmv_overlap",
         ]
 
         def run(name: str) -> None:

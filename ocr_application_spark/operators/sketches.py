@@ -149,6 +149,44 @@ def kmv_merge(sketches: DataFrame, group: str, k: int) -> DataFrame:
     return _bottomk_estimate(pairs, group, k)
 
 
+def kmv_overlap(sk_a: DataFrame, sk_b: DataFrame, group: str, k: int) -> DataFrame:
+    """Per-``group`` distinct-OVERLAP estimate from two KMV sketches
+    (outputs of ``kmv_distinct``/``kmv_merge`` carrying their
+    ``hashes`` state) via inclusion-exclusion:
+
+        |A ∩ B|  ≈  est(A) + est(B) − est(A ∪ B)
+
+    with est(A ∪ B) from merging the two states — so the overlap of
+    two crawl snapshots / sources is answered from O(k) state per
+    group, never by joining the data. All int64 (the KMV estimate
+    discipline); the subtraction can undershoot, so ``overlap_est``
+    clamps at 0 (deterministically — part of the spec). Groups present
+    on one side only get est=0 for the missing side and overlap 0.
+    Output: (group, est_a, est_b, est_union, overlap_est)."""
+    u = (
+        kmv_merge(sk_a.unionByName(sk_b), group, k)
+        .select(group, F.col("distinct_est").alias("est_union"))
+    )
+    a = sk_a.select(group, F.col("distinct_est").alias("est_a"))
+    b = sk_b.select(group, F.col("distinct_est").alias("est_b"))
+    zero = F.lit(0).cast("long")
+    est_a = F.coalesce(F.col("est_a"), zero)
+    est_b = F.coalesce(F.col("est_b"), zero)
+    return (
+        u.join(a, group, "left")
+        .join(b, group, "left")
+        .select(
+            group,
+            est_a.alias("est_a"),
+            est_b.alias("est_b"),
+            "est_union",
+            F.greatest(zero, est_a + est_b - F.col("est_union")).alias(
+                "overlap_est"
+            ),
+        )
+    )
+
+
 # ONE SQL rendering of the KMV spec (hash, bottom-k, estimate),
 # composed by BOTH gate oracles — the direct and the merged gate must
 # share it so a future estimator change (e.g. the documented
@@ -172,11 +210,11 @@ def _kmv_core_ctes(k: int = 64) -> str:
     )"""
 
 
-def _kmv_est_sql(k: int = 64, prefix: str = "") -> str:
+def _kmv_est_sql(k: int = 64, prefix: str = "", alias: str = "distinct_est") -> str:
     return f"""cast(case when {prefix}n_seen < {k} then {prefix}n_seen
                 else ({k - 1} * {_SPACE}) //
                      greatest(1, cast(('0x' || {prefix}kth_hash) as bigint))
-                end as bigint) as distinct_est"""
+                end as bigint) as {alias}"""
 
 
 _KMV_ORACLE = f"""
@@ -668,3 +706,104 @@ def sketch_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sketch_k",
     )
     return kmv_merge(states, "host", k=64).drop("hashes", "sketch_k")
+
+
+# Overlap gate: k=32 over 3 synthetic hosts so the ESTIMATOR branch is
+# live (per host ~100 distinct values >> k); exact overlap joined
+# alongside so accuracy is visible, not just asserted.
+_OVL_K = 32
+
+
+def _kmv_overlap_side_ctes(tag: str, filt: str) -> str:
+    """One side's bottom-k pipeline — the SAME hash/rank/agg spec as
+    _kmv_core_ctes, parameterized by the side's membership filter."""
+    return f"""
+    {tag}_vals as (
+      select printf('h%d', cast(doc_id % 3 as int)) as host,
+             substr(md5(cast(doc_id % 211 as varchar)), 1, {_HEX_WIDTH}) as h
+      from documents where {filt}
+    ),
+    {tag}_pairs as (select host, h from {tag}_vals group by host, h),
+    {tag}_ranked as (
+      select host, h,
+             row_number() over (partition by host order by h) as rn
+      from {tag}_pairs
+    ),
+    {tag}_agg as (
+      select host, cast(max(rn) as bigint) as n_seen, max(h) as kth_hash
+      from {tag}_ranked where rn <= {_OVL_K} group by host
+    )"""
+
+
+_KMV_OVERLAP_ORACLE = f"""
+    with {_kmv_overlap_side_ctes("a", "doc_id % 4 != 0").lstrip()},
+    {_kmv_overlap_side_ctes("b", "doc_id % 5 != 0").lstrip()},
+    u_pairs as (
+      select host, h from a_ranked where rn <= {_OVL_K}
+      union
+      select host, h from b_ranked where rn <= {_OVL_K}
+    ),
+    u_ranked as (
+      select host, h,
+             row_number() over (partition by host order by h) as rn
+      from u_pairs
+    ),
+    u_agg as (
+      select host, cast(max(rn) as bigint) as n_seen, max(h) as kth_hash
+      from u_ranked where rn <= {_OVL_K} group by host
+    ),
+    ests as (
+      select u.host,
+             coalesce(ea.est_a, 0) as est_a,
+             coalesce(eb.est_b, 0) as est_b,
+             eu.est_union
+      from (select host from u_agg) u
+      left join (select host, {_kmv_est_sql(_OVL_K, alias="est_a")} from a_agg) ea using (host)
+      left join (select host, {_kmv_est_sql(_OVL_K, alias="est_b")} from b_agg) eb using (host)
+      join (select host, {_kmv_est_sql(_OVL_K, alias="est_union")} from u_agg) eu using (host)
+    ),
+    a_set as (
+      select distinct printf('h%d', cast(doc_id % 3 as int)) as host,
+             doc_id % 211 as v
+      from documents where doc_id % 4 != 0
+    ),
+    b_set as (
+      select distinct printf('h%d', cast(doc_id % 3 as int)) as host,
+             doc_id % 211 as v
+      from documents where doc_id % 5 != 0
+    ),
+    exact as (
+      select host, cast(count(*) as bigint) as overlap_exact
+      from (select * from a_set intersect select * from b_set)
+      group by host
+    )
+    select e.host, e.est_a, e.est_b, e.est_union,
+           greatest(0, e.est_a + e.est_b - e.est_union) as overlap_est,
+           coalesce(x.overlap_exact, 0) as overlap_exact
+    from ests e left join exact x using (host)
+"""
+
+
+@_q("sketch_kmv_overlap", _KMV_OVERLAP_ORACLE)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV overlap gate: two overlapping crawl slices (membership by
+    doc_id residue), sketched independently per host at k=32, overlap
+    estimated by inclusion-exclusion over the states — NO join over the
+    data — with the exact distinct overlap joined alongside. The
+    bit-exact oracle match proves the sketch arithmetic AND the merge
+    path under the estimator branch (per host ~100 distinct >> k)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.format_string("h%d", (F.col("doc_id") % 3).cast("int")).alias("host")
+    v = (F.col("doc_id") % 211).alias("v")
+    a = docs.filter(F.col("doc_id") % 4 != 0).select(host, v)
+    b = docs.filter(F.col("doc_id") % 5 != 0).select(host, v)
+    ska = kmv_distinct(a, "host", F.col("v"), k=_OVL_K)
+    skb = kmv_distinct(b, "host", F.col("v"), k=_OVL_K)
+    out = kmv_overlap(ska, skb, "host", _OVL_K)
+    exact = (
+        a.distinct()
+        .join(b.distinct(), ["host", "v"])
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("overlap_exact"))
+    )
+    return out.join(exact, "host", "left").na.fill({"overlap_exact": 0})

@@ -154,3 +154,75 @@ def test_null_hash_in_reconstructed_state_is_ignored(spark):
     )
     row = kmv_merge(df, "g", k=8).collect()[0]
     assert (row.n_seen, row.kth_hash) == (2, "aa")
+
+
+def test_overlap_matches_twin_and_handles_one_sided_groups(spark):
+    """kmv_overlap == inclusion-exclusion over the twin's bottom-k
+    states on random overlapping sets; a group on one side only gets
+    est 0 for the missing side and overlap 0."""
+    from ocr_application_spark.operators.sketches import kmv_distinct, kmv_overlap
+
+    rng = random.Random(17)
+    k = 8
+    rows_a = [(f"g{rng.randrange(3)}", rng.randrange(120)) for _ in range(400)]
+    rows_b = [(f"g{rng.randrange(3)}", rng.randrange(120) + 40) for _ in range(400)]
+    rows_a += [("only_a", v) for v in range(30)]
+    rows_b += [("only_b", v) for v in range(25)]
+    dfa = spark.createDataFrame(rows_a, "g string, v long")
+    dfb = spark.createDataFrame(rows_b, "g string, v long")
+    got = {
+        r.g: (r.est_a, r.est_b, r.est_union, r.overlap_est)
+        for r in kmv_overlap(
+            kmv_distinct(dfa, "g", F.col("v"), k=k),
+            kmv_distinct(dfb, "g", F.col("v"), k=k),
+            "g",
+            k,
+        ).collect()
+    }
+    ta, tb = _twin(rows_a, k), _twin(rows_b, k)
+    want = {}
+    for g in set(ta) | set(tb):
+        ea = ta[g][2] if g in ta else 0
+        eb = tb[g][2] if g in tb else 0
+        # union est: re-rank the two states' hashes through the twin
+        merged_hashes = sorted(
+            set(ta.get(g, (0, "", 0, ()))[3]) | set(tb.get(g, (0, "", 0, ()))[3])
+        )[:k]
+        n_seen = len(merged_hashes)
+        eu = (
+            n_seen
+            if n_seen < k
+            else ((k - 1) * _SPACE) // max(1, int(merged_hashes[-1], 16))
+        )
+        want[g] = (ea, eb, eu, max(0, ea + eb - eu))
+    assert got == want
+    assert got["only_a"][1] == 0 and got["only_a"][3] == 0
+    assert got["only_b"][0] == 0 and got["only_b"][3] == 0
+
+
+def test_overlap_exact_on_small_disjoint_and_identical_sets(spark):
+    """n_seen<k branch: overlap estimates are EXACT for small sets —
+    disjoint -> 0, identical -> the set size, partial -> the true
+    intersection."""
+    from ocr_application_spark.operators.sketches import kmv_distinct, kmv_overlap
+
+    dfa = spark.createDataFrame(
+        [("d", v) for v in range(5)] + [("i", v) for v in range(4)]
+        + [("p", v) for v in range(6)],
+        "g string, v long",
+    )
+    dfb = spark.createDataFrame(
+        [("d", v) for v in range(10, 15)] + [("i", v) for v in range(4)]
+        + [("p", v) for v in range(3, 9)],
+        "g string, v long",
+    )
+    got = {
+        r.g: r.overlap_est
+        for r in kmv_overlap(
+            kmv_distinct(dfa, "g", F.col("v"), k=64),
+            kmv_distinct(dfb, "g", F.col("v"), k=64),
+            "g",
+            64,
+        ).collect()
+    }
+    assert got == {"d": 0, "i": 4, "p": 3}
