@@ -199,6 +199,12 @@ _ROTATED_BACK = (
     # inclusion-exclusion arithmetic is new, and local parity pins it
     # bit-for-bit at both SFs with the exact overlap joined alongside.
     "sketch_kmv_overlap",
+    # dedup_winnow (new): its gram-hash/explode plumbing keeps in-window
+    # twins across the dedup shingle family; the window-min selection is
+    # new but local parity pins the four-aggregate fold bit-for-bit at
+    # both SFs, plus a pure-Python twin differential and the detection-
+    # guarantee property in test_winnow.py.
+    "dedup_winnow",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

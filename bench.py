@@ -172,6 +172,7 @@ def main() -> None:
             "sketch_cms_counts",
             "dedup_bloom_antijoin",
             "sketch_kmv_overlap",
+            "dedup_winnow",
         ]
 
         def run(name: str) -> None:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ocr_application_spark.session import bounded_cache, release_local_checkpoint
 
@@ -1150,4 +1151,132 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup chains at 10^12 docs."""
     return propagate_components_star(
         dedup_minhash_lsh(spark, sf_dir), _docs(spark, sf_dir).select("doc_id")
+    )
+
+
+# --- winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+# algorithm) ----------------------------------------------------------
+#
+# The position-robust layer between whole-doc hashing (text_fingerprint
+# — breaks on ONE changed byte) and shingle-set Jaccard (dedup_ngram_*
+# — keeps every shingle): winnowing keeps, per window of w consecutive
+# k-gram hashes, only the window's MINIMUM (rightmost on ties), which
+# GUARANTEES any shared substring of length >= w + k - 1 yields a
+# shared fingerprint while storing only ~2/(w+1) of the grams. That
+# density bound is what makes partial-overlap detection affordable at
+# 10^12 docs: the posting index is a w-fold smaller join key space
+# with a hard detection floor, not a sampling hope.
+#
+# INTEGER-EXACT BY SPEC: 40-bit md5-slice gram hashes; the select key
+# packs (hash, 2^16-1 - pos mod 2^16) into one int64 so "min hash,
+# rightmost position on ties" is a plain integer MIN — identical in
+# both engines (ties between equal hashes >= 2^16 grams apart resolve
+# by pos mod 2^16; deterministic, shared, and astronomically rare at
+# 40 bits).
+
+_WINNOW_K = 8  # chars per gram
+_WINNOW_W = 4  # grams per window
+_WINNOW_POSM = 1 << 16
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = _WINNOW_K,
+    w: int = _WINNOW_W,
+) -> DataFrame:
+    """Per-document winnowed fingerprints -> (doc_id, fp_pos, fp_hash),
+    one row per selected (position, gram-hash) pair. Docs shorter than
+    k chars emit nothing; docs with fewer than w grams emit the single
+    minimum gram (the standard short-doc clamp). One shuffle on doc_id
+    (the per-doc ordered window); everything JVM-side."""
+    k, w = int(k), int(w)
+    if not 2 <= k <= 64:
+        raise ValueError(f"k must be in [2, 64], got {k}")
+    if not 2 <= w <= 1024:
+        raise ValueError(f"w must be in [2, 1024], got {w}")
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    d = df.select(F.col(id_col).alias("doc_id"), t.alias("t")).filter(
+        F.length("t") >= k
+    )
+    grams = d.select(
+        "doc_id",
+        (F.length("t") - k + 1).alias("n_grams"),
+        F.explode(F.sequence(F.lit(1), F.length("t") - k + 1)).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        F.conv(F.substring(F.expr(f"md5(substring(t, pos, {k}))"), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    key = F.col("h") * _WINNOW_POSM + (
+        F.lit(_WINNOW_POSM - 1) - F.col("pos") % _WINNOW_POSM
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = grams.select(
+        "doc_id", "pos", "n_grams", F.min(key).over(win).alias("sk")
+    )
+    return (
+        sel.filter(F.col("pos") <= F.greatest(F.lit(1), F.col("n_grams") - w + 1))
+        .select("doc_id", "sk")
+        .distinct()
+        .select(
+            "doc_id",
+            (F.lit(_WINNOW_POSM - 1) - F.col("sk") % _WINNOW_POSM).alias("fp_pos"),
+            # div, not /: float division loses bits above 2^53 and the
+            # packed key reaches 2^56
+            F.expr(f"sk div {_WINNOW_POSM}").alias("fp_hash"),
+        )
+    )
+
+
+_WINNOW_ORACLE = f"""
+with d as (
+  select doc_id, lower(coalesce(text, '')) as t
+  from documents where length(lower(coalesce(text, ''))) >= {_WINNOW_K}
+),
+grams as (
+  select doc_id, cast(i as bigint) as pos,
+         length(t) - {_WINNOW_K} + 1 as n_grams,
+         ('0x' || substr(md5(substr(t, cast(i as int), {_WINNOW_K})), 1, 10))::bigint as h
+  from d, unnest(range(1, length(t) - {_WINNOW_K} + 2)) u(i)
+),
+sel as (
+  select doc_id, pos, n_grams,
+         min(h * {_WINNOW_POSM} + ({_WINNOW_POSM - 1} - pos % {_WINNOW_POSM})) over (
+           partition by doc_id order by pos
+           rows between current row and {_WINNOW_W - 1} following) as sk
+  from grams
+),
+fps as (
+  select distinct doc_id, sk from sel
+  where pos <= greatest(1, n_grams - {_WINNOW_W} + 1)
+)
+select doc_id,
+       cast(count(*) as bigint) as n_fps,
+       cast(sum(sk // {_WINNOW_POSM}) as bigint) as fp_sum,
+       cast(bit_xor(sk // {_WINNOW_POSM}) as bigint) as fp_xor,
+       cast(sum({_WINNOW_POSM - 1} - sk % {_WINNOW_POSM}) as bigint) as pos_sum
+from fps group by doc_id
+"""
+
+
+@_q("dedup_winnow", _WINNOW_ORACLE)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing gate: per document, the selected fingerprint set
+    folded to (count, hash sum, hash xor, position sum) — four integer
+    aggregates that pin the multiset of selections (a wrong hash, a
+    missing window, or an off-by-one position each break a different
+    aggregate) while keeping the compare O(docs) instead of
+    O(fingerprints)."""
+    fps = winnow_fingerprints(_docs(spark, sf_dir))
+    return fps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps"),
+        F.sum("fp_hash").cast("long").alias("fp_sum"),
+        F.bit_xor("fp_hash").cast("long").alias("fp_xor"),
+        F.sum("fp_pos").cast("long").alias("pos_sum"),
     )
