@@ -205,6 +205,12 @@ _ROTATED_BACK = (
     # both SFs, plus a pure-Python twin differential and the detection-
     # guarantee property in test_winnow.py.
     "dedup_winnow",
+    # overlap_incremental_ingest (new): its snapshot/verdict/replay
+    # machinery keeps THREE in-window twins (dedup_ / neardup_ /
+    # semantic_incremental_ingest) and its winnowing selection is pinned
+    # by dedup_winnow's local parity + test_winnow; local parity pins
+    # the full bootstrap->recrawl chain bit-for-bit at both SFs.
+    "overlap_incremental_ingest",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

@@ -173,6 +173,7 @@ def main() -> None:
             "dedup_bloom_antijoin",
             "sketch_kmv_overlap",
             "dedup_winnow",
+            "overlap_incremental_ingest",
         ]
 
         def run(name: str) -> None:

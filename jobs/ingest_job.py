@@ -70,7 +70,7 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument(
         "--family",
-        choices=("exact", "minhash", "semantic"),
+        choices=("exact", "minhash", "winnow", "semantic"),
         default="exact",
     )
     ap.add_argument("--max-files", type=int, default=8, help="maxFilesPerTrigger")

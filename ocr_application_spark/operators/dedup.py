@@ -1234,28 +1234,37 @@ def winnow_fingerprints(
     )
 
 
-_WINNOW_ORACLE = f"""
-with d as (
+def _winnow_sel_sql(src: str, tag: str) -> str:
+    """One source's winnowing pipeline -> ``{tag}_fps`` CTE of distinct
+    (doc_id, sk) packed selections — the SAME gram/window/min spec as
+    ``winnow_fingerprints``, parameterized by source table."""
+    return f"""
+{tag}_d as (
   select doc_id, lower(coalesce(text, '')) as t
-  from documents where length(lower(coalesce(text, ''))) >= {_WINNOW_K}
+  from {src} where length(lower(coalesce(text, ''))) >= {_WINNOW_K}
 ),
-grams as (
+{tag}_grams as (
   select doc_id, cast(i as bigint) as pos,
          length(t) - {_WINNOW_K} + 1 as n_grams,
          ('0x' || substr(md5(substr(t, cast(i as int), {_WINNOW_K})), 1, 10))::bigint as h
-  from d, unnest(range(1, length(t) - {_WINNOW_K} + 2)) u(i)
+  from {tag}_d, unnest(range(1, length(t) - {_WINNOW_K} + 2)) u(i)
 ),
-sel as (
+{tag}_sel as (
   select doc_id, pos, n_grams,
          min(h * {_WINNOW_POSM} + ({_WINNOW_POSM - 1} - pos % {_WINNOW_POSM})) over (
            partition by doc_id order by pos
            rows between current row and {_WINNOW_W - 1} following) as sk
-  from grams
+  from {tag}_grams
 ),
-fps as (
-  select distinct doc_id, sk from sel
+{tag}_fps as (
+  select distinct doc_id, sk from {tag}_sel
   where pos <= greatest(1, n_grams - {_WINNOW_W} + 1)
-)
+)"""
+
+
+_WINNOW_ORACLE = f"""
+with {_winnow_sel_sql("documents", "w").lstrip()},
+fps as (select doc_id, sk from w_fps)
 select doc_id,
        cast(count(*) as bigint) as n_fps,
        cast(sum(sk // {_WINNOW_POSM}) as bigint) as fp_sum,
@@ -1280,3 +1289,142 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("fp_hash").cast("long").alias("fp_xor"),
         F.sum("fp_pos").cast("long").alias("pos_sum"),
     )
+
+
+_WINNOW_MIN_SHARED = 8
+_WINNOW_MAX_POSTING = 16
+
+
+def _winnow_doc_fps(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, fp_hash) — the posting-level view of a doc
+    set's winnowed fingerprints (positions dropped: overlap evidence
+    is hash sharing, wherever it occurs)."""
+    return winnow_fingerprints(d).select("doc_id", "fp_hash").distinct()
+
+
+def winnow_index_ingest(
+    spark: SparkSession,
+    index_path: str,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_label: str = "winnow-ingest",
+    min_shared: int = _WINNOW_MIN_SHARED,
+    max_posting: int = _WINNOW_MAX_POSTING,
+) -> tuple[DataFrame, int]:
+    """PARTIAL-overlap sibling of ``minhash_index_ingest``: dedupe a
+    crawl increment against the PERSISTED corpus winnowing index — a
+    snapshot table of (doc_id, fp_hash) distinct winnowed fingerprints
+    of every retained document — append the fingerprint rows of the
+    documents that survive, and return ``(verdicts, version)``:
+
+      (doc_id, verdict) with verdict one of
+        'known_overlap'        — shares >= min_shared distinct
+                                 fingerprints with ONE retained corpus
+                                 doc (substring-level overlap with
+                                 retained content — quotes, templates,
+                                 re-hosted fragments minhash-of-the-
+                                 whole-doc misses when the rest differs)
+        'overlap_in_increment' — no corpus evidence, but >= min_shared
+                                 shared with a LOWER doc_id in batch
+        'novel'                — neither (incl. docs too short to gram)
+
+    Evidence is PAIRWISE (per-pair distinct-fingerprint count), and
+    boilerplate fingerprints are df-capped IN THE ALGORITHM like the
+    Jaccard posting plan: hashes held by more than ``max_posting``
+    docs on the relevant side are excluded from pair generation before
+    any join — the restriction of the index to the increment's hash
+    set keeps every posting of a matched hash, so the capped df is the
+    hash's TRUE index df, not a sample. Same O(increment) recrawl
+    shape and the same replay-stable precedence as the minhash ingest:
+    (1) a doc the index retains stays 'novel' on replay; (2) lower-id
+    in-batch overlap; (3) corpus overlap with another doc's rows."""
+    from ocr_application_spark.sources.snapshots import (
+        commit,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    min_shared, max_posting = int(min_shared), int(max_posting)
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_posting < 1:
+        raise ValueError(f"max_posting must be >= 1, got {max_posting}")
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    fps = bounded_cache(_winnow_doc_fps(d), "winnow_index_ingest")
+    batch_ids = d.select("doc_id").distinct()
+    versions = snapshot_versions(index_path)
+    if versions:
+        idx = read_snapshot(spark, index_path, version=versions[-1])
+        # every index posting of any hash the increment holds — so the
+        # df below is that hash's true corpus df
+        midx = idx.join(fps.select("fp_hash").distinct(), "fp_hash", "left_semi")
+        eligible_idx = midx.join(
+            midx.groupBy("fp_hash")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_posting)
+            .select("fp_hash"),
+            "fp_hash",
+            "left_semi",
+        )
+        x, i = fps.alias("x"), eligible_idx.alias("i")
+        known = (
+            x.join(
+                i,
+                (F.col("x.fp_hash") == F.col("i.fp_hash"))
+                & (F.col("i.doc_id") != F.col("x.doc_id")),
+            )
+            .groupBy(F.col("x.doc_id").alias("doc_id"), F.col("i.doc_id").alias("other"))
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") >= min_shared)
+            .select("doc_id")
+            .distinct()
+        )
+        idx_present = idx.select("doc_id").distinct()
+        self_retained = batch_ids.join(idx_present, "doc_id", "left_semi")
+    else:  # bootstrap: empty index
+        known = fps.filter(F.lit(False)).select("doc_id")
+        idx_present = known
+        self_retained = known
+    eligible_inc = fps.join(
+        fps.groupBy("fp_hash")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_posting)
+        .select("fp_hash"),
+        "fp_hash",
+        "left_semi",
+    )
+    a, b = eligible_inc.alias("a"), eligible_inc.alias("b")
+    incdup = (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("other"))
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_shared)
+        .select("doc_id")
+        .distinct()
+    )
+    verdicts = (
+        batch_ids.join(
+            self_retained.withColumn("_s", F.lit(True)), "doc_id", "left"
+        )
+        .join(incdup.withColumn("_d", F.lit(True)), "doc_id", "left")
+        .join(known.withColumn("_k", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_s"), F.lit("novel"))
+            .when(F.col("_d"), F.lit("overlap_in_increment"))
+            .when(F.col("_k"), F.lit("known_overlap"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+        )
+    )
+    novel_rows = fps.join(
+        verdicts.filter(F.col("verdict") == "novel"), "doc_id", "left_semi"
+    ).join(idx_present, "doc_id", "left_anti")  # replay: already indexed
+    version = commit(novel_rows, index_path, op_label=op_label)
+    return verdicts, version

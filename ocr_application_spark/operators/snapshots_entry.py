@@ -331,3 +331,107 @@ def semantic_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["semantic_incremental_ingest"] = semantic_incremental_ingest
 ORACLES["semantic_incremental_ingest"] = _embedding_ingest_oracle()
+
+
+def _winnow_ingest_oracle() -> str:
+    from ocr_application_spark.operators.dedup import (
+        _WINNOW_MAX_POSTING,
+        _WINNOW_MIN_SHARED,
+        _WINNOW_POSM,
+        _winnow_sel_sql,
+    )
+
+    ms, cap = _WINNOW_MIN_SHARED, _WINNOW_MAX_POSTING
+    return f"""
+with base as (
+  select doc_id, text from documents where doc_id % 3 != 0
+),
+inc as (
+  select doc_id, text from documents where doc_id % 3 = 0
+  union all
+  select doc_id + 1000000 as doc_id, text from documents where doc_id % 7 = 0
+),
+{_winnow_sel_sql("base", "b").lstrip()},
+{_winnow_sel_sql("inc", "i").lstrip()},
+bfp as (select distinct doc_id, sk // {_WINNOW_POSM} as fp_hash from b_fps),
+ifp as (select distinct doc_id, sk // {_WINNOW_POSM} as fp_hash from i_fps),
+b_elig as (
+  -- in-batch df cap, mirrored from the operator's eligible_inc
+  select * from bfp where fp_hash in (
+    select fp_hash from bfp group by fp_hash having count(*) <= {cap})
+),
+b_drop as (
+  -- bootstrap retains only docs with no >= min_shared lower-id pair
+  select distinct doc_id from (
+    select a.doc_id as doc_id, b.doc_id as other, count(*) as n
+    from b_elig a join b_elig b
+      on a.fp_hash = b.fp_hash and b.doc_id < a.doc_id
+    group by 1, 2
+  ) where n >= {ms}
+),
+bret as (select * from bfp where doc_id not in (select doc_id from b_drop)),
+midx as (
+  -- every retained-index posting of a hash the increment holds, so
+  -- the df below is the hash's TRUE index df (operator comment)
+  select * from bret where fp_hash in (select distinct fp_hash from ifp)
+),
+m_elig as (
+  select * from midx where fp_hash in (
+    select fp_hash from midx group by fp_hash having count(*) <= {cap})
+),
+known as (
+  select distinct doc_id from (
+    select x.doc_id as doc_id, i.doc_id as other, count(*) as n
+    from ifp x join m_elig i
+      on x.fp_hash = i.fp_hash and i.doc_id <> x.doc_id
+    group by 1, 2
+  ) where n >= {ms}
+),
+i_elig as (
+  select * from ifp where fp_hash in (
+    select fp_hash from ifp group by fp_hash having count(*) <= {cap})
+),
+incdup as (
+  select distinct doc_id from (
+    select a.doc_id as doc_id, b.doc_id as other, count(*) as n
+    from i_elig a join i_elig b
+      on a.fp_hash = b.fp_hash and b.doc_id < a.doc_id
+    group by 1, 2
+  ) where n >= {ms}
+)
+select i.doc_id,
+       -- operator precedence: self-retained (vacuous here: base/inc id
+       -- spaces are disjoint) -> in-batch overlap -> corpus overlap ->
+       -- novel
+       case when i.doc_id in (select doc_id from bret) then 'novel'
+            when d.doc_id is not null then 'overlap_in_increment'
+            when k.doc_id is not null then 'known_overlap'
+            else 'novel' end as verdict
+from (select distinct doc_id from inc) i
+left join known k on k.doc_id = i.doc_id
+left join incdup d on d.doc_id = i.doc_id
+"""
+
+
+def overlap_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL-overlap recrawl ingest through the real snapshot
+    machinery (the winnowing sibling of the exact/minhash/semantic
+    ingest gates): bootstrap the corpus winnowing-fingerprint index
+    from the base crawl, ingest an increment holding re-crawled clones
+    of base docs (full fingerprint overlap -> 'known_overlap') and
+    clones of in-increment docs ('overlap_in_increment'), return the
+    per-doc verdicts. The oracle rebuilds both sides' winnowed
+    selections, the df-capped pairwise evidence and the precedence
+    rule algebraically (library op:
+    ``operators/dedup.winnow_index_ingest``)."""
+    from ocr_application_spark.operators.dedup import winnow_index_ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base, inc = _base_inc(docs, "doc_id")
+    return _bootstrap_then_recrawl(
+        spark, winnow_index_ingest, "gate_win_index", base, inc
+    )
+
+
+QUERIES["overlap_incremental_ingest"] = overlap_incremental_ingest
+ORACLES["overlap_incremental_ingest"] = _winnow_ingest_oracle()

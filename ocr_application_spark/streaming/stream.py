@@ -270,6 +270,8 @@ def run_stream_ingest(
                    stream; verdicts per (doc_id, fingerprint)
       'minhash'  — ``dedup.minhash_index_ingest`` over a document
                    stream; NEAR-dup verdicts per doc_id
+      'winnow'   — ``dedup.winnow_index_ingest`` over a document
+                   stream; PARTIAL-overlap verdicts per doc_id
       'semantic' — ``similarity.embedding_index_ingest`` over a vector
                    stream (``VECTORS_SCHEMA``); verdicts per vec_id
 
@@ -319,13 +321,19 @@ def run_stream_ingest(
     )
     from ocr_application_spark.operators.similarity import embedding_index_ingest
 
-    if family in ("exact", "minhash"):
+    if family in ("exact", "minhash", "winnow"):
+        from ocr_application_spark.operators.dedup import winnow_index_ingest
+
         stream, id_col, payload_col = (
             stream_documents(spark, input_path, max_files),
             "doc_id",
             "text",
         )
-        ingest = fingerprint_index_ingest if family == "exact" else minhash_index_ingest
+        ingest = {
+            "exact": fingerprint_index_ingest,
+            "minhash": minhash_index_ingest,
+            "winnow": winnow_index_ingest,
+        }[family]
         payload_hash = F.md5(F.coalesce(F.col("text"), F.lit("")))
     elif family == "semantic":
         stream, id_col, payload_col = (

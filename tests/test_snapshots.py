@@ -911,3 +911,80 @@ def test_fingerprint_ingest_bloom_prefilter_identical_and_heals(spark, tmpdir_sc
         r["doc_id"]: r["verdict"] for r in verd_pr.collect()
     }
     assert read_snapshot(spark, bloom_idx).count() == len(rows_p)  # no growth
+
+
+def test_winnow_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
+    """Partial-overlap recrawl ingest against the persisted winnowing
+    index: bootstrap commits every doc's fingerprint rows, an
+    increment's verdicts split known_overlap / overlap_in_increment /
+    novel (docs under k chars default to novel), a HALF-copied doc is
+    caught (the capability minhash-of-the-whole-doc lacks), only novel
+    docs' rows are appended, and replays are verdict-stable without
+    index growth."""
+    import random
+
+    from ocr_application_spark.operators.dedup import winnow_index_ingest
+
+    rng = random.Random(71)
+
+    def words(n):
+        return " ".join(
+            "".join(rng.choice("abcdefghijklmnop") for _ in range(6))
+            for _ in range(n)
+        )
+
+    t1, t2 = words(50), words(50)
+    idx = tmpdir_scratch + "/winidx"
+    base = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+    _, v1 = winnow_index_ingest(spark, idx, base)
+    assert v1 == 1
+    n_base_rows = read_snapshot(spark, idx).count()
+    assert n_base_rows > 0
+
+    t3 = words(50)
+    half_of_t2 = t2[: len(t2) // 2] + " " + words(25)  # 50% copied, tail new
+    inc = spark.createDataFrame(
+        [
+            (10, t1),          # full clone of base doc 1
+            (11, t3),          # novel keeper
+            (12, t3),          # in-increment clone
+            (13, "tiny"),      # < k chars: no fingerprints
+            # shares with NO in-batch doc, so the verdict must come
+            # from CORPUS evidence — the partial copy is caught against
+            # base doc 2 via its copied half
+            (9, half_of_t2),   # PARTIAL copy of base doc 2
+        ],
+        "doc_id long, text string",
+    )
+    verd, _v2 = winnow_index_ingest(spark, idx, inc)
+    got = {r["doc_id"]: r["verdict"] for r in verd.collect()}
+    assert got == {
+        9: "known_overlap",
+        10: "known_overlap",
+        11: "novel",
+        12: "overlap_in_increment",
+        13: "novel",
+    }
+    n_after = read_snapshot(spark, idx).count()
+    assert n_after > n_base_rows  # doc 11's rows appended (13 has none)
+
+    # crash-replay: verdicts reproduce exactly, index does not grow
+    verd2, _v3 = winnow_index_ingest(spark, idx, inc)
+    assert {r["doc_id"]: r["verdict"] for r in verd2.collect()} == got
+    assert read_snapshot(spark, idx).count() == n_after
+
+    # at-least-once redelivery: retained doc 11 (same id) stays novel
+    # while a NEW lower-id clone of it is corpus evidence, not a second
+    # novel; nothing appended
+    verd3, _v4 = winnow_index_ingest(
+        spark,
+        idx,
+        spark.createDataFrame([(5, t3), (11, t3)], "doc_id long, text string"),
+    )
+    assert {r["doc_id"]: r["verdict"] for r in verd3.collect()} == {
+        5: "known_overlap",
+        11: "novel",
+    }
+    assert read_snapshot(spark, idx).count() == n_after

@@ -532,3 +532,68 @@ def test_stream_ingest_semantic_replay(spark, tmpdir_scratch):
     }
     assert got2 == got  # replay-stable: retained vec 1 stays 'novel'
     assert read_snapshot(spark, idx).count() == n_idx  # zero appended
+
+
+def test_stream_ingest_winnow_family(spark, tmpdir_scratch):
+    """The PARTIAL-overlap family through the same streaming front-end:
+    two epochs build the winnowing-fingerprint index; epoch 2 carries a
+    half-copy of a base doc ('known_overlap' — the substring-level
+    catch) and a fresh doc ('novel'). Replay with a wiped checkpoint
+    reproduces the verdicts and appends zero index rows."""
+    import os
+    import random
+    import shutil
+
+    from ocr_application_spark.sources.snapshots import read_snapshot
+    from ocr_application_spark.streaming.stream import run_stream_ingest
+
+    rng = random.Random(73)
+
+    def words(n):
+        return " ".join(
+            "".join(rng.choice("abcdefghijklmnop") for _ in range(6))
+            for _ in range(n)
+        )
+
+    body_a, body_b, body_c = words(50), words(50), words(50)
+    half_a = body_a[: len(body_a) // 2] + " " + words(25)
+    src = tmpdir_scratch + "/win_src"
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    spark.createDataFrame(
+        [(1, body_a, "en", "web", 0), (2, body_b, "en", "web", 0)], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(3, half_a, "en", "web", 0), (4, body_c, "en", "web", 0)], schema
+    ).coalesce(1).write.parquet(src + "/f2")
+    t = 1_700_000_000
+    for i, d in enumerate(("f1", "f2")):
+        for f in os.listdir(f"{src}/{d}"):
+            os.utime(f"{src}/{d}/{f}", (t + i * 100, t + i * 100))
+
+    idx = tmpdir_scratch + "/win_idx"
+    out = tmpdir_scratch + "/win_out"
+    ckpt = tmpdir_scratch + "/win_ckpt"
+
+    def run_once():
+        q = run_stream_ingest(
+            spark, src + "/*/", idx, out, ckpt, max_files=1, family="winnow"
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(out).select("doc_id", "verdict").collect()
+    }
+    assert got == {1: "novel", 2: "novel", 3: "known_overlap", 4: "novel"}
+    n_idx = read_snapshot(spark, idx).select("doc_id").distinct().count()
+    assert n_idx == 3  # docs 1, 2, 4 retained
+
+    shutil.rmtree(ckpt)
+    run_once()
+    got2 = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(out).select("doc_id", "verdict").collect()
+    }
+    assert got2 == got
+    assert read_snapshot(spark, idx).select("doc_id").distinct().count() == n_idx
