@@ -69,8 +69,16 @@ from ocr_application_spark.sources.warc import (  # noqa: F401
     parse_wet_segments,
 )
 from ocr_application_spark.operators.sketches import (  # noqa: F401
+    bloom_antijoin_new,
+    bloom_build,
+    bloom_merge,
+    bloom_probe,
+    cms_build,
+    cms_merge,
+    cms_query,
     kmv_distinct,
     kmv_merge,
+    kmv_overlap,
 )
 from ocr_application_spark.operators.forecast import (  # noqa: F401
     forecast_ar1,
@@ -98,6 +106,8 @@ from ocr_application_spark.operators.dedup import (  # noqa: F401
     fingerprint_index_ingest,
     minhash_candidate_pairs,
     minhash_index_ingest,
+    winnow_fingerprints,
+    winnow_index_ingest,
 )
 from ocr_application_spark.operators.similarity import (  # noqa: F401
     embedding_index_ingest,
