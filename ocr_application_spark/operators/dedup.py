@@ -244,8 +244,16 @@ def fingerprint_index_ingest(
             # increment.
             from ocr_application_spark.operators.sketches import bloom_probe
 
-            state = _bloom_state_covering(
-                spark, index_path, versions[-1], bloom_words, bloom_hashes
+            # bounded_cache: the healed state (possibly a diff top-up or
+            # a full-index rebuild) feeds the probe join, the caller's
+            # verdict materialization AND the post-commit sidecar merge
+            # — uncached it would re-heal once per action, up to 3x the
+            # exact cost the sidecar exists to avoid
+            state = bounded_cache(
+                _bloom_state_covering(
+                    spark, index_path, versions[-1], bloom_words, bloom_hashes
+                ),
+                "fingerprint_bloom_state",
             )
             probe = bloom_probe(
                 state,
@@ -277,14 +285,26 @@ def fingerprint_index_ingest(
         from ocr_application_spark.operators.sketches import bloom_build, bloom_merge
         from ocr_application_spark.sources.snapshots import read_snapshot_diff
 
+        new_state = None
         if versions:
-            added = read_snapshot_diff(spark, index_path, versions[-1], version)
-            new_state = bloom_merge(
-                state.unionByName(
-                    bloom_build(added, F.col("fingerprint"), bloom_words, bloom_hashes)
+            try:
+                added = read_snapshot_diff(spark, index_path, versions[-1], version)
+                new_state = bloom_merge(
+                    state.unionByName(
+                        bloom_build(
+                            added, F.col("fingerprint"), bloom_words, bloom_hashes
+                        )
+                    )
                 )
-            )
-        else:
+            except (ValueError, FileNotFoundError):
+                # a concurrent replace_all/merge landed between our
+                # snapshot read and our commit, so the diff range
+                # crosses a rewrite — our index commit already
+                # SUCCEEDED, so the ingest must not raise here; rebuild
+                # the state from the committed snapshot instead (the
+                # same fallback _bloom_state_covering uses)
+                pass
+        if new_state is None:
             new_state = bloom_build(
                 read_snapshot(spark, index_path, version=version),
                 F.col("fingerprint"),

@@ -275,6 +275,18 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_WORD_BITS = 63
 
 
+def _bloom_word_mask() -> list:
+    """The pos -> (word_idx, mask) bit-packing projection — THE bit
+    spec every oracle mirrors. Single definition shared by build,
+    probe and the gate's per-slice build, so the three sites cannot
+    silently diverge (div, not /: exact by construction, and the same
+    operator the SQL uses)."""
+    return [
+        F.expr(f"pos div {_BLOOM_WORD_BITS}").alias("word_idx"),
+        F.expr(f"shiftleft(1L, cast(pos % {_BLOOM_WORD_BITS} as int))").alias("mask"),
+    ]
+
+
 def _bloom_positions(value: Column, n_words: int, n_hashes: int) -> Column:
     """k bit positions for a key, as an array<long> — double hashing
     (h1 + i*h2) mod m over two independent 48-bit md5 slices."""
@@ -308,10 +320,7 @@ def bloom_build(
     return (
         df.filter(value.isNotNull())
         .select(pos)
-        .select(
-            (F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
-            F.expr(f"shiftleft(1L, cast(pos % {_BLOOM_WORD_BITS} as int))").alias("mask"),
-        )
+        .select(*_bloom_word_mask())
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("word"))
     )
@@ -336,11 +345,7 @@ def bloom_probe(
     pos = F.explode(_bloom_positions(F.col(key), int(n_words), int(n_hashes))).alias(
         "pos"
     )
-    pbits = probes.select(F.col(key), pos).select(
-        key,
-        (F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
-        F.expr(f"shiftleft(1L, cast(pos % {_BLOOM_WORD_BITS} as int))").alias("mask"),
-    )
+    pbits = probes.select(F.col(key), pos).select(key, *_bloom_word_mask())
     return (
         pbits.join(F.broadcast(state), "word_idx", "left")
         .groupBy(key)
@@ -425,11 +430,7 @@ def sketch_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_slice = (
         seen.select("source", pos)
-        .select(
-            "source",
-            (F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
-            F.expr(f"shiftleft(1L, cast(pos % {_BLOOM_WORD_BITS} as int))").alias("mask"),
-        )
+        .select("source", *_bloom_word_mask())
         .groupBy("source", "word_idx")
         .agg(F.bit_or("mask").alias("word"))
     )

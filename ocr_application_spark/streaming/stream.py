@@ -346,6 +346,20 @@ def run_stream_ingest(
     else:
         raise ValueError(f"unknown ingest family {family!r}")
 
+    if ingest_kwargs:
+        # fail BEFORE start(): a family-mismatched dial (e.g.
+        # bloom_prefilter with minhash) would otherwise surface as a
+        # TypeError inside the first micro-batch, after the checkpoint
+        # dir exists and the epoch already persisted its input
+        import inspect
+
+        unknown = set(ingest_kwargs) - set(inspect.signature(ingest).parameters)
+        if unknown:
+            raise ValueError(
+                f"ingest_kwargs {sorted(unknown)} not accepted by the "
+                f"{family!r} family ({ingest.__name__})"
+            )
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id == 0:
             # fresh checkpoint => fresh output (see docstring)
