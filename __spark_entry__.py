@@ -211,6 +211,12 @@ _ROTATED_BACK = (
     # by dedup_winnow's local parity + test_winnow; local parity pins
     # the full bootstrap->recrawl chain bit-for-bit at both SFs.
     "overlap_incremental_ingest",
+    # snapshot_delete_rows (new): the copy-on-write commit machinery it
+    # drives keeps its in-window twin snapshot_merge_upsert (same
+    # affected-file detection, survivor rewrite, merge-mode commit);
+    # only the anti-join survivor rule and the no-op branch are new,
+    # and local parity pins them at both SFs.
+    "snapshot_delete_rows",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

@@ -174,6 +174,7 @@ def main() -> None:
             "sketch_kmv_overlap",
             "dedup_winnow",
             "overlap_incremental_ingest",
+            "snapshot_delete_rows",
         ]
 
         def run(name: str) -> None:

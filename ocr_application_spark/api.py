@@ -138,6 +138,7 @@ from ocr_application_spark.sources.snapshots import (  # noqa: F401
     SchemaEvolutionError,
     SnapshotConflictError,
     commit as commit_snapshot,
+    delete_pages,
     compact as compact_table,
     expire_snapshots,
     gc_orphan_files,

@@ -435,3 +435,50 @@ def overlap_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["overlap_incremental_ingest"] = overlap_incremental_ingest
 ORACLES["overlap_incremental_ingest"] = _winnow_ingest_oracle()
+
+
+_DELETE_ORACLE = """
+with base as (
+  select doc_id, substr(text, 1, 40) as payload
+  from documents where doc_id % 4 != 3
+)
+select doc_id, payload from base where doc_id % 5 != 1
+"""
+
+
+def snapshot_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit base rows across two files, copy-on-write DELETE the
+    doc_id % 5 == 1 keys plus a batch of keys NOT in the table (the
+    no-op half must change nothing), then read the latest snapshot.
+    The oracle is the plain residual filter — agreement proves the
+    affected-file detection, the survivor rewrite and the no-op
+    behavior (library op: ``sources/snapshots.delete_pages``)."""
+    from ocr_application_spark.sources.snapshots import (
+        commit,
+        delete_pages,
+        read_snapshot,
+    )
+    from ocr_application_spark.sources.webpages import default_scratch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 4 != 3).select(
+        "doc_id", F.substring("text", 1, 40).alias("payload")
+    )
+    tbl = os.path.join(default_scratch(), "gate_delete_rows")
+    shutil.rmtree(tbl, ignore_errors=True)
+    commit(base.filter(F.col("doc_id") % 2 == 0), tbl)
+    commit(base.filter(F.col("doc_id") % 2 == 1), tbl)
+    hit = docs.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    miss = docs.select((F.col("doc_id") + 5_000_000).alias("doc_id"))
+    delete_pages(spark, tbl, hit.unionByName(miss), key=("doc_id",))
+    # pure-miss second delete: must be a NO-OP (no new version)
+    from ocr_application_spark.sources.snapshots import snapshot_versions
+
+    v_before = snapshot_versions(tbl)[-1]
+    v_after = delete_pages(spark, tbl, miss, key=("doc_id",))
+    assert v_after == v_before, (v_before, v_after)
+    return read_snapshot(spark, tbl)
+
+
+QUERIES["snapshot_delete_rows"] = snapshot_delete_rows
+ORACLES["snapshot_delete_rows"] = _DELETE_ORACLE

@@ -569,6 +569,67 @@ def merge_pages(
     )
 
 
+def delete_pages(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key: tuple = ("url",),
+    partition_by: str | None = None,
+) -> int:
+    """Row-level DELETE (Iceberg ``DELETE FROM`` analog, copy-on-write)
+    — the takedown/robots-revocation/GDPR path an incremental crawl
+    store eventually needs: rows whose ``key`` appears in ``keys`` are
+    removed from the current snapshot.
+
+    Same copy-on-write unit as ``merge_pages``: only data files that
+    actually contain a matched key are rewritten (surviving neighbors
+    carried over), every other file is referenced unchanged, and the
+    affected-file list is a driver collect bounded by FILE count. Keys
+    absent from the table are a no-op: if nothing matches, NO commit is
+    made and the current version is returned unchanged (Iceberg's
+    DELETE with an empty scan also produces no new snapshot).
+
+    Prior snapshots still time-travel — the deleted rows remain
+    READABLE at older versions until ``expire_snapshots`` +
+    ``gc_orphan_files`` physically drop the superseded files; a real
+    erasure obligation must run those afterwards. Like merge, the
+    rewrite is content-level: ``read_snapshot_diff`` refuses ranges
+    crossing it, so incremental consumers re-baseline. A rewrite whose
+    every row matched leaves a zero-row survivor file referenced (this
+    emulation commits whatever the write produced, unlike Iceberg's
+    zero-record-file skip); ``compact`` clears such files."""
+    key = list(key)
+    base_version = snapshot_versions(path)[-1]
+    latest_schema = _load_manifest(path, base_version)["schema"]
+    cur = read_snapshot(spark, path, version=base_version)
+    kdf = keys.select(*key).distinct()
+    affected = sorted(
+        r.f
+        for r in cur.withColumn("f", F.input_file_name())
+        .join(F.broadcast(kdf), key, "left_semi")
+        .select("f")
+        .distinct()
+        .collect()
+    )
+    affected = [_uri_to_local(f) for f in affected]  # see merge_pages note
+    if not affected:
+        return base_version
+    survivors = _read_files(spark, path, affected, schema_json=latest_schema).join(
+        F.broadcast(kdf), key, "left_anti"
+    )
+    return commit(
+        survivors,
+        path,
+        mode="merge",
+        partition_by=partition_by,
+        op_label="delete",
+        replace_files=affected,
+        # same optimistic-concurrency stance as merge: a concurrent
+        # commit since base_version must fail this delete loudly
+        expected_parent=base_version,
+    )
+
+
 def compact(
     spark: SparkSession,
     path: str,

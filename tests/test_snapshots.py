@@ -988,3 +988,61 @@ def test_winnow_index_ingest_recrawl_lifecycle(spark, tmpdir_scratch):
         11: "novel",
     }
     assert read_snapshot(spark, idx).count() == n_after
+
+
+def test_delete_rows_copy_on_write_and_time_travels(spark, tmpdir_scratch):
+    """DELETE FROM analog: matched rows removed, untouched files carried
+    verbatim in the new manifest, pre-delete snapshots still read the
+    deleted rows, a file whose every row matches disappears entirely,
+    and a pure-miss delete is a version-preserving no-op."""
+    import json as _json
+
+    from ocr_application_spark.sources.snapshots import (
+        delete_pages,
+        snapshot_info,
+        snapshot_versions,
+    )
+
+    tbl = tmpdir_scratch + "/del_tbl"
+    commit(_pages(spark, range(4), "a"), tbl)
+    v2 = commit(_pages(spark, range(4, 8), "b"), tbl)
+
+    keys = spark.createDataFrame([(1,), (2,), (999,)], "doc_id long")
+    vd = delete_pages(spark, tbl, keys, key=("doc_id",))
+    assert snapshot_info(tbl, vd)["mode"] == "merge"
+    got = {r.doc_id for r in read_snapshot(spark, tbl).collect()}
+    assert got == {0, 3, 4, 5, 6, 7}
+
+    # time travel: pre-delete snapshot still has rows 1 and 2
+    old = {r.doc_id for r in read_snapshot(spark, tbl, v2).collect()}
+    assert old == set(range(8))
+
+    # copy-on-write: the second commit's file had no matched key and
+    # must be carried verbatim
+    m_old = _json.load(open(tbl + f"/_snapshots/v{v2}.json"))
+    m_new = _json.load(open(tbl + f"/_snapshots/v{vd}.json"))
+    assert set(m_old["files"]) & set(m_new["files"]), "untouched file carried"
+
+    # pure-miss delete: NO new version
+    assert delete_pages(
+        spark, tbl, spark.createDataFrame([(999,)], "doc_id long"), key=("doc_id",)
+    ) == vd
+    assert snapshot_versions(tbl)[-1] == vd
+
+    # delete EVERY remaining first-commit row: all c1 files vanish from
+    # the manifest, the table still reads correctly, time travel holds
+    vd2 = delete_pages(
+        spark, tbl, spark.createDataFrame([(0,), (3,)], "doc_id long"),
+        key=("doc_id",),
+    )
+    assert {r.doc_id for r in read_snapshot(spark, tbl).collect()} == {4, 5, 6, 7}
+    assert {r.doc_id for r in read_snapshot(spark, tbl, vd).collect()} == {
+        0, 3, 4, 5, 6, 7,
+    }
+    m2 = _json.load(open(tbl + f"/_snapshots/v{vd2}.json"))
+    # each delete rewrites ONLY the c1 files holding a matched key:
+    # strictly fewer c1 files after each step (the leftovers are the
+    # first commit's zero-row part files — 8 slices for 4 rows — which
+    # never match a key and carry forever until compact())
+    c1 = lambda m: {f for f in m["files"] if "/c1-" in f}
+    assert c1(m2) < c1(m_new) < c1(m_old)
