@@ -217,6 +217,11 @@ _ROTATED_BACK = (
     # only the anti-join survivor rule and the no-op branch are new,
     # and local parity pins them at both SFs.
     "snapshot_delete_rows",
+    # crawl_politeness_schedule (new): a row_number window + integer
+    # div — machinery with MANY in-window twins (every WindowGroupLimit
+    # / sessionize op); local parity pins the schedule bit-for-bit at
+    # both SFs and the rate law is pytest-pinned.
+    "crawl_politeness_schedule",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

@@ -175,6 +175,7 @@ def main() -> None:
             "dedup_winnow",
             "overlap_incremental_ingest",
             "snapshot_delete_rows",
+            "crawl_politeness_schedule",
         ]
 
         def run(name: str) -> None:

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -398,4 +399,96 @@ def url_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_path.alias("r_path"),
         r_query.alias("r_query"),
         (r_domain & r_ext & r_path & r_query).alias("keep"),
+    )
+
+
+# --- politeness scheduler ---------------------------------------------------
+#
+# The crawl-ops primitive between frontier filtering and fetching: a
+# host must not be hit more than ``rate_per_tick`` times per tick, so
+# each host's urls pack into consecutive ticks in priority order. At a
+# 10^12-url frontier the per-host window is the natural partition and
+# the hot host is the SERIAL resource — a host with n urls takes
+# ceil(n / rate) ticks BY DESIGN (politeness is the constraint, not a
+# skew bug to salt away); distinct hosts schedule independently in
+# parallel. Pure integer arithmetic end to end.
+
+
+def crawl_schedule(
+    frontier: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    priority_col: str | None = None,
+    rate_per_tick: int = 2,
+    t0_us: int = 0,
+    tick_us: int = 1_000_000,
+) -> DataFrame:
+    """Assign each frontier url a fetch slot respecting per-host rate:
+    per host, urls order by (priority DESC, url) — a total order, since
+    urls are unique — and url number i (1-based) lands in tick
+    ``(i-1) div rate_per_tick``. Adds (fetch_rank, tick_idx,
+    scheduled_us = t0_us + tick_idx * tick_us), all int64. One shuffle
+    (the per-host window); no UDF."""
+    rate_per_tick, t0_us, tick_us = int(rate_per_tick), int(t0_us), int(tick_us)
+    if rate_per_tick < 1:
+        raise ValueError(f"rate_per_tick must be >= 1, got {rate_per_tick}")
+    if tick_us < 1:
+        raise ValueError(f"tick_us must be >= 1, got {tick_us}")
+    order = (
+        [F.col(priority_col).desc(), F.col(url_col).asc()]
+        if priority_col
+        else [F.col(url_col).asc()]
+    )
+    w = Window.partitionBy(host_col).orderBy(*order)
+    ranked = frontier.withColumn("fetch_rank", F.row_number().over(w).cast("long"))
+    tick = F.expr(f"(fetch_rank - 1) div {rate_per_tick}")
+    return ranked.withColumn("tick_idx", tick).withColumn(
+        "scheduled_us", F.lit(t0_us) + F.col("tick_idx") * tick_us
+    )
+
+
+_SCHED_RATE = 3
+_SCHED_T0 = 1_700_000_000_000_000
+_SCHED_TICK = 1_000_000
+
+_SCHED_ORACLE = f"""
+with frontier as (
+  select 'https://h' || cast(doc_id % 7 as varchar) || '/p' || cast(doc_id as varchar) as url,
+         'h' || cast(doc_id % 7 as varchar) as host,
+         cast(doc_id % 13 as bigint) as priority
+  from documents
+),
+ranked as (
+  select url, host, priority,
+         cast(row_number() over (partition by host order by priority desc, url) as bigint)
+           as fetch_rank
+  from frontier
+)
+select url, host, priority, fetch_rank,
+       (fetch_rank - 1) // {_SCHED_RATE} as tick_idx,
+       {_SCHED_T0} + ((fetch_rank - 1) // {_SCHED_RATE}) * {_SCHED_TICK} as scheduled_us
+from ranked
+"""
+
+
+@_q("crawl_politeness_schedule", _SCHED_ORACLE)
+def crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness gate: a synthetic 7-host frontier with integer
+    priorities, scheduled at 3 fetches/host/tick from a fixed epoch —
+    per url, (fetch_rank, tick_idx, scheduled_us), bit-exact."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frontier = d.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        (F.col("doc_id") % 13).cast("long").alias("priority"),
+    )
+    return crawl_schedule(
+        frontier,
+        priority_col="priority",
+        rate_per_tick=_SCHED_RATE,
+        t0_us=_SCHED_T0,
+        tick_us=_SCHED_TICK,
     )

@@ -43,3 +43,43 @@ def test_canonical_url_idempotent(spark):
         canonical_url(canonical_url(F.col("u"))).alias("c2"),
     )
     assert all(r.c1 == r.c2 for r in two.collect())
+
+
+def test_crawl_schedule_rate_law_and_determinism(spark):
+    """No host exceeds rate_per_tick per tick, every url is scheduled
+    exactly once, the per-host schedule is dense (ticks 0..ceil(n/r)-1),
+    higher priority never fetches later than lower within a host, and
+    validation rejects bad rates."""
+    import pytest as _pytest
+
+    from ocr_application_spark.operators.urlops import crawl_schedule
+
+    rows = [
+        (f"https://{h}/p{i}", h, (i * 7) % 5)
+        for h in ("a", "b", "c")
+        for i in range({"a": 7, "b": 1, "c": 3}[h])
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, priority long")
+    got = crawl_schedule(
+        df, priority_col="priority", rate_per_tick=2, t0_us=100, tick_us=10
+    ).collect()
+    assert len(got) == len(rows) and len({r.url for r in got}) == len(rows)
+    from collections import Counter
+
+    per_tick = Counter((r.host, r.tick_idx) for r in got)
+    assert max(per_tick.values()) <= 2
+    for h, n in (("a", 7), ("b", 1), ("c", 3)):
+        ticks = sorted(r.tick_idx for r in got if r.host == h)
+        want_len = -(-n // 2)
+        assert set(ticks) == set(range(want_len))
+    for h in ("a", "b", "c"):
+        hs = sorted((r for r in got if r.host == h), key=lambda r: r.fetch_rank)
+        pris = [r.priority for r in hs]
+        assert pris == sorted(pris, reverse=True) or all(
+            pris[i] >= pris[i + 1] for i in range(len(pris) - 1)
+        )
+        assert all(r.scheduled_us == 100 + r.tick_idx * 10 for r in hs)
+    with _pytest.raises(ValueError, match="rate_per_tick"):
+        crawl_schedule(df, rate_per_tick=0)
+    with _pytest.raises(ValueError, match="tick_us"):
+        crawl_schedule(df, tick_us=0)
