@@ -222,6 +222,14 @@ _ROTATED_BACK = (
     # / sessionize op); local parity pins the schedule bit-for-bit at
     # both SFs and the rate law is pytest-pinned.
     "crawl_politeness_schedule",
+    # crawl_robots_filter (new): broadcast equi-join with a residual
+    # predicate keeps in-window twins across the fuzzy/tarification
+    # joins, and the struct-max winner is the same max_by discipline
+    # w4_top1_argmax was driver-green with; only the RFC 9309 tie rule
+    # (longest prefix, allow over disallow) is new, and local parity
+    # pins it at both SFs including the engineered equal-length
+    # allow/disallow conflict on host h4.
+    "crawl_robots_filter",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

@@ -492,3 +492,149 @@ def crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         t0_us=_SCHED_T0,
         tick_us=_SCHED_TICK,
     )
+
+
+# --- robots.txt allow/deny filter (RFC 9309 decision rule) -------------------
+#
+# The REP gate the frontier applies between politeness scheduling and
+# fetching: per (host, path), the MOST SPECIFIC matching rule wins
+# (longest path prefix), Allow beating Disallow on equal length; a url
+# with no matching rule is allowed. The reference has no crawler, but
+# the north-rule input is a table of Common-Crawl-style pages — this is
+# the op that decides what may enter that table at all.
+#
+# Scale shape: the rules side is tiny relative to a 10^12-url frontier
+# (a robots.txt is a few KB per host), so the match is a BROADCAST
+# equi-join on host with a startswith residual, and the per-url winner
+# is a map-side-combinable MAX over a (prefix_len, allow, prefix)
+# struct — deliberately NOT a window (a window would sort the whole
+# frontier inside one exchange; the struct-max partial-aggregates
+# before it, so the exchange carries one row per url per partition).
+# Ordering by the struct makes the tie rule explicit: longer prefix
+# first, then allow=true over disallow, then prefix text as the
+# deterministic final tiebreak.
+
+
+def robots_filter(
+    frontier: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Apply robots rules ``(host, prefix, allow:boolean)`` to a frontier.
+
+    Returns the frontier columns plus ``allowed`` (boolean; true when no
+    rule matches) and ``matched_prefix`` (the winning rule's prefix, or
+    NULL). Frontier rows are assumed distinct (url is the identity per
+    the input_hint); exact duplicate rows would collapse in the winner
+    aggregation.
+    """
+    r = rules.select(
+        F.col(host_col).alias("_r_host"),
+        F.col("prefix").alias("_r_prefix"),
+        F.col("allow").alias("_r_allow"),
+    )
+    j = frontier.join(
+        F.broadcast(r),
+        (F.col(host_col) == F.col("_r_host"))
+        & F.col(path_col).startswith(F.col("_r_prefix")),
+        "left",
+    )
+    # (prefix_len, allow, prefix): struct max == RFC 9309 winner. NULL
+    # for unmatched left rows — F.max skips them, so an all-unmatched
+    # url aggregates to NULL and coalesces to allowed.
+    key = F.when(
+        F.col("_r_prefix").isNotNull(),
+        F.struct(
+            F.length("_r_prefix").alias("l"),
+            F.col("_r_allow").alias("allow"),
+            F.col("_r_prefix").alias("prefix"),
+        ),
+    )
+    out_cols = frontier.columns
+    return (
+        j.groupBy(*out_cols)
+        .agg(F.max(key).alias("_best"))
+        .select(
+            *out_cols,
+            F.coalesce(F.col("_best.allow"), F.lit(True)).alias("allowed"),
+            F.col("_best.prefix").alias("matched_prefix"),
+        )
+    )
+
+
+# Synthetic rule card: every host bans /private/ but re-allows the
+# /private/pub/ subtree (longest-prefix override); h1 is a whole-host
+# ban EXCEPT that subtree; h2 bans assets; h3 carries a redundant
+# allow; h4 carries an equal-length allow/disallow conflict on the
+# /private/pub/ subtree — the allow must win the tie in both engines.
+_ROBOTS_RULES = [
+    *[(f"h{i}", "/private/", False) for i in range(5)],
+    *[(f"h{i}", "/private/pub/", True) for i in range(5)],
+    ("h1", "/", False),
+    ("h2", "/img/", False),
+    ("h3", "/p/", True),
+    ("h4", "/private/pub/", False),
+]
+
+_ROBOTS_RULES_SQL = ",\n  ".join(
+    f"('{h}', '{p}', {'true' if a else 'false'})" for h, p, a in _ROBOTS_RULES
+)
+
+_ROBOTS_ORACLE = f"""
+with frontier as (
+  select doc_id,
+         'h' || cast(doc_id % 5 as varchar) as host,
+         case cast(doc_id % 4 as integer)
+           when 0 then '/p/a' || cast(doc_id as varchar)
+           when 1 then '/private/x' || cast(doc_id as varchar)
+           when 2 then '/private/pub/y' || cast(doc_id as varchar)
+           else '/img/z' || cast(doc_id as varchar) end as path
+  from documents
+),
+rules(host, prefix, allow) as (values
+  {_ROBOTS_RULES_SQL}
+),
+j as (
+  select f.doc_id, f.host, f.path, r.prefix, r.allow
+  from frontier f
+  left join rules r
+    on f.host = r.host and starts_with(f.path, r.prefix)
+),
+best as (
+  select doc_id, host, path, prefix, allow,
+         row_number() over (
+           partition by doc_id
+           order by length(prefix) desc nulls last,
+                    allow desc nulls last,
+                    prefix desc nulls last) as rn
+  from j
+)
+select doc_id, host, path,
+       coalesce(allow, true) as allowed,
+       prefix as matched_prefix
+from best where rn = 1
+"""
+
+
+@_q("crawl_robots_filter", _ROBOTS_ORACLE)
+def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REP gate: a synthetic 5-host frontier against the rule card above
+    — per url, (allowed, matched_prefix) under longest-prefix-wins /
+    allow-beats-disallow-on-ties. The oracle states the same rule as a
+    per-url rank-1 window; the Spark plan is the broadcast-join +
+    struct-max aggregation (no frontier-wide sort)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    pm = did % 4
+    frontier = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), (did % 5).cast("string")).alias("host"),
+        F.when(pm == 0, F.concat(F.lit("/p/a"), did.cast("string")))
+        .when(pm == 1, F.concat(F.lit("/private/x"), did.cast("string")))
+        .when(pm == 2, F.concat(F.lit("/private/pub/y"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/img/z"), did.cast("string")))
+        .alias("path"),
+    )
+    rules = spark.createDataFrame(_ROBOTS_RULES, ["host", "prefix", "allow"])
+    return robots_filter(frontier, rules)

@@ -610,3 +610,15 @@ def test_bloom_antijoin_plan_broadcasts_state_no_python(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_robots_filter_broadcasts_rules_and_avoids_window(spark):
+    # rules broadcast (tiny vs the frontier), winner picked by a
+    # partial-aggregable struct max — never a frontier-wide window sort
+    plan = plan_of(spark, "crawl_robots_filter")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "StartsWith" in plan, plan  # residual prefix predicate
+    assert "Window" not in plan, plan
+    # one broadcast exchange + one aggregation exchange (node headers,
+    # not the tree rendering, which repeats each node)
+    assert len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)) <= 2, plan

@@ -83,3 +83,46 @@ def test_crawl_schedule_rate_law_and_determinism(spark):
         crawl_schedule(df, rate_per_tick=0)
     with _pytest.raises(ValueError, match="tick_us"):
         crawl_schedule(df, tick_us=0)
+
+
+def test_robots_filter_rfc9309_semantics(spark):
+    """Longest prefix wins; allow beats disallow on equal length; no
+    matching rule (or no rules for the host at all) means allowed; a
+    whole-host '/' ban is overridden by any longer allow."""
+    from ocr_application_spark.operators.urlops import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("h", "/private/", False),
+            ("h", "/private/pub/", True),
+            ("g", "/", False),
+            ("g", "/open/", True),
+            ("t", "/x/", True),
+            ("t", "/x/", False),  # equal-length conflict: allow wins
+        ],
+        ["host", "prefix", "allow"],
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("h", "/private/secret"),
+            ("h", "/private/pub/ok"),
+            ("h", "/elsewhere"),
+            ("g", "/anything"),
+            ("g", "/open/page"),
+            ("t", "/x/tie"),
+            ("z", "/nohost"),
+        ],
+        ["host", "path"],
+    )
+    out = {
+        (r.host, r.path): (r.allowed, r.matched_prefix)
+        for r in robots_filter(frontier, rules).collect()
+    }
+    assert out[("h", "/private/secret")] == (False, "/private/")
+    assert out[("h", "/private/pub/ok")] == (True, "/private/pub/")
+    assert out[("h", "/elsewhere")] == (True, None)
+    assert out[("g", "/anything")] == (False, "/")
+    assert out[("g", "/open/page")] == (True, "/open/")
+    assert out[("t", "/x/tie")] == (True, "/x/")
+    assert out[("z", "/nohost")] == (True, None)
+    assert len(out) == 7
