@@ -230,6 +230,14 @@ _ROTATED_BACK = (
     # pins it at both SFs including the engineered equal-length
     # allow/disallow conflict on host h4.
     "crawl_robots_filter",
+    # sample_dsir_topk (new): its machinery keeps in-window twins piece
+    # by piece — md5-hash dims and the micro-nat ln-of-integer-ratio
+    # through text_hashed_tfidf, integer-quantized per-doc log sums
+    # through text_lm_score, TakeOrdered selection through the vocab /
+    # top-k family; only the target-vs-raw importance ratio is new, and
+    # local parity pins it bit-for-bit at both SFs plus a pure-Python
+    # spec differential in test_dsir.py.
+    "sample_dsir_topk",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

@@ -1525,3 +1525,141 @@ def dedup_consecutive_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_consecutive_lines"] = dedup_consecutive_lines
 ORACLES["dedup_consecutive_lines"] = _LINEDEDUP_ORACLE
+
+
+# --- DSIR-style importance resampling ----------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al. 2023): score raw
+# documents by how target-like their hashed bag-of-words is — the
+# log-ratio of two add-one-smoothed unigram models, target vs raw,
+# over B hashed feature dims — and keep the highest-importance docs.
+# The target slice here is the corpus' English documents; in production
+# it is the small high-quality corpus the pretraining mix should match.
+#
+# Exactness discipline (repo invariant): each dim's log-ratio
+# ln(((c_t+1)*(N_r+B)) / ((c_r+1)*(N_t+B))) is ONE ln of a ratio of
+# exact int64 products (every factor <= token count + B, so products
+# stay far below 2^53 and the int->double casts are exact), quantized
+# to integer micro-nats BEFORE any aggregation. Per-doc importance is
+# then a plain integer sum — bit-identical across engines.
+#
+# Selection is the deterministic top-K by (importance, doc_id) — the
+# greedy variant of DSIR's Gumbel-top-k (the Gumbel key needs a nested
+# -ln(-ln(u)) whose two composed libm calls are NOT cross-engine-exact
+# under micro-nat quantization, so the seeded-noise variant is
+# deliberately out of the oracle contract).
+#
+# Scale shape: one explode (narrow), two B-bounded dim aggregations
+# (map-side partial, B = 1024 rows out), the log-ratio table broadcast,
+# and ONE per-doc aggregation exchange; top-K is TakeOrderedAndProject,
+# never a global sort. No UDF, no window, no driver collect.
+
+_DSIR_DIMS = 1024
+_DSIR_TOPK = 200
+_DSIR_TARGET_LANG = "en"
+
+_DSIR_ORACLE = f"""
+with tok2 as (
+  select doc_id, lang,
+         cast(cast(concat('0x', substr(md5(u.token), 1, 8)) as ubigint)
+              % {_DSIR_DIMS} as bigint) as dim
+  from documents, unnest(string_split(text, ' ')) u(token)
+  where u.token != ''
+),
+raw as (select dim, count(*) as c_r from tok2 group by 1),
+tgt as (select dim, count(*) as c_t from tok2
+        where lang = '{_DSIR_TARGET_LANG}' group by 1),
+nt as (select count(*) as n_t from tok2 where lang = '{_DSIR_TARGET_LANG}'),
+nr as (select count(*) as n_r from tok2),
+lr as (
+  select r.dim,
+         cast(round(1e6 * ln(
+             cast((coalesce(t.c_t, 0) + 1) * (nr.n_r + {_DSIR_DIMS}) as double)
+           / cast((r.c_r + 1) * (nt.n_t + {_DSIR_DIMS}) as double)), 0)
+           as bigint) as l_micro
+  from raw r left join tgt t using (dim), nt, nr
+)
+select k.doc_id, k.n_toks, k.dsir_weight_micro
+from (
+  select t.doc_id,
+         cast(count(*) as bigint) as n_toks,
+         sum(l.l_micro) as dsir_weight_micro
+  from tok2 t join lr l using (dim)
+  group by 1
+) k
+order by k.dsir_weight_micro desc, k.doc_id
+limit {_DSIR_TOPK}
+"""
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred,
+    n_dims: int = _DSIR_DIMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance: (id_col, n_toks, dsir_weight_micro)
+    for every document with >= 1 whitespace token. ``target_pred`` is a
+    boolean Column marking the target-distribution rows (evaluated per
+    source row, e.g. ``F.col("lang") == "en"``)."""
+    tok2 = docs.select(
+        F.col(id_col),
+        target_pred.alias("_is_target"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tok2 = tok2.select(
+        id_col,
+        "_is_target",
+        (F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint") % n_dims).alias(
+            "dim"
+        ),
+    )
+    raw = tok2.groupBy("dim").agg(F.count("*").alias("c_r"))
+    tgt = tok2.filter("_is_target").groupBy("dim").agg(F.count("*").alias("c_t"))
+    totals = tok2.agg(
+        F.count("*").alias("n_r"),
+        F.sum(F.col("_is_target").cast("long")).alias("n_t"),
+    )
+    lr = (
+        raw.join(tgt, "dim", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "dim",
+            F.round(
+                F.lit(1e6)
+                * F.log(
+                    ((F.coalesce(F.col("c_t"), F.lit(0)) + 1) * (F.col("n_r") + n_dims)).cast(
+                        "double"
+                    )
+                    / ((F.col("c_r") + 1) * (F.col("n_t") + n_dims)).cast("double")
+                ),
+                0,
+            )
+            .cast("bigint")
+            .alias("l_micro"),
+        )
+    )
+    return (
+        tok2.join(F.broadcast(lr), "dim")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("l_micro").alias("dsir_weight_micro"),
+        )
+    )
+
+
+def sample_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DSIR selection: the 200 documents whose hashed
+    bag-of-words is most English-corpus-like by exact-integer micro-nat
+    importance (see module comment)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = dsir_weights(docs, F.col("lang") == _DSIR_TARGET_LANG)
+    return w.orderBy(
+        F.col("dsir_weight_micro").desc(), F.col("doc_id").asc()
+    ).limit(_DSIR_TOPK)
+
+
+QUERIES["sample_dsir_topk"] = sample_dsir_topk
+ORACLES["sample_dsir_topk"] = _DSIR_ORACLE

@@ -622,3 +622,13 @@ def test_robots_filter_broadcasts_rules_and_avoids_window(spark):
     # one broadcast exchange + one aggregation exchange (node headers,
     # not the tree rendering, which repeats each node)
     assert len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)) <= 2, plan
+
+
+def test_dsir_topk_take_ordered_no_window_no_python(spark):
+    # selection is TakeOrderedAndProject (never a global sort), the
+    # B-bounded log-ratio table broadcasts, and everything stays JVM-side
+    plan = plan_of(spark, "sample_dsir_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0, plan
