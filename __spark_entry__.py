@@ -238,6 +238,15 @@ _ROTATED_BACK = (
     # local parity pins it bit-for-bit at both SFs plus a pure-Python
     # spec differential in test_dsir.py.
     "sample_dsir_topk",
+    # snapshot_zorder_scan (new): the commit/manifest/zone-stat
+    # machinery it drives keeps in-window twins in the three ingest
+    # gates + snapshot_merge_upsert, and scan==filter identity is
+    # pinned by test_zonemap's randomized differential; only the
+    # z-key interleave is new — pure int64 layout arithmetic that can
+    # only mis-place rows, never change results, and the gate asserts
+    # both-dimension pruning in-query. Local parity pins it at both
+    # SFs; test_zonemap pins pruning, time travel and validation.
+    "snapshot_zorder_scan",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

@@ -482,3 +482,52 @@ def snapshot_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["snapshot_delete_rows"] = snapshot_delete_rows
 ORACLES["snapshot_delete_rows"] = _DELETE_ORACLE
+
+
+_ZORDER_ORACLE = """
+with base as (
+  select doc_id,
+         doc_id % 97 as x,
+         (doc_id * 7) % 89 as y,
+         substr(text, 1, 20) as payload
+  from documents
+)
+select doc_id, x, y, payload from base
+where x between 10 and 15 and y between 30 and 60
+"""
+
+
+def snapshot_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit a hash-distributed table, z-order-cluster it on (x, y),
+    then zone-map-scan a 2-d range. The oracle is the plain filter —
+    agreement proves the rewrite reorders without losing or inventing
+    rows and the pruned scan keeps every qualifying row. Pruning itself
+    is asserted in-query: the clustered layout must skip files on BOTH
+    dimensions (library op: ``sources/snapshots.cluster_snapshot``)."""
+    from ocr_application_spark.sources.snapshots import (
+        cluster_snapshot,
+        commit,
+        plan_scan,
+        scan_snapshot,
+    )
+    from ocr_application_spark.sources.webpages import default_scratch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 97).alias("x"),
+        ((F.col("doc_id") * 7) % 89).alias("y"),
+        F.substring("text", 1, 20).alias("payload"),
+    )
+    tbl = os.path.join(default_scratch(), "gate_zorder")
+    shutil.rmtree(tbl, ignore_errors=True)
+    commit(base.repartition(16, "doc_id"), tbl)
+    cluster_snapshot(spark, tbl, ["x", "y"], target_files=16)
+    for c in ("x", "y"):
+        p = plan_scan(tbl, {c: (10, 15)})
+        assert p["skipped"] > 0, (c, p)  # layout must localize BOTH dims
+    return scan_snapshot(spark, tbl, {"x": (10, 15), "y": (30, 60)})
+
+
+QUERIES["snapshot_zorder_scan"] = snapshot_zorder_scan
+ORACLES["snapshot_zorder_scan"] = _ZORDER_ORACLE

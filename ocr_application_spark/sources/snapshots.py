@@ -921,3 +921,95 @@ def scan_snapshot(
         if hi is not None:
             df = df.filter(F.col(c) <= F.lit(hi))
     return df
+
+
+# --- Z-order clustering rewrite ---------------------------------------------
+#
+# Zone maps only prune what the LAYOUT localizes: after an append-order
+# or hash-distributed write, every file spans nearly the full value
+# range of every column and plan_scan keeps everything. Iceberg's
+# answer is `rewrite_data_files` with a z-order sort; this is that
+# maintenance op for the snapshot tables — rewrite the latest snapshot
+# ordered by the bit-interleaving of the clustered columns, so EACH
+# clustered column becomes range-localized per file and point/range
+# queries on ANY of them prune (a lexicographic sort would localize
+# only the leading column).
+#
+# The z-key is exact integer arithmetic end to end: each column is
+# min-max scaled to ``bits`` bits with int64 math (no floats, no
+# sampling), then bit-interleaved. Min-max scaling keeps the key
+# deterministic and cross-run stable; heavily skewed columns get
+# uneven cells (rank-based scaling would fix that at the cost of one
+# global sort per column) — acceptable for a maintenance rewrite whose
+# correctness never depends on cell balance: plan_scan prunes on the
+# REAL footer stats of whatever layout results, and the residual
+# filter always runs.
+
+
+def _zorder_key(scaled: list, bits: int):
+    """int64 z-value: interleave the ``bits``-bit scaled images (column
+    i's bit b lands at position b*k + (k-1-i), so column order only
+    sets tie-breaking significance)."""
+    k = len(scaled)
+    if bits * k > 62:
+        raise ValueError(f"bits*len(cols) = {bits * k} exceeds int64 (max 62)")
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(scaled):
+        for b in range(bits):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, b * k + (k - 1 - ci)))
+    return z
+
+
+def cluster_snapshot(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    target_files: int = 8,
+    partition_by: str | None = None,
+) -> int:
+    """Rewrite the latest snapshot z-ordered on integral columns
+    ``cols`` into ~``target_files`` range-partitioned files (Iceberg
+    ``rewrite_data_files`` + z-order sort analog). Another ``replace_all``
+    commit: readers switch atomically, prior snapshots still
+    time-travel until ``expire_snapshots``. Returns the new version."""
+    if not cols:
+        raise ValueError("cluster_snapshot needs at least one column")
+    df = read_snapshot(spark, path)
+    for c in cols:
+        dt = dict(df.dtypes).get(c)
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"z-order column {c!r} must be integral, got {dt!r} "
+                "(derive an integral image first: unix_micros for "
+                "timestamps, a hash prefix for strings)"
+            )
+    # exact per-column bounds: one tiny agg, broadcast alongside
+    bounds = df.agg(
+        *[F.min(c).alias(f"_zmin_{c}") for c in cols],
+        *[F.max(c).alias(f"_zmax_{c}") for c in cols],
+    )
+    # min-max scale in pure int64: `div`, never `/` — double division
+    # loses low bits once (value-min)*top crosses 2^53 (the packed-key
+    # pitfall PERF.md records for dedup_winnow)
+    top = (1 << bits) - 1
+    scaled = [
+        F.expr(
+            f"((CAST({c} AS BIGINT) - _zmin_{c}) * CAST({top} AS BIGINT))"
+            f" div greatest(CAST(1 AS BIGINT), CAST(_zmax_{c} - _zmin_{c} AS BIGINT))"
+        )
+        for c in cols
+    ]
+    z = _zorder_key(scaled, bits)
+    clustered = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_zkey", z)
+        .repartitionByRange(target_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", *[f"_zmin_{c}" for c in cols], *[f"_zmax_{c}" for c in cols])
+    )
+    return commit(
+        clustered, path, mode="replace_all", partition_by=partition_by,
+        op_label="cluster",
+    )

@@ -185,3 +185,62 @@ def test_nan_stats_keep_manifest_strict_json(spark, tmpdir_scratch):
     # and scanning on the NaN column stays correct (no pruning)
     got = scan_snapshot(spark, t, {"x": (1.0, 2.0)})
     assert sorted(r.i for r in got.collect()) == [2]
+
+
+def test_zorder_cluster_prunes_both_dimensions(spark, tmpdir_scratch):
+    """Hash-distributed layout prunes nothing on either column; after
+    cluster_snapshot(x, y) BOTH columns prune, results stay identical
+    to the plain filter, and the pre-cluster snapshot still
+    time-travels."""
+    from ocr_application_spark.sources.snapshots import (
+        cluster_snapshot,
+        snapshot_versions,
+    )
+
+    t = f"{tmpdir_scratch}/z"
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).cast("long").alias("x"),
+        ((F.col("id") * 7) % 89).cast("long").alias("y"),
+    )
+    # repartition by doc_id hash: every file spans ~the full x AND y
+    # ranges, so zone maps are blind on both
+    commit(df.repartition(16, "doc_id"), t)
+    v1 = snapshot_versions(t)[-1]
+    rx, ry = {"x": (10, 15)}, {"y": (70, 75)}
+    assert plan_scan(t, rx)["skipped"] == 0
+    assert plan_scan(t, ry)["skipped"] == 0
+
+    v2 = cluster_snapshot(spark, t, ["x", "y"], target_files=16)
+    assert v2 == v1 + 1
+    px, py = plan_scan(t, rx), plan_scan(t, ry)
+    assert px["skipped"] > 0, px   # x-localized now
+    assert py["skipped"] > 0, py   # y-localized too (not just the leading col)
+
+    for ranges in (rx, ry, {"x": (10, 15), "y": (0, 88)}):
+        got = scan_snapshot(spark, t, ranges)
+        want = read_snapshot(spark, t)
+        for c, (lo, hi) in ranges.items():
+            want = want.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+        assert _collect(got) == _collect(want), ranges
+    # the rewrite is a commit: same rows, old version still readable
+    assert read_snapshot(spark, t).count() == 4000
+    assert read_snapshot(spark, t, version=v1).count() == 4000
+
+
+def test_zorder_validation(spark, tmpdir_scratch):
+    from ocr_application_spark.sources.snapshots import cluster_snapshot
+
+    t = f"{tmpdir_scratch}/zv"
+    commit(
+        spark.range(0, 10).select(
+            F.col("id").alias("doc_id"), F.col("id").cast("string").alias("s")
+        ),
+        t,
+    )
+    with pytest.raises(ValueError, match="integral"):
+        cluster_snapshot(spark, t, ["s"])
+    with pytest.raises(ValueError, match="at least one"):
+        cluster_snapshot(spark, t, [])
+    with pytest.raises(ValueError, match="exceeds int64"):
+        cluster_snapshot(spark, t, ["doc_id"], bits=63)
