@@ -247,6 +247,16 @@ _ROTATED_BACK = (
     # both-dimension pruning in-query. Local parity pins it at both
     # SFs; test_zonemap pins pruning, time travel and validation.
     "snapshot_zorder_scan",
+    # snapshot_wap_publish (new): the commit/manifest machinery it
+    # drives keeps FOUR in-window twins (snapshot_merge_upsert + the
+    # three incremental-ingest gates); only the ref-pointer layer
+    # (branch parenting, fast-forward publish) is new — pure manifest
+    # arithmetic that never touches row values — and six dedicated
+    # pytest cases pin WAP isolation, non-fast-forward refusal, tag
+    # immutability/expiry protection, rollback ancestry and legacy
+    # compatibility, while local parity pins the staged-union result
+    # bit-for-bit at both SFs.
+    "snapshot_wap_publish",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

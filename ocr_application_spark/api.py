@@ -138,14 +138,20 @@ from ocr_application_spark.sources.snapshots import (  # noqa: F401
     SchemaEvolutionError,
     SnapshotConflictError,
     commit as commit_snapshot,
+    create_branch,
+    create_tag,
     delete_pages,
+    drop_ref,
     compact as compact_table,
     expire_snapshots,
     gc_orphan_files,
+    list_refs,
     merge_pages,
     plan_scan,
+    publish_branch,
     read_snapshot,
     read_snapshot_diff,
+    rollback,
     scan_snapshot,
     snapshot_info,
     snapshot_versions,

@@ -531,3 +531,56 @@ def snapshot_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["snapshot_zorder_scan"] = snapshot_zorder_scan
 ORACLES["snapshot_zorder_scan"] = _ZORDER_ORACLE
+
+
+_WAP_ORACLE = """
+with base as (
+  select doc_id, substr(text, 1, 40) as payload, 'base' as src
+  from documents where doc_id % 3 != 0
+),
+staged as (
+  select doc_id, substr(text, 1, 40) as payload, 'staged' as src
+  from documents where doc_id % 3 = 0
+)
+select doc_id, payload, src from base
+union all
+select doc_id, payload, src from staged
+"""
+
+
+def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish over the snapshot refs layer: commit a base
+    table, stage an increment on an ``audit`` branch (asserting in-query
+    that main readers see NONE of it — the audit isolation that makes
+    WAP safe), then ``publish_branch`` fast-forwards main and the final
+    read must equal base ∪ staged. The oracle reconstructs that union
+    algebraically, so branch commit parenting, ref resolution and the
+    fast-forward publish are all value-checked (library ops:
+    ``sources/snapshots.create_branch`` / ``commit(branch=...)`` /
+    ``publish_branch``)."""
+    from ocr_application_spark.sources.snapshots import (
+        commit,
+        create_branch,
+        publish_branch,
+        read_snapshot,
+    )
+    from ocr_application_spark.sources.webpages import default_scratch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    rows = docs.select("doc_id", F.substring("text", 1, 40).alias("payload"))
+    base = rows.filter(F.col("doc_id") % 3 != 0).withColumn("src", F.lit("base"))
+    staged = rows.filter(F.col("doc_id") % 3 == 0).withColumn("src", F.lit("staged"))
+    tbl = os.path.join(default_scratch(), "gate_wap_publish")
+    shutil.rmtree(tbl, ignore_errors=True)
+    commit(base, tbl)
+    n_main = read_snapshot(spark, tbl).count()
+    create_branch(tbl, "audit")
+    commit(staged, tbl, branch="audit")
+    # audit isolation: the staged commit must not be visible on main
+    assert read_snapshot(spark, tbl).count() == n_main, "staged rows leaked to main"
+    publish_branch(tbl, "audit")
+    return read_snapshot(spark, tbl)
+
+
+QUERIES["snapshot_wap_publish"] = snapshot_wap_publish
+ORACLES["snapshot_wap_publish"] = _WAP_ORACLE

@@ -37,7 +37,16 @@ are reproduced honestly:
   version returns the OLD schema exactly. Dropping or retyping a
   column on an incremental commit fails loudly
   (``SchemaEvolutionError``); a full ``replace_all`` rewrite may
-  reshape freely.
+  reshape freely;
+* **refs: branches, tags, rollback, write-audit-publish** — named
+  pointers at snapshots (``_snapshots/refs/``), the Iceberg refs
+  analog: ``create_branch`` + ``commit(branch=...)`` stage commits
+  invisible to main readers, ``publish_branch`` fast-forwards main
+  atomically (the WAP publish; non-fast-forward fails loud),
+  ``create_tag`` pins an immutable bookmark ``expire_snapshots``
+  must preserve, ``rollback`` rewinds main along its own history.
+  ``main`` stays implicit (head = highest version — the pre-refs
+  behavior) until the first ref pins it.
 
 On a real cluster, replace this module with Iceberg's ``writeTo``/
 ``VERSION AS OF`` — the call sites are shaped for that swap.
@@ -120,6 +129,7 @@ def snapshot_info(path: str, version: int) -> dict:
         "parent": m.get("parent"),
         "mode": _mode_of(m),
         "operation": m.get("operation"),
+        "branch": m.get("branch", "main"),
         "partition_by": m.get("partition_by"),
         "n_files": len(m.get("files", [])),
     }
@@ -167,6 +177,215 @@ def _list_parquet(root: str) -> list[str]:
     return sorted(out)
 
 
+# --- refs: branches, tags, rollback, write-audit-publish -----------------------
+# The Iceberg refs analog: a ref is a named pointer at a snapshot
+# version, stored one file per ref under ``_snapshots/refs/``. Branches
+# move (commits advance them); tags are immutable bookmarks. ``main``
+# is the implicit default branch: while no ref file pins it, the head
+# is simply the highest version (the pre-refs linear behavior, so
+# existing tables are untouched). The moment history can diverge —
+# first create_branch / create_tag / rollback — main is PINNED to an
+# explicit ref file, because "highest version" stops meaning "main
+# head" once another branch can mint versions.
+#
+# Version numbers stay GLOBAL and exclusive (every commit, on any
+# branch, claims max+1 via the O_EXCL manifest publish), so snapshot
+# creation is serialized table-wide and a branch can never clobber
+# another branch's snapshot; each manifest's ``parent`` pointer is what
+# defines the history DAG. A crash between manifest publish and the
+# ref advance leaves an orphan snapshot no ref points at — harmless
+# (expire/GC territory), exactly Iceberg's orphaned-snapshot failure
+# mode, never a half-visible commit.
+
+_REF_RE = re.compile(r"^[A-Za-z0-9_.\-]{1,64}$")
+
+
+def _refs_dir(path: str) -> str:
+    return os.path.join(_snap_dir(path), "refs")
+
+
+def _ref_file(path: str, name: str) -> str:
+    return os.path.join(_refs_dir(path), f"{name}.json")
+
+
+def _load_ref(path: str, name: str) -> dict | None:
+    try:
+        with open(_ref_file(path, name)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _write_ref(path: str, name: str, rtype: str, version: int) -> None:
+    """Atomically (re)point a ref. os.replace keeps readers seeing
+    either the old or the new pointer, never a partial file."""
+    os.makedirs(_refs_dir(path), exist_ok=True)
+    tmp = os.path.join(_refs_dir(path), f".{name}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "type": rtype, "version": version}, fh)
+    os.replace(tmp, _ref_file(path, name))
+
+
+def _create_ref(path: str, name: str, rtype: str, version: int) -> None:
+    """Exclusive ref creation: a racing double-create loses loudly."""
+    os.makedirs(_refs_dir(path), exist_ok=True)
+    tmp = os.path.join(_refs_dir(path), f".{name}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "type": rtype, "version": version}, fh)
+    try:
+        os.link(tmp, _ref_file(path, name))
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ValueError(f"ref {name!r} already exists at {path}") from None
+    os.unlink(tmp)
+
+
+def _head_version(path: str, branch: str = "main") -> int | None:
+    """Current head of ``branch``: the pinning ref file if present,
+    else (main only) the highest version — the legacy linear head."""
+    ref = _load_ref(path, branch)
+    if ref is not None:
+        if ref["type"] != "branch":
+            raise ValueError(f"ref {branch!r} is a tag, not a branch")
+        return ref["version"]
+    if branch == "main":
+        versions = snapshot_versions(path)
+        return versions[-1] if versions else None
+    raise FileNotFoundError(f"branch {branch!r} not found at {path}")
+
+
+def _pin_main(path: str) -> None:
+    """Pin main's head to an explicit ref file (idempotent). Must run
+    BEFORE any ref that lets history diverge is created — afterwards
+    max(version) may belong to another branch."""
+    if _load_ref(path, "main") is None:
+        versions = snapshot_versions(path)
+        if versions:
+            _write_ref(path, "main", "branch", versions[-1])
+
+
+def _ancestors(path: str, version: int) -> list[int]:
+    """``version`` and its parent chain, newest first, following each
+    manifest's recorded parent pointer (the history DAG, which global
+    version numbering does NOT encode once branches exist)."""
+    out, v = [], version
+    while v is not None:
+        out.append(v)
+        v = _load_manifest(path, v).get("parent")
+    return out
+
+
+def _check_ref_name(name: str) -> None:
+    if not _REF_RE.match(name):
+        raise ValueError(
+            f"invalid ref name {name!r} (allowed: [A-Za-z0-9_.-], 1-64 chars)"
+        )
+
+
+def create_branch(path: str, name: str, version: int | None = None) -> int:
+    """Create branch ``name`` at ``version`` (default: main's head) —
+    Iceberg's ``createBranch``. Pins main first so the two heads can
+    diverge safely. Returns the branch's starting version."""
+    _check_ref_name(name)
+    if name == "main":
+        raise ValueError("'main' is the implicit default branch")
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = _head_version(path) if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot v{v} not found (have {versions})")
+    _pin_main(path)
+    _create_ref(path, name, "branch", v)
+    return v
+
+
+def create_tag(path: str, name: str, version: int | None = None) -> int:
+    """Create immutable tag ``name`` at ``version`` (default: main's
+    head) — Iceberg's ``createTag``. A tagged snapshot survives
+    ``expire_snapshots`` until the tag is dropped."""
+    _check_ref_name(name)
+    if name == "main":
+        raise ValueError("'main' names the default branch, not a tag")
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = _head_version(path) if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot v{v} not found (have {versions})")
+    _pin_main(path)
+    _create_ref(path, name, "tag", v)
+    return v
+
+
+def drop_ref(path: str, name: str) -> None:
+    """Delete a branch or tag pointer (the snapshots it protected
+    become ordinary expire candidates). ``main`` is not droppable."""
+    if name == "main":
+        raise ValueError("cannot drop the main branch")
+    try:
+        os.remove(_ref_file(path, name))
+    except FileNotFoundError:
+        raise FileNotFoundError(f"ref {name!r} not found at {path}") from None
+
+
+def list_refs(path: str) -> dict:
+    """All refs as {name: {"type": ..., "version": ...}}, including the
+    implicit main head (marked pinned=False while no ref file exists)."""
+    out = {}
+    d = _refs_dir(path)
+    if os.path.isdir(d):
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".json") and not f.startswith("."):
+                with open(os.path.join(d, f)) as fh:
+                    r = json.load(fh)
+                out[r["name"]] = {"type": r["type"], "version": r["version"], "pinned": True}
+    if "main" not in out:
+        versions = snapshot_versions(path)
+        if versions:
+            out["main"] = {"type": "branch", "version": versions[-1], "pinned": False}
+    return out
+
+
+def publish_branch(path: str, name: str) -> int:
+    """Fast-forward main to ``name``'s head — the PUBLISH step of
+    write-audit-publish (Iceberg's ``fast_forward``): stage commits on
+    an audit branch (invisible to main readers), validate them, then
+    flip main atomically. Refuses a non-fast-forward (main advanced
+    since the branch was cut) with ``SnapshotConflictError`` — merging
+    diverged branches needs an explicit row-level MERGE, not a pointer
+    move that would silently drop main's commits."""
+    ref = _load_ref(path, name)
+    if ref is None or ref["type"] != "branch":
+        raise FileNotFoundError(f"branch {name!r} not found at {path}")
+    head, main_head = ref["version"], _head_version(path)
+    if main_head is not None and main_head != head and main_head not in _ancestors(path, head):
+        raise SnapshotConflictError(
+            f"cannot fast-forward main (v{main_head}) to branch {name!r} "
+            f"(v{head}): main is not an ancestor of the branch head — "
+            "history diverged; rebase the branch or merge row-level"
+        )
+    _write_ref(path, "main", "branch", head)
+    return head
+
+
+def rollback(path: str, version: int) -> int:
+    """Move main back to an earlier snapshot on its own history
+    (Iceberg's ``rollback_to_snapshot``). The abandoned newer
+    snapshots stay time-travelable until expired; the next main commit
+    parents off the rolled-back head."""
+    main_head = _head_version(path)
+    if main_head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    if version not in _ancestors(path, main_head):
+        raise ValueError(
+            f"v{version} is not on main's history (head v{main_head}); "
+            "rollback only rewinds the current branch"
+        )
+    _write_ref(path, "main", "branch", version)
+    return version
+
+
 def commit(
     df: DataFrame,
     path: str,
@@ -176,6 +395,7 @@ def commit(
     op_label: str | None = None,
     replace_files: list | None = None,
     expected_parent: int | None = None,
+    branch: str = "main",
 ) -> int:
     """Write ``df`` as a new immutable commit and publish the next
     snapshot. ``mode``:
@@ -214,7 +434,20 @@ def commit(
                     "(and None) only"
                 )
     versions = snapshot_versions(path)
-    parent = versions[-1] if versions else None
+    if branch == "main":
+        parent = _head_version(path)
+    else:
+        # a non-main branch must exist before it takes commits (create
+        # it with create_branch; tags never take commits) — an implicit
+        # create here would hide typos as silent new branches
+        ref = _load_ref(path, branch)
+        if ref is None:
+            raise FileNotFoundError(
+                f"branch {branch!r} not found at {path}; create_branch first"
+            )
+        if ref["type"] != "branch":
+            raise ValueError(f"ref {branch!r} is a tag — tags are immutable")
+        parent = ref["version"]
     if expected_parent is not None and parent != expected_parent:
         # the caller's read-modify-write (e.g. merge_pages) planned
         # against expected_parent; another writer advanced the table in
@@ -231,7 +464,10 @@ def commit(
         # validated BEFORE any bytes are written so a rejected commit
         # leaves no orphan files
         _check_schema_evolution(_load_manifest(path, parent)["schema"], df.schema)
-    version = (parent or 0) + 1
+    # version numbers are GLOBAL across branches (max+1, O_EXCL-claimed
+    # below), so two branches can never mint the same snapshot; the
+    # manifest's parent pointer — not the number — carries lineage
+    version = (versions[-1] if versions else 0) + 1
     commit_dir = os.path.join(_data_dir(path), f"c{version}-{uuid.uuid4().hex[:8]}")
     writer = df.write.mode("error")
     if partition_by:
@@ -316,6 +552,7 @@ def commit(
         # still be seen as a rewrite by every incremental consumer
         "mode": mode,
         "operation": op_label or mode,
+        "branch": branch,
         "partition_by": partition_by,
         # recorded so an all-files-dropped snapshot stays readable as an
         # empty DataFrame with the right schema
@@ -340,19 +577,42 @@ def commit(
             "another writer; re-read the table and retry the commit"
         ) from None
     os.unlink(tmp)
+    # advance the branch pointer. Only the O_EXCL winner for this
+    # version number reaches here, so the move is race-free; a crash
+    # before it leaves v{n} an orphan snapshot (no ref sees it), never
+    # a torn commit. main stays implicit (head == max version) until a
+    # ref pinned it — then every main commit must move the pin too.
+    if branch != "main":
+        _write_ref(path, branch, "branch", version)
+    elif _load_ref(path, "main") is not None:
+        _write_ref(path, "main", "branch", version)
     return version
 
 
-def read_snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """Plan a scan from the manifest of ``version`` (default: latest) —
-    the ``VERSION AS OF`` analog. Files are scanned per commit subtree
-    (each with its commit dir as basePath, so ``key=value`` partition
-    dirs parse while the non-partition ``c{n}`` level does not confuse
-    discovery) and unioned by name."""
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """Plan a scan from the manifest of ``version`` (default: the main
+    branch's head) — the ``VERSION AS OF`` analog; ``ref`` reads a
+    branch or tag head instead (``VERSION AS OF 'audit'``). Files are
+    scanned per commit subtree (each with its commit dir as basePath,
+    so ``key=value`` partition dirs parse while the non-partition
+    ``c{n}`` level does not confuse discovery) and unioned by name."""
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {path}")
-    v = versions[-1] if version is None else version
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version OR ref, not both")
+        r = _load_ref(path, ref)
+        if r is None and ref != "main":
+            raise FileNotFoundError(f"ref {ref!r} not found at {path}")
+        v = r["version"] if r is not None else versions[-1]
+    else:
+        v = _head_version(path) if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"snapshot v{v} not found (have {versions})")
     manifest = _load_manifest(path, v)
@@ -446,7 +706,7 @@ def read_snapshot_diff(
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {path}")
-    to_v = versions[-1] if to_version is None else to_version
+    to_v = _head_version(path) if to_version is None else to_version
     for v in (from_version, to_v):
         if v not in versions:
             raise FileNotFoundError(f"snapshot v{v} not found (have {versions})")
@@ -454,11 +714,22 @@ def read_snapshot_diff(
         raise ValueError(
             f"inverted range: from_version={from_version} > to_version={to_v}"
         )
+    # the diff range must lie on ONE line of history: walk to_v's
+    # parent chain (NOT version numbers, which interleave branches once
+    # refs exist) and require from_version on it — a cross-branch "diff"
+    # is a meaningless file-set subtraction, not an append stream
+    chain = _ancestors(path, to_v)
+    if from_version not in chain:
+        raise ValueError(
+            f"v{from_version} is not an ancestor of v{to_v} — the diff "
+            "range crosses branches; re-baseline the consumer on this "
+            "branch's history"
+        )
     # A replace_all (compaction) commit rewrites every file, so a raw
     # manifest diff across it would re-surface the ENTIRE table as
     # "new". Mirror Iceberg's incremental append-scan: refuse ranges
     # crossing a replace snapshot and make the caller re-baseline.
-    for v in versions:
+    for v in chain:
         if from_version < v <= to_v:
             m = _load_manifest(path, v)
             mode = _mode_of(m)
@@ -527,7 +798,7 @@ def merge_pages(
     # full rows); EXTRA update columns are additive evolution — old
     # files' surviving rows project nulls for them, like any
     # post-evolution read
-    base_version = snapshot_versions(path)[-1]
+    base_version = _head_version(path)
     latest_schema = _load_manifest(path, base_version)["schema"]
     _check_schema_evolution(latest_schema, updates.schema)
     cur = read_snapshot(spark, path, version=base_version)
@@ -599,7 +870,7 @@ def delete_pages(
     emulation commits whatever the write produced, unlike Iceberg's
     zero-record-file skip); ``compact`` clears such files."""
     key = list(key)
-    base_version = snapshot_versions(path)[-1]
+    base_version = _head_version(path)
     latest_schema = _load_manifest(path, base_version)["schema"]
     cur = read_snapshot(spark, path, version=base_version)
     kdf = keys.select(*key).distinct()
@@ -664,7 +935,13 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {path}")
-    keep, drop = versions[-keep_last:], versions[:-keep_last]
+    # every ref'd snapshot (branch heads, tags, a rolled-back main) is
+    # protected regardless of age — expiring a tag's manifest would
+    # break its read contract; drop_ref first to release it
+    protected = {r["version"] for r in list_refs(path).values()}
+    keep_set = set(versions[-keep_last:]) | (protected & set(versions))
+    keep = [v for v in versions if v in keep_set]
+    drop = [v for v in versions if v not in keep_set]
     referenced: set[str] = set()
     for v in keep:
         referenced.update(_load_manifest(path, v)["files"])
@@ -845,7 +1122,7 @@ def plan_scan(path: str, ranges: dict, version: int | None = None) -> dict:
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {path}")
-    v = versions[-1] if version is None else version
+    v = _head_version(path) if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"snapshot v{v} not found (have {versions})")
     m = _load_manifest(path, v)

@@ -1046,3 +1046,158 @@ def test_delete_rows_copy_on_write_and_time_travels(spark, tmpdir_scratch):
     # never match a key and carry forever until compact())
     c1 = lambda m: {f for f in m["files"] if "/c1-" in f}
     assert c1(m2) < c1(m_new) < c1(m_old)
+
+
+# --- refs: branches, tags, rollback, write-audit-publish ----------------------
+
+
+def test_wap_stage_on_branch_then_publish(spark, tmpdir_scratch):
+    """Write-audit-publish: commits staged on an audit branch are
+    invisible to main readers until publish_branch fast-forwards main."""
+    from ocr_application_spark.sources.snapshots import (
+        create_branch,
+        list_refs,
+        publish_branch,
+        read_snapshot_diff,
+    )
+
+    tbl = tmpdir_scratch + "/tbl"
+    v1 = commit(_pages(spark, range(4), "a"), tbl)
+    create_branch(tbl, "audit")
+    vb = commit(_pages(spark, range(4, 7), "b"), tbl, branch="audit")
+    vb2 = commit(_pages(spark, range(7, 9), "c"), tbl, branch="audit")
+
+    # main readers see NONE of the staged rows; branch readers see all
+    assert read_snapshot(spark, tbl).count() == 4
+    assert read_snapshot(spark, tbl, ref="audit").count() == 9
+    # the branch head moved with each staged commit
+    assert list_refs(tbl)["audit"]["version"] == vb2
+    # time travel into the staged chain still works by version
+    assert read_snapshot(spark, tbl, vb).count() == 7
+
+    head = publish_branch(tbl, "audit")
+    assert head == vb2
+    assert read_snapshot(spark, tbl).count() == 9
+    # the published history is one line: incremental consumers diff it
+    assert read_snapshot_diff(spark, tbl, v1).count() == 5
+
+
+def test_publish_refuses_diverged_main(spark, tmpdir_scratch):
+    """Non-fast-forward publish must fail loudly: flipping main onto a
+    branch whose history does not contain main's head would silently
+    drop main's commits."""
+    from ocr_application_spark.sources.snapshots import (
+        SnapshotConflictError,
+        create_branch,
+        publish_branch,
+    )
+
+    tbl = tmpdir_scratch + "/tbl"
+    commit(_pages(spark, range(3), "a"), tbl)
+    create_branch(tbl, "audit")
+    commit(_pages(spark, range(3, 5), "b"), tbl, branch="audit")
+    commit(_pages(spark, range(5, 6), "m"), tbl)  # main advances too
+    with pytest.raises(SnapshotConflictError, match="not an ancestor"):
+        publish_branch(tbl, "audit")
+    # main kept its own history
+    assert {r.payload for r in read_snapshot(spark, tbl).collect()} == {
+        "a-0", "a-1", "a-2", "m-5",
+    }
+
+
+def test_tags_are_immutable_and_survive_expiry(spark, tmpdir_scratch):
+    from ocr_application_spark.sources.snapshots import (
+        create_tag,
+        drop_ref,
+        expire_snapshots,
+    )
+
+    tbl = tmpdir_scratch + "/tbl"
+    v1 = commit(_pages(spark, range(3), "a"), tbl)
+    create_tag(tbl, "baseline", v1)
+    commit(_pages(spark, range(3, 5), "b"), tbl)
+    v3 = commit(_pages(spark, range(5, 6), "c"), tbl)
+
+    # a tag never takes commits and cannot be re-created
+    with pytest.raises(ValueError, match="tag"):
+        commit(_pages(spark, [9], "x"), tbl, branch="baseline")
+    with pytest.raises(ValueError, match="already exists"):
+        create_tag(tbl, "baseline", v3)
+
+    # expiry keeps the tagged snapshot readable; the untagged middle
+    # version expires normally
+    res = expire_snapshots(tbl, keep_last=1)
+    assert res["expired_versions"] == [2]
+    assert read_snapshot(spark, tbl, ref="baseline").count() == 3
+    assert read_snapshot(spark, tbl).count() == 6
+
+    # dropping the tag releases it; main is never droppable
+    drop_ref(tbl, "baseline")
+    res2 = expire_snapshots(tbl, keep_last=1)
+    assert res2["expired_versions"] == [1]
+    with pytest.raises(ValueError, match="main"):
+        drop_ref(tbl, "main")
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, tbl, ref="baseline")
+
+
+def test_rollback_rewinds_main_along_its_history(spark, tmpdir_scratch):
+    from ocr_application_spark.sources.snapshots import (
+        create_branch,
+        read_snapshot_diff,
+        rollback,
+    )
+
+    tbl = tmpdir_scratch + "/tbl"
+    v1 = commit(_pages(spark, range(3), "a"), tbl)
+    v2 = commit(_pages(spark, range(3, 5), "b"), tbl)
+    rollback(tbl, v1)
+    assert read_snapshot(spark, tbl).count() == 3
+
+    # the next commit parents off the rolled-back head, NOT v2: its
+    # rows are v1's plus the new batch, and the diff-from-v1 stream
+    # contains only the new batch (v2 is abandoned history)
+    v3 = commit(_pages(spark, range(10, 12), "c"), tbl)
+    assert v3 == 3  # global numbering continues past the abandoned v2
+    got = {r.payload for r in read_snapshot(spark, tbl).collect()}
+    assert got == {"a-0", "a-1", "a-2", "c-10", "c-11"}
+    assert {r.payload for r in read_snapshot_diff(spark, tbl, v1).collect()} == {
+        "c-10", "c-11",
+    }
+    # v2 still time-travels until expired
+    assert read_snapshot(spark, tbl, v2).count() == 5
+
+    # rollback only follows main's own ancestry: a snapshot minted on
+    # another branch is rejected
+    create_branch(tbl, "side", v1)
+    vs = commit(_pages(spark, [99], "s"), tbl, branch="side")
+    with pytest.raises(ValueError, match="not on main's history"):
+        rollback(tbl, vs)
+    # cross-history diff is refused (v2 was abandoned by the rollback,
+    # so it is NOT an ancestor of the current head — the file-set
+    # subtraction would be meaningless)
+    with pytest.raises(ValueError, match="crosses branches"):
+        read_snapshot_diff(spark, tbl, v2, to_version=v3)
+
+
+def test_branch_commit_requires_existing_branch(spark, tmpdir_scratch):
+    tbl = tmpdir_scratch + "/tbl"
+    commit(_pages(spark, range(2), "a"), tbl)
+    with pytest.raises(FileNotFoundError, match="create_branch"):
+        commit(_pages(spark, [5], "b"), tbl, branch="audit")
+
+
+def test_legacy_tables_unaffected_until_pinned(spark, tmpdir_scratch):
+    """A table that never touched refs keeps the pre-refs contract:
+    head = highest version, no refs dir, list_refs reports the implicit
+    (unpinned) main."""
+    from ocr_application_spark.sources.snapshots import list_refs
+
+    tbl = tmpdir_scratch + "/tbl"
+    commit(_pages(spark, range(2), "a"), tbl)
+    v2 = commit(_pages(spark, range(2, 5), "b"), tbl)
+    assert not os.path.isdir(tbl + "/_snapshots/refs")
+    assert list_refs(tbl) == {
+        "main": {"type": "branch", "version": v2, "pinned": False}
+    }
+    assert read_snapshot(spark, tbl).count() == 5
