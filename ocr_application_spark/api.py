@@ -143,6 +143,7 @@ from ocr_application_spark.sources.snapshots import (  # noqa: F401
     delete_pages,
     drop_ref,
     compact as compact_table,
+    compact_small_files,
     expire_snapshots,
     gc_orphan_files,
     list_refs,

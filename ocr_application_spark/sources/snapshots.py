@@ -925,6 +925,57 @@ def compact(
     )
 
 
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    small_bytes: int = 8 * 1024 * 1024,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_by: str | None = None,
+) -> int:
+    """Bin-pack compaction (Iceberg ``rewrite_data_files`` with the
+    binpack strategy): rewrite ONLY the data files smaller than
+    ``small_bytes`` into ~``target_bytes`` outputs, referencing every
+    adequately-sized file unchanged. This is the variant that survives
+    crawl scale: a 100 TB table accretes small files at its ingest
+    frontier while the compacted bulk is already right-sized — a full
+    ``compact()`` rewrite is O(table) every maintenance run, this is
+    O(small files). Published as a merge commit (the same CoW machinery
+    as ``merge_pages``), so readers switch atomically, prior snapshots
+    still time-travel, a concurrent writer fails the commit loudly, and
+    incremental-diff consumers are refused across it (their watermark
+    must re-baseline, as across any content rewrite).
+
+    No-op (current head returned, no new version) when fewer than two
+    small files exist — nothing to pack."""
+    if small_bytes <= 0 or target_bytes <= 0:
+        raise ValueError("small_bytes and target_bytes must be positive")
+    head = _head_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    m = _load_manifest(path, head)
+    sizes = {f: os.path.getsize(f) for f in m["files"]}
+    small = sorted(f for f, s in sizes.items() if s < small_bytes)
+    if len(small) < 2:
+        return head
+    total = sum(sizes[f] for f in small)
+    # parquet bytes on disk ≈ rewritten bytes (same codec); one output
+    # file per target_bytes of input, at least one
+    n_out = max(1, -(-total // target_bytes))
+    df = _read_files(spark, path, small, schema_json=m["schema"])
+    # coalesce, not repartition: packing needs no shuffle, only fewer
+    # write tasks; with a partition column the writer still splits per
+    # value under each task
+    return commit(
+        df.coalesce(n_out),
+        path,
+        mode="merge",
+        partition_by=partition_by,
+        op_label="compact_binpack",
+        replace_files=small,
+        expected_parent=head,
+    )
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Drop all but the newest ``keep_last`` snapshots and DELETE data
     files no surviving manifest references — the deferred physical

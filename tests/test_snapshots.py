@@ -1201,3 +1201,62 @@ def test_legacy_tables_unaffected_until_pinned(spark, tmpdir_scratch):
         "main": {"type": "branch", "version": v2, "pinned": False}
     }
     assert read_snapshot(spark, tbl).count() == 5
+
+
+def test_binpack_compaction_rewrites_only_small_files(spark, tmpdir_scratch):
+    """compact_small_files packs the small-file tail in O(small files):
+    big files are carried into the new manifest verbatim, rows are
+    unchanged, prior snapshots time-travel, and a pack with nothing to
+    do is a version-preserving no-op."""
+    import json as _json
+
+    from ocr_application_spark.sources.snapshots import compact_small_files
+
+    import hashlib
+
+    tbl = tmpdir_scratch + "/tbl"
+    # one BIG file (coalesced, many rows of incompressible payload so
+    # the parquet bytes actually exceed the threshold) + many small ones
+    big = spark.createDataFrame(
+        [
+            (i, hashlib.md5(str(i).encode()).hexdigest() * 8)
+            for i in range(3000)
+        ],
+        "doc_id long, payload string",
+    )
+    commit(big.coalesce(1), tbl)
+    for k in range(4):
+        commit(
+            spark.createDataFrame(
+                [(10_000 + 10 * k + j, f"s-{k}-{j}") for j in range(3)],
+                "doc_id long, payload string",
+            ).coalesce(1),
+            tbl,
+        )
+    v_before = snapshot_versions(tbl)[-1]
+    m_before = _json.load(open(tbl + f"/_snapshots/v{v_before}.json"))
+    sizes = {f: os.path.getsize(f) for f in m_before["files"]}
+    big_files = {f for f, s in sizes.items() if s >= 100_000}
+    small_files = set(m_before["files"]) - big_files
+    assert big_files and len(small_files) >= 4
+
+    n_rows = read_snapshot(spark, tbl).count()
+    v_pack = compact_small_files(spark, tbl, small_bytes=100_000)
+    m_after = _json.load(open(tbl + f"/_snapshots/v{v_pack}.json"))
+    # big files carried verbatim; every small file replaced by fewer
+    assert big_files <= set(m_after["files"])
+    assert not small_files & set(m_after["files"])
+    packed = set(m_after["files"]) - big_files
+    assert 1 <= len(packed) < len(small_files)
+    # content identical, time travel intact
+    assert read_snapshot(spark, tbl).count() == n_rows
+    cur = {(r.doc_id, r.payload) for r in read_snapshot(spark, tbl).collect()}
+    old = {(r.doc_id, r.payload) for r in read_snapshot(spark, tbl, v_before).collect()}
+    assert cur == old
+    # packed files got zone stats (pruning keeps working)
+    assert any(f in m_after.get("stats", {}) for f in packed)
+
+    # second pack: the packed file may still be under the threshold but
+    # alone it cannot pack further -> no-op, no new version
+    assert compact_small_files(spark, tbl, small_bytes=100_000) == v_pack
+    assert snapshot_versions(tbl)[-1] == v_pack
