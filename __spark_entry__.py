@@ -257,6 +257,15 @@ _ROTATED_BACK = (
     # compatibility, while local parity pins the staged-union result
     # bit-for-bit at both SFs.
     "snapshot_wap_publish",
+    # url_surt_index (new): a pure scan projection whose every piece
+    # keeps an in-window twin — the canonicalizer through
+    # url_canonicalize/url_canonical_dupes (the SURT input IS that
+    # column), regexp extraction through the same, and the packed-int64
+    # discipline through the winnowing keys; local parity pins the
+    # key+pack bit-for-bit at both SFs, and the index write / pruned
+    # prefix lookup are pytest-pinned against brute force in
+    # test_urlops.py.
+    "url_surt_index",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

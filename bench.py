@@ -176,6 +176,11 @@ def main() -> None:
             "overlap_incremental_ingest",
             "snapshot_delete_rows",
             "crawl_politeness_schedule",
+            "crawl_robots_filter",
+            "sample_dsir_topk",
+            "snapshot_zorder_scan",
+            "snapshot_wap_publish",
+            "url_surt_index",
         ]
 
         def run(name: str) -> None:

@@ -131,7 +131,10 @@ from ocr_application_spark.operators.bpe import (  # noqa: F401
     word_histogram,
 )
 from ocr_application_spark.operators.urlops import (  # noqa: F401
+    build_cdx_index,
     canonical_url,
+    cdx_lookup,
+    surt_key,
     url_crawl_filter,
 )
 from ocr_application_spark.sources.snapshots import (  # noqa: F401

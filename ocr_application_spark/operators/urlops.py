@@ -638,3 +638,179 @@ def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rules = spark.createDataFrame(_ROBOTS_RULES, ["host", "prefix", "allow"])
     return robots_filter(frontier, rules)
+
+
+# --- SURT keys + the CDX lookup index ----------------------------------------
+#
+# Common Crawl's per-url lookup layer is the CDX index: every capture
+# keyed by the SURT (Sort-friendly URI Reordering Transform) of its
+# canonical url — host labels reversed and comma-joined so one domain's
+# subtree is one contiguous key range ("com,example)/path",
+# "com,example,blog)/post"), which turns "every page under
+# example.com/docs" into a sorted-range scan instead of a table scan.
+# Here the transform runs on top of canonical_url (case/port/utm/
+# fragment hygiene first), and the index is a snapshot table range-
+# partitioned and sorted by SURT key.
+#
+# Zone maps deliberately store NO string stats (CLAUDE invariant), so
+# prefix pruning rides an ORDER-PRESERVING integer projection instead:
+# the first 8 bytes of the key packed big-endian into an int64
+# (``surt_pk``). For ASCII keys (urls are %-encoded on the wild web;
+# the canonicalizer never introduces non-ASCII) byte order == string
+# order, so every key with prefix P lives in
+# [pack(P), pack(P) + 256^(8-len(P)) - 1] and plan_scan prunes on that
+# range; the string ``startswith`` residual ALWAYS runs on the
+# survivors, so a non-ASCII key that packs coarsely can only cost a
+# false file read, never a wrong row. Same packing discipline as the
+# winnowing select keys (dedup.py): decode with integer ``div``, never
+# float ``/``.
+
+_SURT_PACK_BYTES = 8
+
+
+def surt_key(u: Column) -> Column:
+    """SURT of a canonical url: reversed comma-joined host labels,
+    ``:port`` only when the canonicalizer kept a non-default port, then
+    ``)`` + path + query ('/' when both are empty). Non-hierarchical
+    urls (no ``://``) pass through unchanged — same identity stance as
+    ``canonical_url``."""
+    hostport = F.regexp_extract(u, r"^[^:]+://([^/?]*)", 1)
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    pathq = F.regexp_extract(u, r"^[^:]+://[^/?]*(.*)$", 1)
+    key = F.concat(
+        rev,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        F.lit(")"),
+        F.when(pathq == "", F.lit("/")).otherwise(pathq),
+    )
+    return F.when(u.rlike(r"^[^:]+://"), key).otherwise(u)
+
+
+def surt_pack64(k: Column) -> Column:
+    """Order-preserving int64 of the first 8 bytes of an ASCII key
+    (big-endian; missing bytes pack as 0, so a short key sorts before
+    every extension — exactly string order). Codepoints are clamped to
+    255 so a stray non-ASCII char degrades to a coarser (never wrong)
+    zone-map range; top byte <= 255 keeps the value well under 2^63."""
+    terms = [
+        F.when(
+            F.length(k) >= i,
+            F.least(F.ascii(F.substring(k, i, 1)), F.lit(255)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        * F.lit(256 ** (_SURT_PACK_BYTES - i)).cast("long")
+        for i in range(1, _SURT_PACK_BYTES + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def surt_prefix_range(prefix: str) -> tuple[int, int]:
+    """[lo, hi] of ``surt_pack64`` over every key starting with
+    ``prefix`` (ASCII, <= 8 chars used — longer prefixes resolve their
+    tail in the string residual)."""
+    head = prefix[:_SURT_PACK_BYTES]
+    if any(ord(c) > 127 for c in head):
+        raise ValueError(f"prefix must be ASCII in its first 8 chars: {prefix!r}")
+    lo = 0
+    for i, c in enumerate(head):
+        lo += ord(c) * 256 ** (_SURT_PACK_BYTES - 1 - i)
+    hi = lo + 256 ** (_SURT_PACK_BYTES - len(head)) - 1
+    return lo, hi
+
+
+def build_cdx_index(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url_canonical",
+    target_files: int = 16,
+) -> int:
+    """Write a CDX-style lookup index as a snapshot table: the input
+    columns plus (surt_key, surt_pk), range-partitioned and sorted by
+    key so each file owns one contiguous SURT range and the zone maps
+    on ``surt_pk`` localize it. Returns the committed version. At
+    10^12 captures the range partitioning is the whole point: a domain
+    lookup opens the few files whose [min, max] pk range intersects the
+    prefix — O(result), not O(table)."""
+    from ocr_application_spark.sources.snapshots import commit
+
+    keyed = df.withColumn("surt_key", surt_key(F.col(url_col))).withColumn(
+        "surt_pk", surt_pack64(F.col("surt_key"))
+    )
+    laid = keyed.repartitionByRange(target_files, "surt_key").sortWithinPartitions(
+        "surt_key"
+    )
+    return commit(laid, path, op_label="cdx_index")
+
+
+def cdx_lookup(spark: SparkSession, path: str, prefix: str) -> DataFrame:
+    """All index rows whose SURT key starts with ``prefix``: zone-map
+    range scan on the packed projection, then the exact string residual
+    (which also resolves prefix bytes past the 8 packed ones)."""
+    from ocr_application_spark.sources.snapshots import scan_snapshot
+
+    lo, hi = surt_prefix_range(prefix)
+    return scan_snapshot(spark, path, {"surt_pk": (lo, hi)}).filter(
+        F.col("surt_key").startswith(prefix)
+    )
+
+
+_SURT_SQL = """
+    (case when regexp_matches({c}, '^[^:]+://')
+     then
+       array_to_string(list_reverse(string_split(
+           regexp_extract(regexp_extract({c}, '^[^:]+://([^/?]*)', 1),
+                          '^([^:]*)', 1), '.')), ',')
+       || case when regexp_extract(regexp_extract({c}, '^[^:]+://([^/?]*)', 1),
+                                   ':(\\d+)$', 1) = ''
+               then ''
+               else ':' || regexp_extract(
+                      regexp_extract({c}, '^[^:]+://([^/?]*)', 1),
+                      ':(\\d+)$', 1) end
+       || ')'
+       || case when regexp_extract({c}, '^[^:]+://[^/?]*(.*)$', 1) = ''
+               then '/'
+               else regexp_extract({c}, '^[^:]+://[^/?]*(.*)$', 1) end
+     else {c} end)
+"""
+
+_SURT_PACK_SQL = " + ".join(
+    f"""(case when length({{k}}) >= {i}
+         then cast(least(ascii(substr({{k}}, {i}, 1)), 255) as bigint)
+         else cast(0 as bigint) end) * {256 ** (_SURT_PACK_BYTES - i)}"""
+    for i in range(1, _SURT_PACK_BYTES + 1)
+)
+
+
+@_q(
+    "url_surt_index",
+    f"""
+    with raw as (
+      select doc_id, {_RAW_SQL} as url_raw from documents
+    ),
+    canon as (
+      select doc_id, {_CANON_SQL.format(u='url_raw')} as url_canonical from raw
+    ),
+    keyed as (
+      select doc_id, url_canonical,
+             {_SURT_SQL.format(c='url_canonical')} as surt_key
+      from canon
+    )
+    select doc_id, url_canonical, surt_key,
+           {_SURT_PACK_SQL.format(k='surt_key')} as surt_pk
+    from keyed
+    """,
+)
+def url_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX key material per document: canonical url -> SURT key -> the
+    order-preserving packed int64 the index prunes on. Pure scan
+    projection (no shuffle); the index *write* (range partition + sort
+    + snapshot commit) and the pruned prefix lookup are exercised in
+    tests/test_urlops.py against a brute-force filter."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    canon = d.select("doc_id", canonical_url(_raw_url()).alias("url_canonical"))
+    keyed = canon.withColumn("surt_key", surt_key(F.col("url_canonical")))
+    return keyed.withColumn("surt_pk", surt_pack64(F.col("surt_key")))

@@ -126,3 +126,117 @@ def test_robots_filter_rfc9309_semantics(spark):
     assert out[("t", "/x/tie")] == (True, "/x/")
     assert out[("z", "/nohost")] == (True, None)
     assert len(out) == 7
+
+
+# --- SURT keys + the CDX index ------------------------------------------------
+
+SURT_CASES = [
+    ("https://blog.example.com/a/B?x=1", "com,example,blog)/a/B?x=1"),
+    ("https://example.org", "org,example)/"),
+    ("https://h.example:8080/p", "example,h:8080)/p"),
+    ("http://one.two.three.net/d", "net,three,two,one)/d"),
+    ("mailto:alice@example.com", "mailto:alice@example.com"),  # passthrough
+    ("/relative/path", "/relative/path"),
+]
+
+
+def test_surt_key_cases(spark):
+    from ocr_application_spark.operators.urlops import surt_key
+
+    df = spark.createDataFrame([(r,) for r, _ in SURT_CASES], "u string")
+    got = [r.k for r in df.select(surt_key(F.col("u")).alias("k")).collect()]
+    assert got == [e for _, e in SURT_CASES]
+
+
+def test_surt_pack64_is_order_preserving(spark):
+    """For ASCII keys, pack order == string (byte) order whenever the
+    first 8 bytes differ; equal-prefix keys pack equal (the residual's
+    job). Short keys sort before every extension."""
+    from ocr_application_spark.operators.urlops import surt_pack64
+
+    keys = sorted(
+        [
+            "com,example)/",
+            "com,example)/a",
+            "com,example,blog)/post",
+            "com,exbmple)/",
+            "net)/",
+            "org,sample)/p?q=1",
+            "org,sample)/p?q=2",  # same first 8 bytes as above
+            "a",
+            "",
+            "z" * 20,
+        ]
+    )
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    packed = {
+        r.k: r.p
+        for r in df.select("k", surt_pack64(F.col("k")).alias("p")).collect()
+    }
+    vals = [packed[k] for k in keys]  # keys already string-sorted
+    assert vals == sorted(vals), vals
+    for a, b in zip(keys, keys[1:]):
+        if a[:8] != b[:8]:
+            assert packed[a] < packed[b], (a, b)
+        else:
+            assert packed[a] == packed[b], (a, b)
+
+
+def test_cdx_index_lookup_matches_bruteforce_and_prunes(spark, tmpdir_scratch):
+    """The range-partitioned sorted index returns exactly the brute-force
+    startswith rows for domain-subtree, host, and >8-byte prefixes; the
+    zone-map plan skips files for a selective prefix; an unknown domain
+    returns nothing while opening at most one file-range."""
+    from ocr_application_spark.operators.urlops import (
+        build_cdx_index,
+        canonical_url,
+        cdx_lookup,
+        surt_key,
+        surt_pack64,
+    )
+    from ocr_application_spark.sources.snapshots import plan_scan
+
+    doms = ["example.com", "sample.org", "webcorp.net", "dataset.io"]
+    rows = [
+        (f"https://WWW.h{i % 7}.{doms[i % 4]}:443/p/{i}?b=2&a={i % 3}",)
+        for i in range(4000)
+    ]
+    urls = spark.createDataFrame(rows, "url string").select(
+        canonical_url(F.col("url")).alias("url_canonical")
+    )
+    tbl = tmpdir_scratch + "/cdx"
+    build_cdx_index(urls, tbl, target_files=16)
+
+    keyed = urls.select(
+        "url_canonical", surt_key(F.col("url_canonical")).alias("surt_key")
+    )
+    for prefix in ("org,sample,", "org,sample,h3)", "com,example,h0)/p/1", "io,"):
+        got = sorted(
+            r.surt_key for r in cdx_lookup(spark, tbl, prefix).collect()
+        )
+        want = sorted(
+            r.surt_key
+            for r in keyed.filter(F.col("surt_key").startswith(prefix)).collect()
+        )
+        assert got == want and len(want) > 0, prefix
+
+    # selective prefixes must actually prune on the packed projection
+    from ocr_application_spark.operators.urlops import surt_prefix_range
+
+    lo, hi = surt_prefix_range("io,")
+    p = plan_scan(tbl, {"surt_pk": (lo, hi)})
+    assert p["skipped"] > 0, p
+
+    # unknown domain: empty result, and the range keeps at most the one
+    # file whose [min, max] straddles the gap
+    assert cdx_lookup(spark, tbl, "zz,nowhere)").count() == 0
+    lo, hi = surt_prefix_range("zz,nowhere)")
+    p = plan_scan(tbl, {"surt_pk": (lo, hi)})
+    assert len(p["files"]) <= 1, p
+
+    # non-ASCII prefix head is rejected loudly (its packed range would
+    # be meaningless); tails past the 8 packed bytes are fine
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        surt_prefix_range("ドメイン")
