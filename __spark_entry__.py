@@ -257,6 +257,12 @@ _ROTATED_BACK = (
     # compatibility, while local parity pins the staged-union result
     # bit-for-bit at both SFs.
     "snapshot_wap_publish",
+    # snapshot_drift_report (new): the commit/time-travel machinery it
+    # drives keeps in-window twins in the three ingest gates +
+    # snapshot_merge_upsert; the drift arithmetic reuses the micro-nat
+    # quantization discipline text_lm_score keeps in-window. Local
+    # parity pins the full per-language report bit-for-bit at both SFs.
+    "snapshot_drift_report",
     # url_surt_index (new): a pure scan projection whose every piece
     # keeps an in-window twin — the canonicalizer through
     # url_canonicalize/url_canonical_dupes (the SURT input IS that

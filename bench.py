@@ -181,6 +181,7 @@ def main() -> None:
             "snapshot_zorder_scan",
             "snapshot_wap_publish",
             "url_surt_index",
+            "snapshot_drift_report",
         ]
 
         def run(name: str) -> None:

@@ -584,3 +584,136 @@ def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["snapshot_wap_publish"] = snapshot_wap_publish
 ORACLES["snapshot_wap_publish"] = _WAP_ORACLE
+
+
+# --- corpus drift report between two snapshot versions ------------------------
+#
+# The dataset-QA op a 100 TB training pipeline runs after every ingest
+# wave: did this crawl shift the corpus mix? Computed from TWO VERSIONS
+# OF THE SAME TABLE via time travel — no copy of the old corpus is kept,
+# the manifest log IS the history. Per language: exact token counts in
+# both versions, smoothed shares in ppm, the share delta, and the
+# per-language term of KL(v2 || v1) in integer micro-nats.
+#
+# Cross-engine exactness: token counts are exact integers; the smoothed
+# probabilities p = (tok + 1) / (N + L) are single IEEE divisions of
+# exact integers; every published number quantizes those doubles with
+# ONE canonical op sequence mirrored verbatim in the oracle
+# (cast(round(1e6 * ..., 0) as bigint)) — the lm.py micro-nat
+# discipline, so no raw float ever crosses engines and nothing can
+# overflow at any corpus size (shares and KL terms are bounded, counts
+# stay raw bigint sums).
+#
+# Scale shape: one map-side-combined sum per (version, lang) — shuffle
+# O(languages) — then a tiny outer join + cross-joined totals, all
+# broadcast. The v1 aggregate in production runs over the time-travel
+# scan, which plans ONLY v1's data files from the manifest; nothing
+# rescans v2 to reconstruct the past.
+
+_DRIFT_ORACLE = """
+with v1 as (
+  select lang, cast(sum(len(string_split(text, ' '))) as bigint) as tok
+  from documents where doc_id % 3 != 0 group by lang
+),
+v2 as (
+  select lang, cast(sum(len(string_split(text, ' '))) as bigint) as tok
+  from documents group by lang
+),
+tot as (
+  select (select cast(sum(tok) as bigint) from v1) as n1,
+         (select cast(sum(tok) as bigint) from v2) as n2,
+         (select cast(count(*) as bigint) from v2) as nl
+),
+j as (
+  select coalesce(v2.lang, v1.lang) as lang,
+         coalesce(v1.tok, 0) as tok_v1,
+         coalesce(v2.tok, 0) as tok_v2,
+         n1, n2, nl
+  from v2 full outer join v1 on v1.lang = v2.lang, tot
+)
+select lang, tok_v1, tok_v2,
+       cast(round(1e6 * (cast(tok_v1 + 1 as double) / cast(n1 + nl as double)), 0)
+            as bigint) as share_v1_ppm,
+       cast(round(1e6 * (cast(tok_v2 + 1 as double) / cast(n2 + nl as double)), 0)
+            as bigint) as share_v2_ppm,
+       cast(round(1e6 * (cast(tok_v2 + 1 as double) / cast(n2 + nl as double)), 0)
+            as bigint)
+       - cast(round(1e6 * (cast(tok_v1 + 1 as double) / cast(n1 + nl as double)), 0)
+              as bigint) as delta_ppm,
+       cast(round(1e6 * (cast(tok_v2 + 1 as double) / cast(n2 + nl as double))
+                      * ln((cast(tok_v2 + 1 as double) / cast(n2 + nl as double))
+                           / (cast(tok_v1 + 1 as double) / cast(n1 + nl as double))),
+                  0) as bigint) as kl_term_micronat
+from j
+"""
+
+
+def snapshot_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit the corpus in two waves ((doc_id, lang, n_tokens) rows:
+    doc_id % 3 != 0, then the rest), time-travel-read v1 against the
+    head, and report per-language drift. The oracle reconstructs both
+    versions algebraically from ``documents``, so the manifest-planned
+    v1 scan, the append isolation and the quantized drift arithmetic
+    are all value-checked (library ops: ``sources/snapshots.commit`` /
+    ``read_snapshot(version=...)``)."""
+    from ocr_application_spark.sources.snapshots import (
+        commit,
+        read_snapshot,
+        snapshot_versions,
+    )
+    from ocr_application_spark.sources.webpages import default_scratch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    tbl = os.path.join(default_scratch(), "gate_drift_report")
+    shutil.rmtree(tbl, ignore_errors=True)
+    commit(rows.filter(F.col("doc_id") % 3 != 0), tbl)
+    commit(rows.filter(F.col("doc_id") % 3 == 0), tbl)
+    v1 = snapshot_versions(tbl)[0]
+
+    def _agg(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy("lang").agg(F.sum("n_tokens").alias(out))
+
+    a1 = _agg(read_snapshot(spark, tbl, version=v1), "tok_v1")
+    a2 = _agg(read_snapshot(spark, tbl), "tok_v2")
+    tot = (
+        a1.agg(F.sum("tok_v1").alias("n1"))
+        .crossJoin(a2.agg(F.sum("tok_v2").alias("n2")))
+        .crossJoin(a2.agg(F.count("*").cast("long").alias("nl")))
+    )
+    j = (
+        a2.join(a1, "lang", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.coalesce("tok_v1", F.lit(0)).alias("tok_v1"),
+            F.coalesce("tok_v2", F.lit(0)).alias("tok_v2"),
+            "n1",
+            "n2",
+            "nl",
+        )
+    )
+    # ONE canonical IEEE op sequence, mirrored verbatim in the oracle
+    p1 = (F.col("tok_v1") + 1).cast("double") / (F.col("n1") + F.col("nl")).cast("double")
+    p2 = (F.col("tok_v2") + 1).cast("double") / (F.col("n2") + F.col("nl")).cast("double")
+    s1 = F.round(F.lit(1e6) * p1, 0).cast("bigint")
+    s2 = F.round(F.lit(1e6) * p2, 0).cast("bigint")
+    return j.select(
+        "lang",
+        "tok_v1",
+        "tok_v2",
+        s1.alias("share_v1_ppm"),
+        s2.alias("share_v2_ppm"),
+        (s2 - s1).alias("delta_ppm"),
+        F.round(F.lit(1e6) * p2 * F.log(p2 / p1), 0)
+        .cast("bigint")
+        .alias("kl_term_micronat"),
+    )
+
+
+QUERIES["snapshot_drift_report"] = snapshot_drift_report
+ORACLES["snapshot_drift_report"] = _DRIFT_ORACLE
