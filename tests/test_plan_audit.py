@@ -632,3 +632,25 @@ def test_dsir_topk_take_ordered_no_window_no_python(spark):
     assert "Window" not in plan, plan
     assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
     assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0, plan
+
+
+def test_surt_index_is_narrow_and_udf_free(spark):
+    # SURT key + packed projection fuse into the scan stage: no shuffle,
+    # no python, and the scan reads only doc_id (url synthesis input)
+    plan = plan_of(spark, "url_surt_index")
+    assert "Exchange" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "text" not in m.group(1), m and m.group(1)
+
+
+def test_drift_report_shuffles_only_on_lang(spark):
+    # two per-version lang aggregations (partial -> final = 2 exchanges
+    # each), tiny totals branches and the outer join on the already-
+    # aggregated lang keys; no python, no cartesian, and every exchange
+    # carries lang-keyed or single-partition data — never raw rows
+    plan = plan_of(spark, "snapshot_drift_report")
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 10, (n_ex, plan)
