@@ -50,6 +50,7 @@ def _modules():
         tarification_entry,
         textfns,
         tpch,
+        unicode_norm,
         urlops,
         warc_entry,
     )
@@ -79,6 +80,7 @@ def _modules():
         forecast,
         skew,
         curation,
+        unicode_norm,
         tpch,
         # groupstats and heavyhitters sit OUTSIDE the driver's 50-slot
         # window by design, like the TPC-H demonstrators: exact
@@ -165,6 +167,14 @@ def _modules():
 _OUTSIDE_WINDOW = ("text_compression_ratio", "ann_pq_topk")
 
 _ROTATED_BACK = (
+    # text_nfc_normalize (new, post-freeze): its digest discipline (sha2
+    # of rebuilt text) keeps the in-window twin pipeline_extract_digest,
+    # and the NFC recomposition itself is pinned bit-for-bit by local
+    # parity (sha256 per row vs DuckDB nfc_normalize) plus a
+    # unicodedata differential + idempotence pytest in
+    # test_unicode_norm.py — the window buys nothing the local gate
+    # doesn't already enforce at the same strength.
+    "text_nfc_normalize",
     # dedup_span_ratio yields its slot to dedup_span_strip (ExactSubstr
     # REMOVAL, new): the strip oracle re-derives the identical dup-window
     # grid/hash/>=2 machinery the ratio op would prove, and additionally

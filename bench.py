@@ -182,6 +182,7 @@ def main() -> None:
             "snapshot_wap_publish",
             "url_surt_index",
             "snapshot_drift_report",
+            "text_nfc_normalize",
         ]
 
         def run(name: str) -> None:

@@ -167,4 +167,9 @@ from ocr_application_spark.sources.webpages import (  # noqa: F401
     with_bucket,
     write_pages,
 )
+from ocr_application_spark.operators.unicode_norm import (  # noqa: F401
+    nfc_normalize_py,
+    nfc_normalize_text,
+    text_nfc_normalize,
+)
 from ocr_application_spark.structure import structure  # noqa: F401

@@ -644,6 +644,19 @@ def test_surt_index_is_narrow_and_udf_free(spark):
     assert m and "text" not in m.group(1), m and m.group(1)
 
 
+def test_nfc_normalize_single_arrow_hop_no_shuffle(spark):
+    # one narrow projection: derivation + lengths + digest stay JVM-side,
+    # exactly one Arrow batch hop for the NFC recomposition, no exchange
+    plan = plan_of(spark, "text_nfc_normalize")
+    assert "Exchange" not in plan, plan
+    n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+    assert n_arrow == 1, (n_arrow, plan)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "doc_id" in m.group(1) and "lang" not in m.group(1), (
+        m and m.group(1)
+    )
+
+
 def test_drift_report_shuffles_only_on_lang(spark):
     # two per-version lang aggregations (partial -> final = 2 exchanges
     # each), tiny totals branches and the outer join on the already-
