@@ -41,6 +41,7 @@ def _modules():
         heavyhitters,
         kernels_entry,
         lm,
+        quantile_sketch,
         reference_ops,
         similarity,
         sketches,
@@ -81,6 +82,7 @@ def _modules():
         skew,
         curation,
         unicode_norm,
+        quantile_sketch,
         tpch,
         # groupstats and heavyhitters sit OUTSIDE the driver's 50-slot
         # window by design, like the TPC-H demonstrators: exact
@@ -175,6 +177,13 @@ _ROTATED_BACK = (
     # test_unicode_norm.py — the window buys nothing the local gate
     # doesn't already enforce at the same strength.
     "text_nfc_normalize",
+    # sketch_hdr_quantiles (new, post-freeze): the quantile member of
+    # the mergeable-sketch family; its group-by-sum state discipline
+    # keeps the in-window twin sketch_kmv_merged, and local parity pins
+    # the full build->merge->query chain bit-for-bit (all-integer bit
+    # arithmetic, no floats anywhere), plus merged==direct and the
+    # error-bound-vs-exact property in test_quantile_sketch.py.
+    "sketch_hdr_quantiles",
     # dedup_span_ratio yields its slot to dedup_span_strip (ExactSubstr
     # REMOVAL, new): the strip oracle re-derives the identical dup-window
     # grid/hash/>=2 machinery the ratio op would prove, and additionally

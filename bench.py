@@ -183,6 +183,7 @@ def main() -> None:
             "url_surt_index",
             "snapshot_drift_report",
             "text_nfc_normalize",
+            "sketch_hdr_quantiles",
         ]
 
         def run(name: str) -> None:

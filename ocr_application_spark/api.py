@@ -167,6 +167,12 @@ from ocr_application_spark.sources.webpages import (  # noqa: F401
     with_bucket,
     write_pages,
 )
+from ocr_application_spark.operators.quantile_sketch import (  # noqa: F401
+    hdr_build,
+    hdr_merge,
+    hdr_quantiles,
+    sketch_hdr_quantiles,
+)
 from ocr_application_spark.operators.unicode_norm import (  # noqa: F401
     nfc_normalize_py,
     nfc_normalize_text,

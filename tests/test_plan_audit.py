@@ -657,6 +657,19 @@ def test_nfc_normalize_single_arrow_hop_no_shuffle(spark):
     )
 
 
+def test_hdr_sketch_windows_state_not_rows(spark):
+    # build/merge are partial-agg shuffles on (group, bucket); the only
+    # window + final agg run over the merged bucket state, never raw
+    # rows; all bit arithmetic stays JVM-side and the scan skips text
+    plan = plan_of(spark, "sketch_hdr_quantiles")
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 8, (n_ex, plan)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "text" not in m.group(1), m and m.group(1)
+
+
 def test_drift_report_shuffles_only_on_lang(spark):
     # two per-version lang aggregations (partial -> final = 2 exchanges
     # each), tiny totals branches and the outer join on the already-
