@@ -177,6 +177,13 @@ _ROTATED_BACK = (
     # test_unicode_norm.py — the window buys nothing the local gate
     # doesn't already enforce at the same strength.
     "text_nfc_normalize",
+    # extract_yield_report (new, post-freeze): every piece of its
+    # machinery keeps the strongest possible in-window twin —
+    # pipeline_extract_digest drives the IDENTICAL extraction kernel
+    # and _ETEXT_CTES rebuild at the per-row byte level, which strictly
+    # subsumes this per-lang aggregate view of the same values; local
+    # parity pins the report itself bit-for-bit.
+    "extract_yield_report",
     # sketch_hdr_quantiles (new, post-freeze): the quantile member of
     # the mergeable-sketch family; its group-by-sum state discipline
     # keeps the in-window twin sketch_kmv_merged, and local parity pins

@@ -184,6 +184,7 @@ def main() -> None:
             "snapshot_drift_report",
             "text_nfc_normalize",
             "sketch_hdr_quantiles",
+            "extract_yield_report",
         ]
 
         def run(name: str) -> None:

@@ -142,6 +142,68 @@ def classify_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "extract_yield_report",
+    _ETEXT_CTES
+    + """
+    , perdoc as (
+      select f.doc_id, d.lang,
+             length(f.etext) as n_ext,
+             greatest(length(d.text), 1) as n_src
+      from final f join documents d using (doc_id)
+    )
+    select lang,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_src) as bigint) as chars_src,
+           cast(sum(n_ext) as bigint) as chars_extracted,
+           cast(sum(n_ext) * 1000 // sum(n_src) as bigint) as yield_milli,
+           cast(sum(case when n_ext * 1000 // n_src < 900 then 1 else 0 end)
+                as bigint) as n_low_yield
+    from perdoc
+    group by lang
+    """,
+)
+def extract_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-yield QA over the kernel output: per-language
+    extracted-vs-source character totals, integer-milli yield ratio,
+    and a low-yield doc count (per-doc yield < 900 permille). This is
+    the observability read a 100 TB extraction fleet watches per
+    host/language to catch extractor regressions (a parser change that
+    silently drops content shows up as a falling yield long before any
+    correctness gate fires); the oracle rebuilds the expected extracted
+    text via the shared _ETEXT_CTES spec, so the report itself is
+    value-checked, not just plumbing-checked. Plan: the same narrow
+    Arrow extraction stage as pipeline_extract_digest, one join back to
+    documents on doc_id, one per-lang aggregate — the join key is the
+    table's natural bucket key, so at scale this co-partitions with the
+    corpus layout instead of adding a raw-row shuffle."""
+    from ocr_application_spark.datagen.docwrap import documents_as_pages
+    from ocr_application_spark.kernels.extract import extract
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = extract(documents_as_pages(docs))
+    perdoc = out.select(
+        F.substring("url", -8, 8).cast("long").alias("doc_id"),
+        F.col("n_chars").alias("n_ext"),
+    ).join(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.greatest(F.length("text"), F.lit(1)).alias("n_src"),
+        ),
+        "doc_id",
+    )
+    return perdoc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_src").cast("long").alias("chars_src"),
+        F.sum("n_ext").cast("long").alias("chars_extracted"),
+        F.expr("sum(n_ext) * 1000 div sum(n_src)").cast("long").alias("yield_milli"),
+        F.sum(F.when(F.expr("n_ext * 1000 div n_src < 900"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_yield"),
+    )
+
+
+@_q(
     "streaming_extract_digest",
     _ETEXT_CTES
     + """

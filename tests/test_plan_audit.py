@@ -657,6 +657,18 @@ def test_nfc_normalize_single_arrow_hop_no_shuffle(spark):
     )
 
 
+def test_yield_report_joins_on_doc_id_no_cartesian(spark):
+    # narrow Arrow extraction stage -> one doc_id join -> one lang agg
+    plan = plan_of(spark, "extract_yield_report")
+    assert "CartesianProduct" not in plan, plan
+    # two PIPELINED MapInPandas stages (docwrap synthesis + extraction
+    # kernel), same shape as pipeline_extract_digest — no barrier between
+    n_arrow = len(re.findall(r"\(\d+\) (?:ArrowEvalPython|MapInPandas)", plan))
+    assert n_arrow == 2, (n_arrow, plan)
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 6, (n_ex, plan)
+
+
 def test_hdr_sketch_windows_state_not_rows(spark):
     # build/merge are partial-agg shuffles on (group, bucket); the only
     # window + final agg run over the merged bucket state, never raw
