@@ -33,6 +33,7 @@ def _modules():
         ann_pq,
         asof,
         buckets_entry,
+        charset_sniff,
         curation,
         dedup,
         entropy,
@@ -83,6 +84,7 @@ def _modules():
         curation,
         unicode_norm,
         quantile_sketch,
+        charset_sniff,
         tpch,
         # groupstats and heavyhitters sit OUTSIDE the driver's 50-slot
         # window by design, like the TPC-H demonstrators: exact
@@ -177,6 +179,13 @@ _ROTATED_BACK = (
     # test_unicode_norm.py — the window buys nothing the local gate
     # doesn't already enforce at the same strength.
     "text_nfc_normalize",
+    # extract_charset_sniff (new, post-freeze): pure scan-fused
+    # projection whose hex-space discipline has no shuffle to regress;
+    # the detector pattern is generated ONCE in Python and interpolated
+    # into both engines, local parity (sf0.001 + sf0.01) pins all four
+    # detection routes value-level, and test_charset_sniff.py pins the
+    # WHATWG edge cases (BOM precedence, quote styles, bounded scan).
+    "extract_charset_sniff",
     # extract_yield_report (new, post-freeze): every piece of its
     # machinery keeps the strongest possible in-window twin —
     # pipeline_extract_digest drives the IDENTICAL extraction kernel

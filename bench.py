@@ -185,6 +185,7 @@ def main() -> None:
             "text_nfc_normalize",
             "sketch_hdr_quantiles",
             "extract_yield_report",
+            "extract_charset_sniff",
         ]
 
         def run(name: str) -> None:

@@ -167,6 +167,10 @@ from ocr_application_spark.sources.webpages import (  # noqa: F401
     with_bucket,
     write_pages,
 )
+from ocr_application_spark.operators.charset_sniff import (  # noqa: F401
+    extract_charset_sniff,
+    sniff_charset,
+)
 from ocr_application_spark.operators.quantile_sketch import (  # noqa: F401
     hdr_build,
     hdr_merge,

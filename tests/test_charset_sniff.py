@@ -1,0 +1,62 @@
+"""Charset sniffing edge cases: BOM precedence, quote styles, the
+bounded head scan, and all three BOM families."""
+
+import pytest
+
+from ocr_application_spark.operators.charset_sniff import sniff_charset
+
+BOM8 = b"\xef\xbb\xbf"
+BOM16LE = b"\xff\xfe"
+BOM16BE = b"\xfe\xff"
+
+
+def _sniff(spark, payloads: list[bytes]):
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], "i int, html binary"
+    )
+    rows = sniff_charset(df, "html").orderBy("i").collect()
+    return [(r.charset, r.src) for r in rows]
+
+
+def test_bom_wins_over_meta(spark):
+    got = _sniff(
+        spark,
+        [
+            BOM8 + b'<meta charset="iso-8859-1">hello',
+            BOM16LE + b"anything",
+            BOM16BE + b"anything",
+        ],
+    )
+    assert got == [("utf-8", "bom"), ("utf-16le", "bom"), ("utf-16be", "bom")]
+
+
+def test_meta_quote_styles_and_case(spark):
+    got = _sniff(
+        spark,
+        [
+            b'<head><meta charset="windows-1252"></head>x',
+            b"<head><meta charset='KOI8-R'></head>x",
+            b"<head><META CHARSET=shift_jis></head>x",
+        ],
+    )
+    assert got == [
+        ("windows-1252", "meta"),
+        ("koi8-r", "meta"),
+        ("shift_jis", "meta"),
+    ]
+
+
+def test_head_scan_is_bounded_to_1kib(spark):
+    # a meta declaration past the 1 KiB scan window is ignored (WHATWG
+    # sniffers stop early; an adversarial page can't make the detector
+    # read the whole payload)
+    late = b" " * 1024 + b'<meta charset="iso-8859-1">'
+    early = b" " * 990 + b'<meta charset="iso-8859-1">'
+    got = _sniff(spark, [late, early])
+    assert got[0] == ("utf-8", "default")
+    assert got[1] == ("iso-8859-1", "meta")
+
+
+def test_no_signal_defaults_utf8(spark):
+    got = _sniff(spark, [b"plain ascii body with no declaration"])
+    assert got == [("utf-8", "default")]

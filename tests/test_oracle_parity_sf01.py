@@ -33,6 +33,7 @@ POST_FREEZE = [
     "text_nfc_normalize",
     "sketch_hdr_quantiles",
     "extract_yield_report",
+    "extract_charset_sniff",
 ]
 
 _QUERIES = entrymod.queries()

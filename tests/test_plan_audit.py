@@ -657,6 +657,16 @@ def test_nfc_normalize_single_arrow_hop_no_shuffle(spark):
     )
 
 
+def test_charset_sniff_scan_fused_no_python(spark):
+    # hex-space detector is one narrow projection: no shuffle, no UDF,
+    # and the scan reads only doc_id + text (derivation inputs)
+    plan = plan_of(spark, "extract_charset_sniff")
+    assert "Exchange" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "lang" not in m.group(1), m and m.group(1)
+
+
 def test_yield_report_joins_on_doc_id_no_cartesian(spark):
     # narrow Arrow extraction stage -> one doc_id join -> one lang agg
     plan = plan_of(spark, "extract_yield_report")
