@@ -63,8 +63,17 @@ def _ci_hex(s: str) -> str:
     return "".join(out)
 
 
-# charset= , optional quote, capture token bytes until quote/space/>
-_META_PAT = _ci_hex("charset=") + "(22|27)?((?:[0-9A-F]{2})+?)(22|27|20|3E)"
+# charset= , optional quote, capture token bytes until a stop byte.
+# The leading lazy pair-eater anchors every match to an EVEN hex offset
+# (= a byte boundary): unanchored, the pattern could match spanning two
+# bytes' nibbles and report a garbage 'meta' charset on binary payloads.
+# Stop set per WHATWG unquoted-attribute tokenization: quote, ASCII
+# whitespace (tab/LF/FF/CR/space), ';', '/' (self-closing tag), '>'.
+_META_PAT = (
+    "^(?:[0-9A-F]{2})*?"
+    + _ci_hex("charset=")
+    + "(22|27)?((?:[0-9A-F]{2})+?)(22|27|09|0A|0C|0D|20|2F|3B|3E)"
+)
 _META_GROUP = 9  # token group: 7 letter-alternation groups + opt quote = 8
 _SCAN_BYTES = 1024  # WHATWG-style bounded head scan
 
@@ -126,8 +135,11 @@ def sniff_charset(df: DataFrame, bytes_col: str = "html") -> DataFrame:
     """Append (charset, src) sniffed from a binary column's first 1 KiB;
     src is one of bom/meta/default. The public API the ingest stage
     calls on the pages table before any decode."""
+    # truncate the BYTES before hex-encoding: hex(first 1 KiB) equals
+    # substr(hex(all), 1, 2 KiB) exactly (pairs align), but never
+    # materializes a 2x-payload hex string per row on the ingest path
     h = df.withColumn(
-        "hexs", F.substring(F.hex(F.col(bytes_col)), 1, 2 * _SCAN_BYTES)
+        "hexs", F.hex(F.substring(F.col(bytes_col), 1, _SCAN_BYTES))
     )
     exprs = [e.strip() for e in _split_top(_SPARK_DETECT)]
     return h.selectExpr("*", *exprs).drop("hexs")

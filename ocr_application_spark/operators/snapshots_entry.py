@@ -680,10 +680,13 @@ def snapshot_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a1 = _agg(read_snapshot(spark, tbl, version=v1), "tok_v1")
     a2 = _agg(read_snapshot(spark, tbl), "tok_v2")
-    tot = (
-        a1.agg(F.sum("tok_v1").alias("n1"))
-        .crossJoin(a2.agg(F.sum("tok_v2").alias("n2")))
-        .crossJoin(a2.agg(F.count("*").cast("long").alias("nl")))
+    tot = a1.agg(F.sum("tok_v1").alias("n1")).crossJoin(
+        # one pass over the head aggregate for both totals — a second
+        # .agg would re-scan the committed table
+        a2.agg(
+            F.sum("tok_v2").alias("n2"),
+            F.count("*").cast("long").alias("nl"),
+        )
     )
     j = (
         a2.join(a1, "lang", "full_outer")

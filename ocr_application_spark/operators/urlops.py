@@ -691,13 +691,20 @@ def surt_key(u: Column) -> Column:
 def surt_pack64(k: Column) -> Column:
     """Order-preserving int64 of the first 8 bytes of an ASCII key
     (big-endian; missing bytes pack as 0, so a short key sorts before
-    every extension — exactly string order). Codepoints are clamped to
-    255 so a stray non-ASCII char degrades to a coarser (never wrong)
-    zone-map range; top byte <= 255 keeps the value well under 2^63."""
+    every extension — exactly string order). Codepoints are clamped —
+    the FIRST position to 127, the rest to 255 — so a stray non-ASCII
+    char degrades to a coarser (never wrong) zone-map range: clamping
+    is monotone per position, and 127*256^7 + 255*(256^6+..+1) is
+    exactly 2^63-1, so the pack can never overflow int64 (a first
+    codepoint >= 128 at coefficient 256^7 otherwise would, aborting
+    the index write under Spark 4's default ANSI mode)."""
     terms = [
         F.when(
             F.length(k) >= i,
-            F.least(F.ascii(F.substring(k, i, 1)), F.lit(255)).cast("long"),
+            F.least(
+                F.ascii(F.substring(k, i, 1)),
+                F.lit(127 if i == 1 else 255),
+            ).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         * F.lit(256 ** (_SURT_PACK_BYTES - i)).cast("long")
         for i in range(1, _SURT_PACK_BYTES + 1)
@@ -718,7 +725,9 @@ def surt_prefix_range(prefix: str) -> tuple[int, int]:
     lo = 0
     for i, c in enumerate(head):
         lo += ord(c) * 256 ** (_SURT_PACK_BYTES - 1 - i)
-    hi = lo + 256 ** (_SURT_PACK_BYTES - len(head)) - 1
+    # cap at int64 max: pack64 clamps its first byte to 127, so no key
+    # packs above 2^63-1 (an empty prefix's naive hi of 256^8-1 would)
+    hi = min(lo + 256 ** (_SURT_PACK_BYTES - len(head)) - 1, 2**63 - 1)
     return lo, hi
 
 
@@ -777,9 +786,10 @@ _SURT_SQL = """
      else {c} end)
 """
 
+# first-position clamp is 127 (overflow-proof), mirroring surt_pack64
 _SURT_PACK_SQL = " + ".join(
     f"""(case when length({{k}}) >= {i}
-         then cast(least(ascii(substr({{k}}, {i}, 1)), 255) as bigint)
+         then cast(least(ascii(substr({{k}}, {i}, 1)), {127 if i == 1 else 255}) as bigint)
          else cast(0 as bigint) end) * {256 ** (_SURT_PACK_BYTES - i)}"""
     for i in range(1, _SURT_PACK_BYTES + 1)
 )

@@ -54,6 +54,7 @@ On a real cluster, replace this module with Iceberg's ``writeTo``/
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -226,6 +227,48 @@ def _write_ref(path: str, name: str, rtype: str, version: int) -> None:
     os.replace(tmp, _ref_file(path, name))
 
 
+@contextlib.contextmanager
+def _ref_lock(path: str, stale_after: float = 60.0):
+    """Serialize ref-pointer ADVANCES (mkdir is the atomic primitive).
+
+    The O_EXCL manifest publish alone cannot detect a same-branch race
+    once a ref pins the head: the version NUMBER comes from the global
+    listing while the PARENT comes from the ref file, so two writers
+    can claim distinct numbers off the same parent and the second would
+    silently drop the first from the branch. Every check-then-move of a
+    ref runs inside this lock. A crashed holder's lock is stolen after
+    ``stale_after`` seconds; a live contender surfaces as a retryable
+    ``SnapshotConflictError`` (optimistic concurrency — the loser
+    retries, as in Iceberg)."""
+    os.makedirs(_refs_dir(path), exist_ok=True)
+    d = os.path.join(_refs_dir(path), ".reflock")
+    acquired = False
+    for _ in range(2):  # initial try + one retry after steal/release
+        try:
+            os.mkdir(d)
+            acquired = True
+            break
+        except FileExistsError:
+            try:
+                stale = (time.time() - os.path.getmtime(d)) > stale_after
+            except OSError:
+                continue  # holder released between mkdir and stat; retry
+            if not stale:
+                break
+            with contextlib.suppress(OSError):
+                os.rmdir(d)
+    if not acquired:
+        raise SnapshotConflictError(
+            f"ref lock at {path} is held by a concurrent writer; "
+            "retry the operation"
+        )
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.rmdir(d)
+
+
 def _create_ref(path: str, name: str, rtype: str, version: int) -> None:
     """Exclusive ref creation: a racing double-create loses loudly."""
     os.makedirs(_refs_dir(path), exist_ok=True)
@@ -265,13 +308,20 @@ def _pin_main(path: str) -> None:
 
 
 def _ancestors(path: str, version: int) -> list[int]:
-    """``version`` and its parent chain, newest first, following each
-    manifest's recorded parent pointer (the history DAG, which global
-    version numbering does NOT encode once branches exist)."""
+    """``version`` and its LIVE parent chain, newest first, following
+    each manifest's recorded parent pointer (the history DAG, which
+    global version numbering does NOT encode once branches exist). The
+    walk truncates at the first expired ancestor: ``expire_snapshots``
+    deletes old manifests, and a table whose tail history was expired
+    must stay usable (rollback/publish/diff against its live range),
+    not crash on the dangling parent pointer."""
     out, v = [], version
     while v is not None:
         out.append(v)
-        v = _load_manifest(path, v).get("parent")
+        try:
+            v = _load_manifest(path, v).get("parent")
+        except FileNotFoundError:
+            break  # parent expired — chain ends at the oldest live manifest
     return out
 
 
@@ -358,14 +408,15 @@ def publish_branch(path: str, name: str) -> int:
     ref = _load_ref(path, name)
     if ref is None or ref["type"] != "branch":
         raise FileNotFoundError(f"branch {name!r} not found at {path}")
-    head, main_head = ref["version"], _head_version(path)
-    if main_head is not None and main_head != head and main_head not in _ancestors(path, head):
-        raise SnapshotConflictError(
-            f"cannot fast-forward main (v{main_head}) to branch {name!r} "
-            f"(v{head}): main is not an ancestor of the branch head — "
-            "history diverged; rebase the branch or merge row-level"
-        )
-    _write_ref(path, "main", "branch", head)
+    with _ref_lock(path):  # fast-forward check + move must be atomic
+        head, main_head = ref["version"], _head_version(path)
+        if main_head is not None and main_head != head and main_head not in _ancestors(path, head):
+            raise SnapshotConflictError(
+                f"cannot fast-forward main (v{main_head}) to branch {name!r} "
+                f"(v{head}): main is not an ancestor of the branch head — "
+                "history diverged; rebase the branch or merge row-level"
+            )
+        _write_ref(path, "main", "branch", head)
     return head
 
 
@@ -374,15 +425,16 @@ def rollback(path: str, version: int) -> int:
     (Iceberg's ``rollback_to_snapshot``). The abandoned newer
     snapshots stay time-travelable until expired; the next main commit
     parents off the rolled-back head."""
-    main_head = _head_version(path)
-    if main_head is None:
-        raise FileNotFoundError(f"no snapshots at {path}")
-    if version not in _ancestors(path, main_head):
-        raise ValueError(
-            f"v{version} is not on main's history (head v{main_head}); "
-            "rollback only rewinds the current branch"
-        )
-    _write_ref(path, "main", "branch", version)
+    with _ref_lock(path):  # ancestry check + move must be atomic
+        main_head = _head_version(path)
+        if main_head is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        if version not in _ancestors(path, main_head):
+            raise ValueError(
+                f"v{version} is not on main's history (head v{main_head}); "
+                "rollback only rewinds the current branch"
+            )
+        _write_ref(path, "main", "branch", version)
     return version
 
 
@@ -577,15 +629,25 @@ def commit(
             "another writer; re-read the table and retry the commit"
         ) from None
     os.unlink(tmp)
-    # advance the branch pointer. Only the O_EXCL winner for this
-    # version number reaches here, so the move is race-free; a crash
-    # before it leaves v{n} an orphan snapshot (no ref sees it), never
-    # a torn commit. main stays implicit (head == max version) until a
-    # ref pinned it — then every main commit must move the pin too.
-    if branch != "main":
-        _write_ref(path, branch, "branch", version)
-    elif _load_ref(path, "main") is not None:
-        _write_ref(path, "main", "branch", version)
+    # advance the branch pointer. For UNPINNED main (head == max
+    # version) the O_EXCL manifest publish alone serializes writers:
+    # parent and claimed number are both max-derived, so a racing pair
+    # collides on the same v{n} and the loser already raised above. For
+    # a PINNED ref the number (global max+1) and the parent (ref file)
+    # are decoupled, so re-validate the parent under the ref lock: if
+    # another writer advanced this branch since we planned, unlink our
+    # manifest (its files become age-gated GC orphans) and lose loudly.
+    if branch != "main" or _load_ref(path, "main") is not None:
+        with _ref_lock(path):
+            cur = _head_version(path, branch)
+            if cur != parent:
+                os.unlink(final)
+                raise SnapshotConflictError(
+                    f"branch {branch!r} at {path} advanced from "
+                    f"v{parent} to v{cur} while this {mode} commit was "
+                    "being prepared; re-read the table and retry"
+                )
+            _write_ref(path, branch, "branch", version)
     return version
 
 
@@ -721,9 +783,11 @@ def read_snapshot_diff(
     chain = _ancestors(path, to_v)
     if from_version not in chain:
         raise ValueError(
-            f"v{from_version} is not an ancestor of v{to_v} — the diff "
-            "range crosses branches; re-baseline the consumer on this "
-            "branch's history"
+            f"v{from_version} is not on the live parent chain of "
+            f"v{to_v} — the diff range crosses branches, or an "
+            "intermediate snapshot was expired (making the no-rewrite-"
+            "in-range check impossible); re-baseline the consumer on "
+            "this branch's live history"
         )
     # A replace_all (compaction) commit rewrites every file, so a raw
     # manifest diff across it would re-surface the ENTIRE table as
@@ -1304,7 +1368,12 @@ def cluster_snapshot(
     time-travel until ``expire_snapshots``. Returns the new version."""
     if not cols:
         raise ValueError("cluster_snapshot needs at least one column")
-    df = read_snapshot(spark, path)
+    # plan against an explicit head and commit with expected_parent, so
+    # a concurrent append landing mid-rewrite fails THIS maintenance job
+    # loudly instead of being silently erased by the replace_all (same
+    # race discipline as delete_pages / compact_small_files)
+    head = _head_version(path)
+    df = read_snapshot(spark, path, version=head)
     for c in cols:
         dt = dict(df.dtypes).get(c)
         if dt not in ("tinyint", "smallint", "int", "bigint"):
@@ -1319,13 +1388,18 @@ def cluster_snapshot(
         *[F.max(c).alias(f"_zmax_{c}") for c in cols],
     )
     # min-max scale in pure int64: `div`, never `/` — double division
-    # loses low bits once (value-min)*top crosses 2^53 (the packed-key
-    # pitfall PERF.md records for dedup_winnow)
-    top = (1 << bits) - 1
+    # loses low bits once intermediates cross 2^53 (the packed-key
+    # pitfall PERF.md records for dedup_winnow). DIVIDE-FIRST form:
+    # scaled = (v - min) div step with step = range div 2^bits + 1 —
+    # multiply-first ((v-min)*top) overflows int64 once the column
+    # range exceeds ~2^(63-bits) (e.g. unix_micros spanning >4.5 years
+    # at bits=16), which under Spark 4's default ANSI mode aborts the
+    # rewrite. step maps (v-min) ∈ [0, range] onto [0, 2^bits - 1]
+    # exactly when range < 2^bits (step=1) and monotonically otherwise.
     scaled = [
         F.expr(
-            f"((CAST({c} AS BIGINT) - _zmin_{c}) * CAST({top} AS BIGINT))"
-            f" div greatest(CAST(1 AS BIGINT), CAST(_zmax_{c} - _zmin_{c} AS BIGINT))"
+            f"(CAST({c} AS BIGINT) - _zmin_{c}) div "
+            f"((CAST(_zmax_{c} - _zmin_{c} AS BIGINT) div CAST({1 << bits} AS BIGINT)) + 1)"
         )
         for c in cols
     ]
@@ -1339,5 +1413,5 @@ def cluster_snapshot(
     )
     return commit(
         clustered, path, mode="replace_all", partition_by=partition_by,
-        op_label="cluster",
+        op_label="cluster", expected_parent=head,
     )

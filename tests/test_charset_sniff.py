@@ -60,3 +60,30 @@ def test_head_scan_is_bounded_to_1kib(spark):
 def test_no_signal_defaults_utf8(spark):
     got = _sniff(spark, [b"plain ascii body with no declaration"])
     assert got == [("utf-8", "default")]
+
+
+def test_unquoted_value_whatwg_stop_bytes(spark):
+    # WHATWG unquoted attribute values end at whitespace / ';' / '/'
+    # (self-closing tag) / '>' — none of these bytes belong to the token
+    got = _sniff(
+        spark,
+        [
+            b"<meta charset=utf-8/>",
+            b"<meta charset=utf-8\n><body>x</body>",
+            b"<meta charset=utf-8\t>",
+            b"<meta charset=utf-8;x>",
+            b"<meta charset=utf-8\r\n>",
+        ],
+    )
+    assert got == [("utf-8", "meta")] * 5
+
+
+def test_nibble_misaligned_pattern_is_not_a_match(spark):
+    # bytes whose HEX SPELLING contains 'charset=utf-8 ' starting at an
+    # ODD nibble offset (spanning byte boundaries): a binary payload
+    # must sniff as default, not as a garbage 'meta' detection
+    pat_hex = b"charset=utf-8 ".hex().upper()
+    payload = bytes.fromhex("0" + pat_hex + "0")
+    assert b"charset=" not in payload  # the real bytes never say it
+    got = _sniff(spark, [payload])
+    assert got == [("utf-8", "default")]

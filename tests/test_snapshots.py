@@ -1260,3 +1260,114 @@ def test_binpack_compaction_rewrites_only_small_files(spark, tmpdir_scratch):
     # alone it cannot pack further -> no-op, no new version
     assert compact_small_files(spark, tbl, small_bytes=100_000) == v_pack
     assert snapshot_versions(tbl)[-1] == v_pack
+
+
+def test_refs_and_diff_usable_after_history_expiry(spark, tmpdir_scratch):
+    """expire_snapshots deletes old MANIFESTS, leaving live manifests
+    with dangling parent pointers — every parent-chain walk (diff,
+    rollback, publish) must truncate at the oldest live ancestor, not
+    crash with FileNotFoundError on the expired file."""
+    from ocr_application_spark.sources.snapshots import (
+        expire_snapshots,
+        read_snapshot_diff,
+        rollback,
+    )
+
+    tbl = tmpdir_scratch + "/tbl"
+    commit(_pages(spark, range(3), "a"), tbl)
+    commit(_pages(spark, [10], "b"), tbl)
+    commit(_pages(spark, [20], "c"), tbl)
+    expire_snapshots(tbl, keep_last=2)  # v1's manifest is gone
+    assert snapshot_versions(tbl) == [2, 3]
+    # diff across the live range still works
+    got = {r.payload for r in read_snapshot_diff(spark, tbl, 2).collect()}
+    assert got == {"c-20"}
+    # rollback along the live chain still works
+    rollback(tbl, 2)
+    assert read_snapshot(spark, tbl).count() == 4
+
+
+def test_pinned_main_commit_cas_detects_stale_parent(spark, tmpdir_scratch, monkeypatch):
+    """Once a ref pins main, a commit's version NUMBER (global max+1)
+    and its PARENT (the ref file) are read separately — a concurrent
+    commit landing between the two reads must fail THIS writer loudly
+    (parent re-validated under the ref lock), never be silently dropped
+    from the branch by a fresh-numbered child of a stale parent."""
+    import ocr_application_spark.sources.snapshots as snap
+
+    tbl = tmpdir_scratch + "/tbl"
+    commit(_pages(spark, range(4), "a"), tbl)
+    snap.create_tag(tbl, "t0")  # pins main at v1
+
+    real_versions = snap.snapshot_versions
+    real_load_ref = snap._load_ref
+    state = {"fired": False, "serve_stale": False, "stale": None}
+
+    def versions_patch(path):
+        if not state["fired"]:
+            state["fired"] = True
+            state["stale"] = real_load_ref(path, "main")
+            commit(_pages(spark, [50], "in"), tbl)  # concurrent commit
+            out = real_versions(path)  # outer sees the FRESH listing
+            state["serve_stale"] = True  # ...but the PRE-race ref
+            return out
+        return real_versions(path)
+
+    def load_ref_patch(path, name):
+        if name == "main" and state["serve_stale"]:
+            state["serve_stale"] = False  # only the plan-time read
+            return state["stale"]
+        return real_load_ref(path, name)
+
+    monkeypatch.setattr(snap, "snapshot_versions", versions_patch)
+    monkeypatch.setattr(snap, "_load_ref", load_ref_patch)
+    with pytest.raises(snap.SnapshotConflictError, match="advanced"):
+        commit(_pages(spark, [99], "out"), tbl)
+    monkeypatch.undo()
+    # loser's manifest was unlinked; winner's commit is the head
+    assert snapshot_versions(tbl) == [1, 2]
+    assert {r.payload for r in read_snapshot(spark, tbl).collect()} == {
+        "a-0", "a-1", "a-2", "a-3", "in-50"
+    }
+    # retry after re-read succeeds
+    commit(_pages(spark, [99], "out"), tbl)
+    assert read_snapshot(spark, tbl).count() == 6
+
+
+def test_cluster_snapshot_wide_range_and_concurrent_append(spark, tmpdir_scratch, monkeypatch):
+    """Z-order scaling must survive unix_micros-scale column ranges
+    (multiply-first int64 math overflows past ~2^47 at bits=16 under
+    ANSI), and the replace_all rewrite must fail loudly when an append
+    lands mid-rewrite instead of silently erasing it."""
+    import ocr_application_spark.sources.snapshots as snap
+
+    tbl = tmpdir_scratch + "/tbl"
+    # ts spans ~6.3 years of microseconds (range 2e14)
+    rows = spark.createDataFrame(
+        [(i, (i * 37) % 100, i * 20_000_000_000) for i in range(10_000)],
+        "doc_id long, k long, ts_us long",
+    )
+    commit(rows, tbl)
+    v = snap.cluster_snapshot(spark, tbl, ["k", "ts_us"], target_files=4)
+    out = read_snapshot(spark, tbl, v)
+    assert out.count() == 10_000
+    assert {r.doc_id for r in out.select("doc_id").collect()} == set(range(10_000))
+
+    # concurrent append between the rewrite's read and its commit
+    real_read_files = snap._read_files
+    fired = {"done": False}
+
+    def sneaky(*args, **kwargs):
+        if not fired["done"]:
+            fired["done"] = True
+            commit(spark.createDataFrame([(77777, 1, 1)], "doc_id long, k long, ts_us long"), tbl)
+        return real_read_files(*args, **kwargs)
+
+    monkeypatch.setattr(snap, "_read_files", sneaky)
+    with pytest.raises(snap.SnapshotConflictError, match="advanced"):
+        snap.cluster_snapshot(spark, tbl, ["k"])
+    monkeypatch.undo()
+    # the concurrent append is still visible; retry succeeds
+    assert read_snapshot(spark, tbl).count() == 10_001
+    snap.cluster_snapshot(spark, tbl, ["k"])
+    assert read_snapshot(spark, tbl).count() == 10_001

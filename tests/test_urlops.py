@@ -182,6 +182,26 @@ def test_surt_pack64_is_order_preserving(spark):
             assert packed[a] == packed[b], (a, b)
 
 
+def test_surt_pack64_non_ascii_never_overflows(spark):
+    """A key whose FIRST character has codepoint >= 128 (an IRI that
+    surt_key passed through unchanged) must pack to a valid int64 —
+    clamped coarse, never an ANSI ArithmeticException — and clamping
+    must stay monotone against ASCII neighbours."""
+    from ocr_application_spark.operators.urlops import surt_pack64
+
+    keys = ["~tilde)/", "Ürl-iri", "ドメイン,例)/", "\x7f", "ascii)/"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    packed = {
+        r.k: r.p
+        for r in df.select("k", surt_pack64(F.col("k")).alias("p")).collect()
+    }
+    assert all(0 <= v <= 2**63 - 1 for v in packed.values())
+    # every >=128 first byte clamps to 127 (DEL): above all lower ASCII
+    # starts — coarse (ties possible) but never order-inverted
+    assert packed["ascii)/"] < packed["~tilde)/"] < packed["Ürl-iri"]
+    assert packed["ドメイン,例)/"] >= packed["\x7f"]
+
+
 def test_cdx_index_lookup_matches_bruteforce_and_prunes(spark, tmpdir_scratch):
     """The range-partitioned sorted index returns exactly the brute-force
     startswith rows for domain-subtree, host, and >8-byte prefixes; the
