@@ -87,3 +87,60 @@ def test_nibble_misaligned_pattern_is_not_a_match(spark):
     assert b"charset=" not in payload  # the real bytes never say it
     got = _sniff(spark, [payload])
     assert got == [("utf-8", "default")]
+
+
+def test_differential_vs_python_twin_on_random_payloads(spark):
+    """Differential pin: Java regex over Spark columns vs Python ``re``
+    over the SAME hex strings and shared pattern, across payloads mixing
+    random bytes, planted metas (all quote styles/terminators/cases),
+    BOMs, and nibble-adversarial noise. Any engine-semantics drift in
+    the shared pattern surfaces here before it can ship."""
+    import random
+    import re as _re
+
+    from ocr_application_spark.operators.charset_sniff import (
+        _META_GROUP,
+        _META_PAT,
+        _SCAN_BYTES,
+    )
+
+    def twin(payload: bytes) -> tuple:
+        hexs = payload[:_SCAN_BYTES].hex().upper()
+        for bom, cs in (("EFBBBF", "utf-8"), ("FFFE", "utf-16le"), ("FEFF", "utf-16be")):
+            if hexs.startswith(bom):
+                return cs, "bom"
+        m = _re.search(_META_PAT, hexs)
+        if m and m.group(_META_GROUP):
+            return bytes.fromhex(m.group(_META_GROUP)).decode("utf-8").lower(), "meta"
+        return "utf-8", "default"
+
+    rng = random.Random(20260819)
+    charsets = ["utf-8", "ISO-8859-1", "Windows-1252", "shift_jis", "KOI8-R"]
+    payloads = []
+    for i in range(200):
+        kind = i % 5
+        cs = rng.choice(charsets)
+        quote, term = rng.choice(['"', "'", ""]), rng.choice([">", "/>", " >", ";>", "\n>"])
+        meta = f"<meta charset={quote}{cs}{quote or term[0] if quote else ''}{term}".encode()
+        filler = bytes(rng.randrange(32, 127) for _ in range(rng.randrange(0, 200)))
+        if kind == 0:
+            payloads.append(rng.choice([b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff"]) + filler + meta)
+        elif kind == 1:
+            payloads.append(filler + meta + filler)
+        elif kind == 2:
+            payloads.append(bytes(rng.randrange(0, 256) for _ in range(rng.randrange(1, 300))))
+        elif kind == 3:  # nibble-adversarial: pattern hex at odd offset
+            payloads.append(bytes.fromhex("0" + f"charset={cs} ".encode().hex().upper() + "0"))
+        else:
+            payloads.append(filler)
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], "i int, html binary"
+    )
+    got = {
+        r.i: (r.charset, r.src)
+        for r in sniff_charset(df, "html").select("i", "charset", "src").collect()
+    }
+    for i, p in enumerate(payloads):
+        want = twin(p)
+        # Spark lowercases via lower(); the twin too — compare directly
+        assert got[i] == want, (i, p[:60], got[i], want)
