@@ -1209,8 +1209,13 @@ def winnow_fingerprints(
     """Per-document winnowed fingerprints -> (doc_id, fp_pos, fp_hash),
     one row per selected (position, gram-hash) pair. Docs shorter than
     k chars emit nothing; docs with fewer than w grams emit the single
-    minimum gram (the standard short-doc clamp). One shuffle on doc_id
-    (the per-doc ordered window); everything JVM-side."""
+    minimum gram (the standard short-doc clamp). ZERO shuffles: the
+    per-position keys, the w-wide sliding minimum and the per-doc
+    dedup all run ARRAY-SIDE inside one projection (higher-order
+    functions), so only the ~2/(w+1)-dense selections ever become rows
+    — the row-explode formulation this replaces materialized one row
+    per CHARACTER and shuffled them all into a doc_id window (measured
+    ~5x slower at sf0.1, and the exchange grows with corpus bytes)."""
     k, w = int(k), int(w)
     if not 2 <= k <= 64:
         raise ValueError(f"k must be in [2, 64], got {k}")
@@ -1220,30 +1225,22 @@ def winnow_fingerprints(
     d = df.select(F.col(id_col).alias("doc_id"), t.alias("t")).filter(
         F.length("t") >= k
     )
-    grams = d.select(
-        "doc_id",
-        (F.length("t") - k + 1).alias("n_grams"),
-        F.explode(F.sequence(F.lit(1), F.length("t") - k + 1)).alias("pos"),
-        "t",
-    ).select(
-        "doc_id",
-        "n_grams",
-        "pos",
-        F.conv(F.substring(F.expr(f"md5(substring(t, pos, {k}))"), 1, 10), 16, 10)
-        .cast("long")
-        .alias("h"),
+    # packed select keys per gram position (integer-exact spec above)
+    keys = (
+        f"transform(sequence(1, length(t) - {k} + 1), p -> "
+        f"cast(conv(substring(md5(substring(t, p, {k})), 1, 10), 16, 10) as bigint)"
+        f" * {_WINNOW_POSM}L + ({_WINNOW_POSM - 1}L - p % {_WINNOW_POSM}))"
     )
-    key = F.col("h") * _WINNOW_POSM + (
-        F.lit(_WINNOW_POSM - 1) - F.col("pos") % _WINNOW_POSM
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    sel = grams.select(
-        "doc_id", "pos", "n_grams", F.min(key).over(win).alias("sk")
+    # per-window minimum (slice clamps at the array end, which IS the
+    # short-doc rule: < w grams -> one window over all of them), then
+    # within-doc dedup — array_distinct == the old (doc_id, sk) distinct
+    sel = (
+        f"array_distinct(transform(sequence(1, greatest(1, size(ks) - {w} + 1)), "
+        f"i -> array_min(slice(ks, i, {w}))))"
     )
     return (
-        sel.filter(F.col("pos") <= F.greatest(F.lit(1), F.col("n_grams") - w + 1))
-        .select("doc_id", "sk")
-        .distinct()
+        d.select("doc_id", F.expr(keys).alias("ks"))
+        .select("doc_id", F.explode(F.expr(sel)).alias("sk"))
         .select(
             "doc_id",
             (F.lit(_WINNOW_POSM - 1) - F.col("sk") % _WINNOW_POSM).alias("fp_pos"),
