@@ -594,10 +594,18 @@ ORACLES["sample_domain_mix"] = _MIX_ORACLE
 # production corpus would use 10^4-10^5 with the identical plan.
 #
 # Scale shape: the tf aggregation shuffles O(vocab) (map-side combine
-# over tokens), the top-V cut is TakeOrderedAndProject (never a global
-# window over the full vocabulary), the V-row rank table BROADCASTS to
-# the token stream, and the per-doc aggregation map-side combines on
-# doc_id. Zero UDFs, zero driver collect, no window over corpus data.
+# over tokens) and the top-V cut is TakeOrderedAndProject (never a
+# global window over the full vocabulary). The per-doc score then runs
+# ENTIRELY array-side: the V-row rank table is folded to ONE row — a
+# token->rank MAP — broadcast-nested-loop-joined onto documents (one
+# row, so the "nested loop" is a single pass), and each doc scores in
+# one codegen stage: transform(w, x -> coalesce(vmap[x], V+1)) then
+# integer aggregate()s. O(1) map lookup per token, so the shape holds
+# at production V (10^4-10^5). The original formulation re-exploded
+# every token and shuffled ~n_tokens rows to a doc_id aggregation —
+# the same explode->shuffle-per-doc shape the winnowing rewrite killed
+# (PERF.md); a corpus-wide exchange for a per-doc statistic. Zero UDFs,
+# zero driver collect, no window over corpus data, no doc_id exchange.
 _VOCAB_V = 16
 
 _RANKQ_ORACLE = f"""
@@ -650,28 +658,51 @@ def text_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = tf.orderBy(F.desc("tf"), "token").limit(_VOCAB_V)
     w = Window.orderBy(F.desc("tf"), "token")
     vocab = top.select("token", F.row_number().over(w).alias("rank"))
-    per = (
-        tok.join(F.broadcast(vocab), "token", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(F.coalesce(F.col("rank"), F.lit(_VOCAB_V + 1))).alias("sum_rank"),
-            F.sum(F.when(F.col("rank").isNull(), 1).otherwise(0)).alias("n_oov"),
+    # fold the V ranked rows into ONE row holding a token->rank map;
+    # broadcast it so every document partition scores locally
+    vmap = vocab.agg(
+        F.map_from_entries(F.collect_list(F.struct("token", "rank"))).alias("vmap")
+    )
+    oov_rank = F.lit(_VOCAB_V + 1).cast("long")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    scored = (
+        docs.select("doc_id", toks.alias("w"))
+        .crossJoin(F.broadcast(vmap))
+        # ranks is multi-referenced and non-cheap: keep it in its own
+        # projection so CollapseProject can't duplicate the map probes
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_tokens"),
+            F.transform(
+                "w",
+                lambda x: F.coalesce(
+                    F.try_element_at("vmap", x).cast("long"), oov_rank
+                ),
+            ).alias("ranks"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.aggregate(
+                "ranks", F.lit(0).cast("long"), lambda a, r: a + r
+            ).alias("sum_rank"),
+            F.size(F.filter("ranks", lambda r: r == oov_rank))
+            .cast("long")
+            .alias("n_oov"),
         )
     )
-    j = docs.select("doc_id").join(per, "doc_id", "left")
-    n_tokens = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+    n_tokens = F.col("n_tokens")
     mean_rank_bp = F.when(n_tokens == 0, F.lit(10000).cast("long")).otherwise(
         F.expr(f"div(10000 * sum_rank, n_tokens * {_VOCAB_V + 1})")
     )
     oov_bp = F.when(n_tokens == 0, F.lit(10000).cast("long")).otherwise(
         F.expr("div(10000 * n_oov, n_tokens)")
     )
-    return j.select(
+    return scored.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        F.coalesce(F.col("sum_rank"), F.lit(0)).cast("long").alias("sum_rank"),
-        F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+        F.col("sum_rank").cast("long").alias("sum_rank"),
+        F.col("n_oov").cast("long").alias("n_oov"),
         mean_rank_bp.alias("mean_rank_bp"),
         oov_bp.alias("oov_bp"),
         ((n_tokens > 0) & (mean_rank_bp <= 7200) & (oov_bp <= 4500)).alias("keep"),
@@ -758,17 +789,36 @@ def dedup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
+    # n_windows is a pure function of the token count — compute it
+    # array-side on the docs scan instead of counting exploded rows, so
+    # the per-doc aggregation only ever shuffles DUPLICATED windows:
+    # the dup-hash set (c >= 2) inner-joins back onto the window stream
+    # (the h-keyed exchange is reused from the count aggregation) and
+    # typically carries a small fraction of the corpus's windows, where
+    # the old formulation shuffled every window to doc_id.
     cnt = wins.groupBy("h").agg(F.count("*").alias("c"))
-    per = (
-        wins.join(cnt, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("n_dup"),
+    dup_h = cnt.filter(F.col("c") >= 2).select("h")
+    per = wins.join(dup_h, "h").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup")
+    )
+    w2 = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_win2 = F.when(
+        F.size(w2) >= _SPAN_W,
+        F.floor((F.size(w2) - _SPAN_W) / _SPAN_S) + 1,
+    ).otherwise(F.lit(0))
+    j = (
+        docs.select("doc_id", n_win2.cast("long").alias("n_windows"))
+        .join(per, "doc_id", "left")
+        # re-project n_dup non-null: the F.expr("div(...)") below names
+        # COLUMNS, so a join-miss null must be squashed here, not in a
+        # python-side alias
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
         )
     )
-    j = docs.select("doc_id").join(per, "doc_id", "left")
-    n_windows = F.coalesce(F.col("n_windows"), F.lit(0)).cast("long")
+    n_windows = F.col("n_windows")
     n_dup = F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
     return j.select(
         "doc_id",

@@ -311,16 +311,19 @@ def test_domain_mix_is_zero_shuffle_scan_filter(spark):
 
 
 def test_rank_quality_broadcasts_vocab_no_corpus_window(spark):
-    # the V-row rank table must broadcast to the token stream (a
-    # shuffle join keyed on `token` would funnel hot head tokens), the
-    # top-V cut must be TakeOrderedAndProject (never a global window
-    # over the full vocabulary), and the only window runs over the V
-    # post-limit survivors
+    # the rank table folds to ONE broadcast row (a token->rank map) and
+    # per-doc scoring runs array-side — so the plan must have NO
+    # exchange keyed on doc_id (the old formulation shuffled every
+    # token row to a doc_id aggregation) and no shuffle join keyed on
+    # `token` (hot head tokens would funnel); the top-V cut must be
+    # TakeOrderedAndProject (never a global window over the full
+    # vocabulary), and the only window runs over the V post-limit rows
     plan = plan_of(spark, "text_rank_quality")
     assert "EvalPython" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(doc_id" not in plan, plan
 
 
 def test_span_ratio_joins_on_hash_no_python(spark):
