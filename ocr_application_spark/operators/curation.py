@@ -347,10 +347,17 @@ ORACLES["sample_stratified"] = _SAMPLE_ORACLE
 # identically. Thresholds mirror Gopher: top-2-gram <= 20%, duplicate
 # 5-grams <= 30%.
 #
-# Scale shape: explode -> groupBy(doc_id, gram) -> re-aggregate per doc.
-# The gram shuffle is keyed on (doc_id, gram) so a single hot gram
-# never funnels one partition; both aggregations map-side combine. No
-# window, no UDF, no driver collect.
+# Scale shape: both statistics are pure per-document functions, so they
+# run ENTIRELY array-side — build the gram array, array_sort it, and
+# run-length-scan it with one integer aggregate() (top-2-gram tracks an
+# incremental max of run*len; dup-5-gram adds 2*len when a run reaches
+# 2 and +len per further repeat — algebraically identical to summing
+# cnt*len over cnt>=2 grams). One codegen stage, ZERO exchanges (the
+# original exploded every gram and shuffled on (doc_id, gram) twice,
+# then twice more on doc_id — a corpus-sized exchange for a per-doc
+# statistic). O(n log n) CPU per doc; the array-per-doc bound is the
+# same one the winnowing/span ops already rely on (web documents are
+# size-capped upstream by the S5 oversize guard).
 _GOPHER_ORACLE = """
 with t as (
   select doc_id, length(text) as n_chars_t, string_split(text, ' ') as w
@@ -390,42 +397,79 @@ from bp
 """
 
 
-def _gram_coverage(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, gram) occurrence counts for word n-grams, as the
-    exploded-equi-key aggregation (see module comment for why)."""
+def _sorted_grams(n: int):
+    """Sorted word-n-gram array of `text` (empty when < n words)."""
     w = F.split(F.col("text"), " ")
-    return (
-        docs.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - n),
-                    lambda i: F.array_join(F.slice(F.col("w"), i + 1, n), " "),
-                )
-            ).alias("g"),
-        )
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("cnt"))
+    return F.array_sort(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
+
+
+def _top_run_coverage(grams):
+    """max over distinct grams of count*length, via one run-length scan
+    of the sorted gram array (incremental max is exact: each repeat
+    re-evaluates (run+1)*len against the best so far)."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(x).cast("long")).alias("best"),
+        )
+
+    return F.aggregate(grams, init, step, lambda acc: acc["best"])
+
+
+def _dup_run_coverage(grams):
+    """sum over grams occurring >= 2x of count*length, via the same
+    run-length scan: a run contributes 2*len when it reaches 2 and
+    +len per further repeat — telescoping to cnt*len per dup gram."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("tot"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        add = (
+            F.when(run == 2, F.length(x).cast("long") * 2)
+            .when(run > 2, F.length(x).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        return F.struct(x.alias("prev"), run.alias("run"), (acc["tot"] + add).alias("tot"))
+
+    return F.aggregate(grams, init, step, lambda acc: acc["tot"])
 
 
 def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition stats in exact basis points + the Gopher
     keep/drop verdict (top-2-gram <= 20%, dup-5-grams <= 30%)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    base = docs.select("doc_id", F.length("text").alias("n_chars_t"))
-    c2 = (
-        _gram_coverage(docs, 2)
-        .groupBy("doc_id")
-        .agg(F.max(F.col("cnt") * F.length("g")).alias("cov2"))
-    )
-    c5 = (
-        _gram_coverage(docs, 5)
-        .filter(F.col("cnt") >= 2)
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("cnt") * F.length("g")).alias("cov5"))
+    # sorted gram arrays are multi-referenced and non-cheap: own
+    # projection so CollapseProject can't duplicate the sorts
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_t"),
+        _sorted_grams(2).alias("g2"),
+        _sorted_grams(5).alias("g5"),
+    ).select(
+        "doc_id",
+        "n_chars_t",
+        _top_run_coverage(F.col("g2")).alias("cov2"),
+        _dup_run_coverage(F.col("g5")).alias("cov5"),
     )
 
     def bp(cov):
@@ -433,14 +477,10 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"div(10000 * coalesce({cov}, 0), n_chars_t)")
         )
 
-    out = (
-        base.join(c2, "doc_id", "left")
-        .join(c5, "doc_id", "left")
-        .select(
-            "doc_id",
-            bp("cov2").alias("top2gram_char_bp"),
-            bp("cov5").alias("dup5gram_char_bp"),
-        )
+    out = base.select(
+        "doc_id",
+        bp("cov2").alias("top2gram_char_bp"),
+        bp("cov5").alias("dup5gram_char_bp"),
     )
     return out.withColumn(
         "keep",

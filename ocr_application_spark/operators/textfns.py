@@ -66,6 +66,16 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORDS = ("the", "a", "of", "and", "to")
 
 
+def _stopword_ratio():
+    """English-function-word share of the token stream, computed
+    array-side (size(filter)/size over the split array — the exact
+    integers the old explode->groupBy(doc_id) shuffle produced, so the
+    one IEEE division is bit-identical, with zero exchanges)."""
+    w = F.split(F.col("text"), " ")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
+    return n_stop.cast("double") / F.size(w)
+
+
 @_q(
     "text_langid_heuristic",
     f"""
@@ -88,13 +98,7 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document -> coarse label. (The reference's Arabic-script regex
     F3 is the same family of heuristic; see reference_ops.f_record_filters.)"""
     d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    ratios = toks.groupBy("doc_id").agg(
-        (
-            F.sum(F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0)).cast("double")
-            / F.count("*")
-        ).alias("stopword_ratio")
-    )
+    ratios = d.select("doc_id", _stopword_ratio().alias("stopword_ratio"))
     return ratios.select(
         "doc_id",
         "stopword_ratio",
@@ -204,13 +208,6 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates are the same engineered-identical expressions the individual
     queries use, so the boolean decision is cross-engine stable."""
     d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    ratios = toks.groupBy("doc_id").agg(
-        (
-            F.sum(F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0)).cast("double")
-            / F.count("*")
-        ).alias("stopword_ratio")
-    )
     nt = _tokens_col()
     nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
     quality = (
@@ -219,12 +216,16 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.length("text").between(100, 20000), 0.2).otherwise(0.0)
     )
     fp = d.select(
-        "doc_id", F.md5(F.lower("text")).alias("fingerprint"), quality.alias("quality")
+        "doc_id",
+        F.md5(F.lower("text")).alias("fingerprint"),
+        quality.alias("quality"),
+        # array-side (zero exchanges) — the explode->groupBy(doc_id)
+        # shuffle this replaces was a corpus-sized exchange per gate
+        _stopword_ratio().alias("stopword_ratio"),
     )
     keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper"))
     return (
         fp.join(keepers, "fingerprint")
-        .join(ratios, "doc_id")
         .select(
             "doc_id",
             "stopword_ratio",

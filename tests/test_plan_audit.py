@@ -213,14 +213,16 @@ def test_neardup_broadcast_bucket_join_no_shuffle(spark):
 
 
 def test_corpus_clean_bounded_exchanges_no_udf(spark):
-    # language + quality + dedup-survivor decision: pure built-ins, and
-    # only keyed-aggregation shuffles (tokens->doc_id, fingerprint, and
-    # the two join alignments) — no python stage anywhere
+    # language + quality + dedup-survivor decision: pure built-ins; the
+    # stopword ratio is array-side (no tokens->doc_id shuffle), so the
+    # only exchanges left are the fingerprint aggregation + its join
+    # alignment — no python stage anywhere
     plan = plan_of(spark, "corpus_clean_pipeline")
     assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(doc_id" not in plan, plan
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_exchanges <= 6, f"{n_exchanges} exchanges:\n{plan}"
+    assert n_exchanges <= 4, f"{n_exchanges} exchanges:\n{plan}"
 
 
 def test_q14_broadcasts_part_and_pushes_shipdate(spark):
@@ -282,13 +284,15 @@ def test_stratified_sample_uses_window_group_limit(spark):
 
 
 def test_gopher_repetition_is_jvm_agg_no_window(spark):
-    # gram coverage must be explode -> (doc_id, gram) hash-aggregate
-    # (map-side combine, hot grams spread by the doc_id key component),
-    # never a per-doc window or Python eval
+    # both repetition stats are pure per-doc functions computed
+    # array-side (array_sort + run-length aggregate() in one codegen
+    # stage): the plan must be a zero-exchange scan — no shuffle, no
+    # per-doc window, no Python eval (the old explode -> (doc_id, gram)
+    # shuffle was a corpus-sized exchange for a per-doc statistic)
     plan = plan_of(spark, "text_gopher_repetition")
     assert "EvalPython" not in plan, plan
     assert "WindowExec" not in plan and "(1) Window" not in plan, plan
-    assert "HashAggregate" in plan, plan
+    assert "Exchange" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
