@@ -704,7 +704,13 @@ def text_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_from_entries(F.collect_list(F.struct("token", "rank"))).alias("vmap")
     )
     oov_rank = F.lit(_VOCAB_V + 1).cast("long")
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    # NULL text scores like empty text (n_tokens=0 -> 10000/10000/false),
+    # matching the oracle's LEFT JOIN + coalesce path — without the
+    # coalesce, split(NULL) would propagate NULL into every stat and a
+    # three-valued keep verdict
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""
+    )
     scored = (
         docs.select("doc_id", toks.alias("w"))
         .crossJoin(F.broadcast(vmap))
@@ -807,7 +813,15 @@ def dedup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride _SPAN_S, duplication in exact basis points."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    n_win = F.floor((F.size("w") - _SPAN_W) / _SPAN_S) + 1
+
+    def n_windows_of(arr):
+        # single source of truth for the window count — the same grid
+        # the generator below walks, so the two can't desynchronize
+        return F.when(
+            F.size(arr) >= _SPAN_W,
+            F.floor((F.size(arr) - _SPAN_W) / _SPAN_S) + 1,
+        ).otherwise(F.lit(0))
+
     wins = (
         docs.select("doc_id", w.alias("w"))
         .filter(F.size("w") >= _SPAN_W)
@@ -815,7 +829,7 @@ def dedup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), n_win.cast("int") - 1),
+                    F.sequence(F.lit(0), n_windows_of(F.col("w")).cast("int") - 1),
                     lambda i: F.substring(
                         F.md5(
                             F.array_join(
@@ -841,13 +855,8 @@ def dedup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = wins.join(dup_h, "h").groupBy("doc_id").agg(
         F.count("*").alias("n_dup")
     )
-    w2 = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    n_win2 = F.when(
-        F.size(w2) >= _SPAN_W,
-        F.floor((F.size(w2) - _SPAN_W) / _SPAN_S) + 1,
-    ).otherwise(F.lit(0))
     j = (
-        docs.select("doc_id", n_win2.cast("long").alias("n_windows"))
+        docs.select("doc_id", n_windows_of(w).cast("long").alias("n_windows"))
         .join(per, "doc_id", "left")
         # re-project n_dup non-null: the F.expr("div(...)") below names
         # COLUMNS, so a join-miss null must be squashed here, not in a
@@ -859,7 +868,7 @@ def dedup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_windows = F.col("n_windows")
-    n_dup = F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+    n_dup = F.col("n_dup")  # already coalesced non-null in the projection above
     return j.select(
         "doc_id",
         n_windows.alias("n_windows"),

@@ -886,8 +886,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.split(F.col("text"), " ")), lambda x: F.md5(x)
     )
     # hashes are multi-referenced (one filter per bit) and non-cheap:
-    # own projection so CollapseProject can't duplicate the md5 pass
-    hashed = d.select("doc_id", hs.alias("hs"))
+    # own projection so CollapseProject can't duplicate the md5 pass.
+    # NULL-text docs are dropped, matching the oracle's unnest + GROUP
+    # BY (and the old explode form): without the filter they'd surface
+    # as a spurious simhash=0 row
+    hashed = d.filter(F.col("text").isNotNull()).select("doc_id", hs.alias("hs"))
     n = F.size(F.col("hs"))
     combine = None
     for j in range(_SIMHASH_BITS):

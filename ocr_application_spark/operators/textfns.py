@@ -98,7 +98,11 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document -> coarse label. (The reference's Arabic-script regex
     F3 is the same family of heuristic; see reference_ops.f_record_filters.)"""
     d = _docs(spark, sf_dir)
-    ratios = d.select("doc_id", _stopword_ratio().alias("stopword_ratio"))
+    # NULL-text docs are dropped, matching the oracle's unnest + GROUP
+    # BY (and the old explode form), which emit no row for them
+    ratios = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", _stopword_ratio().alias("stopword_ratio")
+    )
     return ratios.select(
         "doc_id",
         "stopword_ratio",

@@ -427,3 +427,47 @@ def test_normalize_oracle_survives_adversarial_text(spark, tmpdir_scratch):
         "normalize_adversarial",
     )
     assert errs == [], errs
+
+
+def test_array_side_ops_null_and_empty_text(spark, tmpdir_scratch):
+    """The array-side per-doc rewrites must keep the oracles' NULL/empty
+    semantics: rank-quality scores NULL text like empty text (the
+    oracle's LEFT JOIN + coalesce path), simhash and langid DROP
+    NULL-text docs (unnest + GROUP BY emits no row), span-ratio and
+    corpus-clean pass NULL through their own guards. Pins the
+    review finding that split(NULL) propagates NULL through
+    filter/size where explode->groupBy used to drop the row."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (1, "the cat sat on the mat and the dog ran off to town " * 8),
+        (2, "one two three four five six seven eight nine ten eleven"),
+        (3, None),
+        (4, ""),
+        (5, "solo"),
+        (6, "the cat sat on the mat and the dog ran off to town " * 8),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf.to_parquet(f"{tmpdir_scratch}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from '{tmpdir_scratch}/documents.parquet'"
+    )
+    # gopher repetition is excluded: on NULL text BOTH engines yield
+    # NULL basis points (verified), but the harness normalizes Spark's
+    # None and duck's NaN differently for non-float columns
+    for name in (
+        "text_rank_quality",
+        "dedup_span_ratio",
+        "dedup_simhash",
+        "text_langid_heuristic",
+        "corpus_clean_pipeline",
+    ):
+        errs, _ = compare(
+            _QUERIES[name](spark, tmpdir_scratch),
+            con,
+            _ORACLES[name],
+            f"{name}_nulls",
+        )
+        assert errs == [], f"{name}: {errs}"
