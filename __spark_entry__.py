@@ -307,6 +307,14 @@ _ROTATED_BACK = (
     # prefix lookup are pytest-pinned against brute force in
     # test_urlops.py.
     "url_surt_index",
+    # url_sitemap_extract (new, post-freeze): every piece keeps an
+    # in-window twin — deterministic fixture-string building + regexp
+    # parsing through f11_json_block_extract (the identical
+    # build-then-parse roundtrip discipline), url plumbing through
+    # url_canonicalize; the <url>-entry explode is new but local parity
+    # pins the parsed (url, lastmod, priority_bp) rows bit-for-bit at
+    # both SFs.
+    "url_sitemap_extract",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

@@ -30,6 +30,7 @@ POST_FREEZE = [
     "snapshot_wap_publish",
     "snapshot_drift_report",
     "url_surt_index",
+    "url_sitemap_extract",
     "text_nfc_normalize",
     "sketch_hdr_quantiles",
     "extract_yield_report",
