@@ -347,17 +347,17 @@ ORACLES["sample_stratified"] = _SAMPLE_ORACLE
 # identically. Thresholds mirror Gopher: top-2-gram <= 20%, duplicate
 # 5-grams <= 30%.
 #
-# Scale shape: both statistics are pure per-document functions, so they
-# run ENTIRELY array-side — build the gram array, array_sort it, and
-# run-length-scan it with one integer aggregate() (top-2-gram tracks an
-# incremental max of run*len; dup-5-gram adds 2*len when a run reaches
-# 2 and +len per further repeat — algebraically identical to summing
-# cnt*len over cnt>=2 grams). One codegen stage, ZERO exchanges (the
-# original exploded every gram and shuffled on (doc_id, gram) twice,
-# then twice more on doc_id — a corpus-sized exchange for a per-doc
-# statistic). O(n log n) CPU per doc; the array-per-doc bound is the
-# same one the winnowing/span ops already rely on (web documents are
-# size-capped upstream by the S5 oversize guard).
+# Scale shape: explode -> groupBy(doc_id, gram) -> re-aggregate per doc.
+# The gram shuffle is keyed on (doc_id, gram) so a single hot gram
+# never funnels one partition; both aggregations map-side combine. No
+# window, no UDF, no driver collect. Shape note (measured solo at
+# sf0.1, median of 3): this codegen'd explode+hash-agg form runs 1.84s
+# vs 3.35s for an array-side rewrite (array_sort + run-length
+# aggregate() per doc) — the winnowing lesson does NOT generalize here
+# because HOF lambdas evaluate interpreted while the exploded
+# aggregation stays inside whole-stage codegen, and map-side combine
+# keeps the exchanges modest (distinct grams per doc for the first,
+# one row per doc for the second).
 _GOPHER_ORACLE = """
 with t as (
   select doc_id, length(text) as n_chars_t, string_split(text, ' ') as w
@@ -397,79 +397,42 @@ from bp
 """
 
 
-def _sorted_grams(n: int):
-    """Sorted word-n-gram array of `text` (empty when < n words)."""
+def _gram_coverage(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) occurrence counts for word n-grams, as the
+    exploded-equi-key aggregation (see module comment for why)."""
     w = F.split(F.col("text"), " ")
-    return F.array_sort(
-        F.when(
-            F.size(w) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - n),
-                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
-
-
-def _top_run_coverage(grams):
-    """max over distinct grams of count*length, via one run-length scan
-    of the sorted gram array (incremental max is exact: each repeat
-    re-evaluates (run+1)*len against the best so far)."""
-    init = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best"),
-    )
-
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run * F.length(x).cast("long")).alias("best"),
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - n),
+                    lambda i: F.array_join(F.slice(F.col("w"), i + 1, n), " "),
+                )
+            ).alias("g"),
         )
-
-    return F.aggregate(grams, init, step, lambda acc: acc["best"])
-
-
-def _dup_run_coverage(grams):
-    """sum over grams occurring >= 2x of count*length, via the same
-    run-length scan: a run contributes 2*len when it reaches 2 and
-    +len per further repeat — telescoping to cnt*len per dup gram."""
-    init = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("tot"),
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
     )
-
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-        add = (
-            F.when(run == 2, F.length(x).cast("long") * 2)
-            .when(run > 2, F.length(x).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        return F.struct(x.alias("prev"), run.alias("run"), (acc["tot"] + add).alias("tot"))
-
-    return F.aggregate(grams, init, step, lambda acc: acc["tot"])
 
 
 def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition stats in exact basis points + the Gopher
     keep/drop verdict (top-2-gram <= 20%, dup-5-grams <= 30%)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # sorted gram arrays are multi-referenced and non-cheap: own
-    # projection so CollapseProject can't duplicate the sorts
-    base = docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars_t"),
-        _sorted_grams(2).alias("g2"),
-        _sorted_grams(5).alias("g5"),
-    ).select(
-        "doc_id",
-        "n_chars_t",
-        _top_run_coverage(F.col("g2")).alias("cov2"),
-        _dup_run_coverage(F.col("g5")).alias("cov5"),
+    base = docs.select("doc_id", F.length("text").alias("n_chars_t"))
+    c2 = (
+        _gram_coverage(docs, 2)
+        .groupBy("doc_id")
+        .agg(F.max(F.col("cnt") * F.length("g")).alias("cov2"))
+    )
+    c5 = (
+        _gram_coverage(docs, 5)
+        .filter(F.col("cnt") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("g")).alias("cov5"))
     )
 
     def bp(cov):
@@ -477,10 +440,14 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"div(10000 * coalesce({cov}, 0), n_chars_t)")
         )
 
-    out = base.select(
-        "doc_id",
-        bp("cov2").alias("top2gram_char_bp"),
-        bp("cov5").alias("dup5gram_char_bp"),
+    out = (
+        base.join(c2, "doc_id", "left")
+        .join(c5, "doc_id", "left")
+        .select(
+            "doc_id",
+            bp("cov2").alias("top2gram_char_bp"),
+            bp("cov5").alias("dup5gram_char_bp"),
+        )
     )
     return out.withColumn(
         "keep",
@@ -641,11 +608,13 @@ ORACLES["sample_domain_mix"] = _MIX_ORACLE
 # row, so the "nested loop" is a single pass), and each doc scores in
 # one codegen stage: transform(w, x -> coalesce(vmap[x], V+1)) then
 # integer aggregate()s. O(1) map lookup per token, so the shape holds
-# at production V (10^4-10^5). The original formulation re-exploded
-# every token and shuffled ~n_tokens rows to a doc_id aggregation —
-# the same explode->shuffle-per-doc shape the winnowing rewrite killed
-# (PERF.md); a corpus-wide exchange for a per-doc statistic. Zero UDFs,
-# zero driver collect, no window over corpus data, no doc_id exchange.
+# at production V (10^4-10^5). Measured faster than the original
+# explode + broadcast-join + groupBy(doc_id) form (1.04s vs 1.25s solo
+# at sf0.1) — the honest margin is modest because map-side combine
+# already collapsed that form's doc_id exchange to O(docs); the map
+# form additionally drops a whole join+agg stage pair (see PERF.md's
+# split verdict on array-side rewrites). Zero UDFs, zero driver
+# collect, no window over corpus data, no doc_id exchange.
 _VOCAB_V = 16
 
 _RANKQ_ORACLE = f"""
@@ -844,12 +813,13 @@ def dedup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # n_windows is a pure function of the token count — compute it
-    # array-side on the docs scan instead of counting exploded rows, so
-    # the per-doc aggregation only ever shuffles DUPLICATED windows:
-    # the dup-hash set (c >= 2) inner-joins back onto the window stream
-    # (the h-keyed exchange is reused from the count aggregation) and
-    # typically carries a small fraction of the corpus's windows, where
-    # the old formulation shuffled every window to doc_id.
+    # array-side on the docs scan so the join-back can be INNER on the
+    # dup-hash set (c >= 2) instead of joining the full count table:
+    # the join probes and emits only duplicated windows (a small
+    # fraction of a clean corpus; on dirty data the dup mass is exactly
+    # what you pay for). Measured 1.35s vs 1.47s solo at sf0.1 — modest
+    # because map-side combine already bounded the old doc_id exchange
+    # (PERF.md's split verdict); the structural win is the smaller join.
     cnt = wins.groupBy("h").agg(F.count("*").alias("c"))
     dup_h = cnt.filter(F.col("c") >= 2).select("h")
     per = wins.join(dup_h, "h").groupBy("doc_id").agg(

@@ -875,33 +875,36 @@ _SIMHASH_COMBINE_SQL = " + ".join(
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit): per distinct token, each bit j votes +1/-1 by
-    the j-th md5 nibble; bit set when the vote sum is positive. The
-    signature is a pure per-document function, so it runs array-side —
-    hash the distinct tokens once into an array, then each bit counts
-    its positive votes with a filter() over that array (vote sum =
-    2*pos - n) — one codegen stage, ZERO exchanges (the old form
-    exploded every distinct token and shuffled the corpus to doc_id)."""
+    the j-th md5 nibble; bit set when the vote sum is positive. All
+    JVM-side hash/array ops.
+
+    Shape note (measured, same rationale as the MinHash signature op
+    above): explode + codegen'd 16-way hash-aggregate at 0.84s median
+    beats an array-side rewrite (md5 array + one interpreted filter()
+    per bit) at 1.57s — whole-stage codegen CSEs the md5 across the 16
+    sums, while HOF lambdas evaluate interpreted. The exchange is NOT
+    corpus-sized: a doc's exploded tokens are co-located, so map-side
+    partial aggregation collapses them to one row per doc before the
+    doc_id shuffle — O(docs) over the wire, the same as a projection.
+    NULL-text docs drop in the explode, matching the oracle's unnest +
+    GROUP BY cardinality."""
     d = _docs(spark, sf_dir)
-    hs = F.transform(
-        F.array_distinct(F.split(F.col("text"), " ")), lambda x: F.md5(x)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
     )
-    # hashes are multi-referenced (one filter per bit) and non-cheap:
-    # own projection so CollapseProject can't duplicate the md5 pass.
-    # NULL-text docs are dropped, matching the oracle's unnest + GROUP
-    # BY (and the old explode form): without the filter they'd surface
-    # as a spurious simhash=0 row
-    hashed = d.filter(F.col("text").isNotNull()).select("doc_id", hs.alias("hs"))
-    n = F.size(F.col("hs"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(F.md5("token"), j + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
     combine = None
     for j in range(_SIMHASH_BITS):
-        # PySpark invokes HOF lambdas eagerly at plan-construction time,
-        # so closing over the loop variable is safe (and a 2-param
-        # lambda would be misread as an (element, index) signature)
-        start = j + 1
-        pos = F.size(F.filter(F.col("hs"), lambda h: F.substring(h, start, 1) >= "8"))
-        term = F.when(2 * pos - n > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         combine = term if combine is None else combine + term
-    return hashed.select("doc_id", combine.alias("simhash"))
+    return sums.select("doc_id", combine.alias("simhash"))
 
 
 # --- connected components over near-dup pairs ---------------------------------

@@ -284,15 +284,15 @@ def test_stratified_sample_uses_window_group_limit(spark):
 
 
 def test_gopher_repetition_is_jvm_agg_no_window(spark):
-    # both repetition stats are pure per-doc functions computed
-    # array-side (array_sort + run-length aggregate() in one codegen
-    # stage): the plan must be a zero-exchange scan — no shuffle, no
-    # per-doc window, no Python eval (the old explode -> (doc_id, gram)
-    # shuffle was a corpus-sized exchange for a per-doc statistic)
+    # gram coverage must be explode -> (doc_id, gram) hash-aggregate
+    # (map-side combine, hot grams spread by the doc_id key component),
+    # never a per-doc window or Python eval; the codegen'd agg form
+    # measured ~2x faster than an array-side HOF rewrite (see the
+    # operator's shape note) so this pins the WINNING shape
     plan = plan_of(spark, "text_gopher_repetition")
     assert "EvalPython" not in plan, plan
     assert "WindowExec" not in plan and "(1) Window" not in plan, plan
-    assert "Exchange" not in plan, plan
+    assert "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
