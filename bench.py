@@ -181,6 +181,7 @@ def main() -> None:
             "snapshot_zorder_scan",
             "snapshot_wap_publish",
             "url_surt_index",
+            "url_sitemap_extract",
             "snapshot_drift_report",
             "text_nfc_normalize",
             "sketch_hdr_quantiles",
