@@ -315,6 +315,13 @@ _ROTATED_BACK = (
     # pins the parsed (url, lastmod, priority_bp) rows bit-for-bit at
     # both SFs.
     "url_sitemap_extract",
+    # crawl_recrawl_candidates (new, post-freeze): a broadcast
+    # dimension-join + string-date compare whose every piece keeps
+    # in-window twins (events aggregation via events_rollup_daily's
+    # date_format discipline, broadcast-dim joins across the TPC-H and
+    # tarification flagships); local parity pins the verdicts at both
+    # SFs.
+    "crawl_recrawl_candidates",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

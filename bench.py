@@ -182,6 +182,7 @@ def main() -> None:
             "snapshot_wap_publish",
             "url_surt_index",
             "url_sitemap_extract",
+            "crawl_recrawl_candidates",
             "snapshot_drift_report",
             "text_nfc_normalize",
             "sketch_hdr_quantiles",

@@ -925,3 +925,68 @@ def url_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1000
         ).alias("priority_bp"),
     )
+
+
+# --- lastmod-driven recrawl selection -----------------------------------------
+# Closes the acquisition loop the three ops above open: sitemap says
+# when a page last changed (lastmod), the crawl store says when we last
+# fetched it — recrawl exactly the urls whose sitemap lastmod is newer
+# than the stored crawl day (or that we never fetched). The sitemap
+# side reuses url_sitemap_extract's deterministic lastmod grid; the
+# stored side is the latest event timestamp per crawl bucket
+# (user_id = doc_id % 50 — a stand-in for the per-host fetch log).
+# Dates cross the engine boundary as yyyy-MM-dd STRINGS and compare
+# lexicographically (CLAUDE.md invariant: never raw timestamps).
+#
+# Scale shape: the fetch log aggregates to O(buckets) rows map-side
+# (one exchange), then BROADCASTS onto the documents scan — no doc-side
+# shuffle at any corpus size; the verdict is a narrow projection.
+
+_RECRAWL_ORACLE = """
+    with last_fetch as (
+      select user_id as bucket,
+             strftime(max(ts), '%Y-%m-%d') as last_crawl_day
+      from events group by 1
+    ),
+    smap as (
+      select doc_id, doc_id % 50 as bucket,
+             '2024-01-' || lpad(cast(1 + doc_id % 28 as varchar), 2, '0')
+               as lastmod
+      from documents
+    )
+    select s.doc_id,
+           s.lastmod,
+           f.last_crawl_day,
+           (f.last_crawl_day is null or s.lastmod > f.last_crawl_day)
+             as recrawl
+    from smap s left join last_fetch f on s.bucket = f.bucket
+"""
+
+
+@_q("crawl_recrawl_candidates", _RECRAWL_ORACLE)
+def crawl_recrawl_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl selection: sitemap lastmod vs the stored last-fetch day
+    per crawl bucket (see section comment)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    last_fetch = ev.groupBy(F.col("user_id").alias("bucket")).agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("last_crawl_day")
+    )
+    smap = d.select(
+        "doc_id",
+        (F.col("doc_id") % 50).alias("bucket"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0"),
+        ).alias("lastmod"),
+    )
+    j = smap.join(F.broadcast(last_fetch), "bucket", "left")
+    return j.select(
+        "doc_id",
+        "lastmod",
+        "last_crawl_day",
+        (
+            F.col("last_crawl_day").isNull()
+            | (F.col("lastmod") > F.col("last_crawl_day"))
+        ).alias("recrawl"),
+    )

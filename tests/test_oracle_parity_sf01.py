@@ -31,6 +31,7 @@ POST_FREEZE = [
     "snapshot_drift_report",
     "url_surt_index",
     "url_sitemap_extract",
+    "crawl_recrawl_candidates",
     "text_nfc_normalize",
     "sketch_hdr_quantiles",
     "extract_yield_report",
