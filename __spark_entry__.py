@@ -322,6 +322,13 @@ _ROTATED_BACK = (
     # tarification flagships); local parity pins the verdicts at both
     # SFs.
     "crawl_recrawl_candidates",
+    # crawl_acquisition_pipeline (new, post-freeze): the composed
+    # sitemap -> recrawl -> robots -> politeness chain; every stage's
+    # machinery keeps an in-window twin (the composition discipline via
+    # tarification_pipeline, the robots struct-max and the politeness
+    # window via their standalone ops' sf0.01 gates) and local parity
+    # pins the composed schedule bit-for-bit at both SFs.
+    "crawl_acquisition_pipeline",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

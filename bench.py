@@ -183,6 +183,7 @@ def main() -> None:
             "url_surt_index",
             "url_sitemap_extract",
             "crawl_recrawl_candidates",
+            "crawl_acquisition_pipeline",
             "snapshot_drift_report",
             "text_nfc_normalize",
             "sketch_hdr_quantiles",

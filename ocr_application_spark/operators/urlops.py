@@ -990,3 +990,153 @@ def crawl_recrawl_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("lastmod") > F.col("last_crawl_day"))
         ).alias("recrawl"),
     )
+
+
+# --- the acquisition chain, composed -------------------------------------------
+# What a crawl coordinator actually ships (the acquisition analog of
+# the tarification chain): sitemap-discovered urls -> lastmod recrawl
+# gate -> RFC 9309 robots gate -> per-host politeness schedule, as ONE
+# plan whose downstream stages consume only the PARSED url strings
+# (host, path, doc id are all re-derived from the url the parser
+# emitted, never smuggled from the fixture). The rule card bans the
+# /doc/ tree on every 16th host and re-allows ids starting with '1'
+# via a longer prefix — the longest-prefix override is exercised
+# in-chain, not just in the standalone robots query.
+#
+# Scale shape: events aggregate to O(buckets) then BROADCAST; the rule
+# card BROADCASTS; the robots winner is the same map-side-combinable
+# struct-max as robots_filter; the only data-sized exchanges are that
+# winner aggregation and the per-host politeness window — the window
+# is the politeness SERIAL resource by design (see crawl_schedule).
+
+_ACQ_RULES = [
+    *[(f"host{k}.example", "/doc/", False) for k in range(0, 256, 16)],
+    *[(f"host{k}.example", "/doc/1", True) for k in range(0, 256, 16)],
+]
+
+_ACQ_RULES_SQL = ",\n  ".join(
+    f"('{h}', '{p}', {'true' if a else 'false'})" for h, p, a in _ACQ_RULES
+)
+
+_ACQ_ORACLE = f"""
+    with entries as (
+      select doc_id % 256 as host_id, {_SMAP_ENTRY_SQL} as entry, doc_id
+      from documents
+    ),
+    maps as (
+      select host_id,
+             '<?xml version="1.0"?><urlset>'
+               || string_agg(entry, '' order by doc_id) || '</urlset>' as xml
+      from entries group by host_id
+    ),
+    parsed as (
+      select unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) as e
+      from maps
+    ),
+    fr as (
+      select regexp_extract(e, '<loc>(.*?)</loc>', 1) as url,
+             regexp_extract(e, '<lastmod>(.*?)</lastmod>', 1) as lastmod,
+             cast(regexp_extract(e, '<priority>0\\.(.)</priority>', 1)
+                  as bigint) * 1000 as priority_bp
+      from parsed
+    ),
+    keyed as (
+      select url, lastmod, priority_bp,
+             regexp_extract(url, 'https://([^/]+)/', 1) as host,
+             regexp_extract(url, '(/doc/[0-9]+)$', 1) as path,
+             cast(regexp_extract(url, '/doc/([0-9]+)$', 1) as bigint) as did
+      from fr
+    ),
+    last_fetch as (
+      select user_id as bucket,
+             strftime(max(ts), '%Y-%m-%d') as last_crawl_day
+      from events group by 1
+    ),
+    rec as (
+      select k.* from keyed k
+      left join last_fetch f on k.did % 50 = f.bucket
+      where f.last_crawl_day is null or k.lastmod > f.last_crawl_day
+    ),
+    rules(host, prefix, allow) as (values
+      {_ACQ_RULES_SQL}
+    ),
+    j as (
+      select r.url, r.host, r.lastmod, r.priority_bp, u.prefix, u.allow
+      from rec r
+      left join rules u
+        on r.host = u.host and starts_with(r.path, u.prefix)
+    ),
+    best as (
+      select url, host, lastmod, priority_bp, allow,
+             row_number() over (
+               partition by url
+               order by length(prefix) desc nulls last,
+                        allow desc nulls last,
+                        prefix desc nulls last) as rn
+      from j
+    ),
+    allowed as (
+      select url, host, lastmod, priority_bp
+      from best where rn = 1 and coalesce(allow, true)
+    ),
+    sched as (
+      select url, host, lastmod, priority_bp,
+             cast(row_number() over (
+               partition by host
+               order by priority_bp desc, url) as bigint) as fetch_rank
+      from allowed
+    )
+    select url, host, lastmod, priority_bp, fetch_rank,
+           (fetch_rank - 1) // {_SCHED_RATE} as tick_idx,
+           {_SCHED_T0} + ((fetch_rank - 1) // {_SCHED_RATE}) * {_SCHED_TICK}
+             as scheduled_us
+    from sched
+"""
+
+
+@_q("crawl_acquisition_pipeline", _ACQ_ORACLE)
+def crawl_acquisition_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap -> recrawl -> robots -> politeness as one plan over the
+    parsed url strings (see section comment). Reuses the library ops:
+    url_sitemap_extract's parser output, robots_filter, crawl_schedule."""
+    rows = url_sitemap_extract(spark, sf_dir)
+    keyed = rows.select(
+        "url",
+        "lastmod",
+        "priority_bp",
+        F.regexp_extract("url", "https://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("url", "(/doc/[0-9]+)$", 1).alias("path"),
+        F.regexp_extract("url", "/doc/([0-9]+)$", 1).cast("bigint").alias("did"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    last_fetch = ev.groupBy(F.col("user_id").alias("bucket")).agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("last_crawl_day")
+    )
+    rec = (
+        keyed.join(
+            F.broadcast(last_fetch), keyed["did"] % 50 == F.col("bucket"), "left"
+        )
+        .filter(
+            F.col("last_crawl_day").isNull()
+            | (F.col("lastmod") > F.col("last_crawl_day"))
+        )
+        .select("url", "host", "path", "lastmod", "priority_bp")
+    )
+    rules = spark.createDataFrame(_ACQ_RULES, "host string, prefix string, allow boolean")
+    gated = robots_filter(rec, rules, host_col="host", path_col="path")
+    allowed = gated.filter(F.col("allowed")).select(
+        "url", "host", "lastmod", "priority_bp"
+    )
+    sched = crawl_schedule(
+        allowed,
+        host_col="host",
+        url_col="url",
+        priority_col="priority_bp",
+        rate_per_tick=_SCHED_RATE,
+        t0_us=_SCHED_T0,
+        tick_us=_SCHED_TICK,
+    )
+    return sched.select(
+        "url", "host", "lastmod", "priority_bp",
+        "fetch_rank", "tick_idx", "scheduled_us",
+    )

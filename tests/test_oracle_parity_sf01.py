@@ -32,6 +32,7 @@ POST_FREEZE = [
     "url_surt_index",
     "url_sitemap_extract",
     "crawl_recrawl_candidates",
+    "crawl_acquisition_pipeline",
     "text_nfc_normalize",
     "sketch_hdr_quantiles",
     "extract_yield_report",
