@@ -709,3 +709,17 @@ def test_drift_report_shuffles_only_on_lang(spark):
     assert "CartesianProduct" not in plan, plan
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_ex <= 10, (n_ex, plan)
+
+
+def test_acquisition_chain_broadcasts_dims_one_politeness_window(spark):
+    # the composed sitemap -> recrawl -> robots -> politeness plan must
+    # broadcast both dimension sides (the fetch-log aggregate and the
+    # rule card), run exactly one window (the per-host politeness rank
+    # — the serial resource by design), and never go python-side or
+    # cartesian; the robots winner stays a hash-aggregate struct-max
+    plan = plan_of(spark, "crawl_acquisition_pipeline")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert "HashAggregate" in plan, plan
