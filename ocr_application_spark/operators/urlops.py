@@ -846,11 +846,23 @@ def url_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Priority surfaces in exact basis points (single digit * 1000) — never
 # a parsed float (CLAUDE.md float invariant).
 
-_SMAP_ENTRY_SQL = """
+# the deterministic lastmod grid — ONE definition feeding the sitemap
+# builder (below), the standalone recrawl op and the acquisition chain;
+# edits here propagate to every consumer in both engines
+_LASTMOD_SQL = "'2024-01-' || lpad(cast(1 + doc_id % 28 as varchar), 2, '0')"
+
+
+def _lastmod_grid():
+    return F.concat(
+        F.lit("2024-01-"),
+        F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0"),
+    )
+
+
+_SMAP_ENTRY_SQL = f"""
     '<url><loc>https://host' || cast(doc_id % 256 as varchar)
       || '.example/doc/' || cast(doc_id as varchar) || '</loc>'
-      || '<lastmod>2024-01-' || lpad(cast(1 + doc_id % 28 as varchar), 2, '0')
-      || '</lastmod>'
+      || '<lastmod>' || {_LASTMOD_SQL} || '</lastmod>'
       || '<priority>0.' || cast(doc_id % 10 as varchar) || '</priority></url>'
 """
 
@@ -889,8 +901,8 @@ def url_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 256).cast("string"),
         F.lit(".example/doc/"),
         F.col("doc_id").cast("string"),
-        F.lit("</loc><lastmod>2024-01-"),
-        F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0"),
+        F.lit("</loc><lastmod>"),
+        _lastmod_grid(),
         F.lit("</lastmod><priority>0."),
         (F.col("doc_id") % 10).cast("string"),
         F.lit("</priority></url>"),
@@ -942,16 +954,19 @@ def url_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (one exchange), then BROADCASTS onto the documents scan — no doc-side
 # shuffle at any corpus size; the verdict is a narrow projection.
 
-_RECRAWL_ORACLE = """
-    with last_fetch as (
+_LAST_FETCH_SQL = """
       select user_id as bucket,
              strftime(max(ts), '%Y-%m-%d') as last_crawl_day
       from events group by 1
+"""
+
+_RECRAWL_ORACLE = f"""
+    with last_fetch as (
+      {_LAST_FETCH_SQL}
     ),
     smap as (
       select doc_id, doc_id % 50 as bucket,
-             '2024-01-' || lpad(cast(1 + doc_id % 28 as varchar), 2, '0')
-               as lastmod
+             {_LASTMOD_SQL} as lastmod
       from documents
     )
     select s.doc_id,
@@ -963,32 +978,39 @@ _RECRAWL_ORACLE = """
 """
 
 
+def _last_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, last_crawl_day) — the fetch log aggregated to
+    O(buckets) rows, ready to broadcast; twin of _LAST_FETCH_SQL."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(F.col("user_id").alias("bucket")).agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("last_crawl_day")
+    )
+
+
+def _recrawl_pred():
+    """The single definition of 'needs a refetch': never fetched, or
+    the sitemap says it changed after the stored crawl day."""
+    return F.col("last_crawl_day").isNull() | (
+        F.col("lastmod") > F.col("last_crawl_day")
+    )
+
+
 @_q("crawl_recrawl_candidates", _RECRAWL_ORACLE)
 def crawl_recrawl_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl selection: sitemap lastmod vs the stored last-fetch day
     per crawl bucket (see section comment)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    last_fetch = ev.groupBy(F.col("user_id").alias("bucket")).agg(
-        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("last_crawl_day")
-    )
     smap = d.select(
         "doc_id",
         (F.col("doc_id") % 50).alias("bucket"),
-        F.concat(
-            F.lit("2024-01-"),
-            F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0"),
-        ).alias("lastmod"),
+        _lastmod_grid().alias("lastmod"),
     )
-    j = smap.join(F.broadcast(last_fetch), "bucket", "left")
+    j = smap.join(F.broadcast(_last_fetch(spark, sf_dir)), "bucket", "left")
     return j.select(
         "doc_id",
         "lastmod",
         "last_crawl_day",
-        (
-            F.col("last_crawl_day").isNull()
-            | (F.col("lastmod") > F.col("last_crawl_day"))
-        ).alias("recrawl"),
+        _recrawl_pred().alias("recrawl"),
     )
 
 
@@ -1048,9 +1070,7 @@ _ACQ_ORACLE = f"""
       from fr
     ),
     last_fetch as (
-      select user_id as bucket,
-             strftime(max(ts), '%Y-%m-%d') as last_crawl_day
-      from events group by 1
+      {_LAST_FETCH_SQL}
     ),
     rec as (
       select k.* from keyed k
@@ -1108,18 +1128,13 @@ def crawl_acquisition_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", "(/doc/[0-9]+)$", 1).alias("path"),
         F.regexp_extract("url", "/doc/([0-9]+)$", 1).cast("bigint").alias("did"),
     )
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    last_fetch = ev.groupBy(F.col("user_id").alias("bucket")).agg(
-        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("last_crawl_day")
-    )
     rec = (
         keyed.join(
-            F.broadcast(last_fetch), keyed["did"] % 50 == F.col("bucket"), "left"
+            F.broadcast(_last_fetch(spark, sf_dir)),
+            keyed["did"] % 50 == F.col("bucket"),
+            "left",
         )
-        .filter(
-            F.col("last_crawl_day").isNull()
-            | (F.col("lastmod") > F.col("last_crawl_day"))
-        )
+        .filter(_recrawl_pred())
         .select("url", "host", "path", "lastmod", "priority_bp")
     )
     rules = spark.createDataFrame(_ACQ_RULES, "host string, prefix string, allow boolean")

@@ -294,6 +294,10 @@ def test_gopher_repetition_is_jvm_agg_no_window(spark):
     assert "WindowExec" not in plan and "(1) Window" not in plan, plan
     assert "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # two gram shuffles + two doc_id re-aggregations (each map-side
+    # combined); anything above this is a regressed shape
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 4, (n_ex, plan)
 
 
 def test_seq_pack_window_is_shard_partitioned(spark):
@@ -723,3 +727,7 @@ def test_acquisition_chain_broadcasts_dims_one_politeness_window(spark):
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2, plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
     assert "HashAggregate" in plan, plan
+    # sitemap host grouping, robots winner agg, politeness window plus
+    # the broadcast sides — the data-sized exchange budget is 4
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 4, (n_ex, plan)
