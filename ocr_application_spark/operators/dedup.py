@@ -272,6 +272,10 @@ def fingerprint_index_ingest(
             marked = keeper.join(idx, "fingerprint", "left")
     else:  # bootstrap: empty index, every keeper is novel
         marked = keeper.withColumn("_idx_keeper", F.lit(None).cast("long"))
+    # marked feeds BOTH the novel commit below and the returned verdict
+    # frame — without the cache the keeper aggregation + index join
+    # recompute when the caller materializes the verdicts
+    marked = bounded_cache(marked, "fingerprint_index_marked")
     novel = marked.filter(F.col("_idx_keeper").isNull()).select(
         "fingerprint", "keeper_doc_id"
     )
@@ -440,6 +444,8 @@ def minhash_index_ingest(
             .alias("verdict"),
         )
     )
+    # verdicts feed the novel commit below AND the caller's materialization
+    verdicts = bounded_cache(verdicts, "minhash_index_verdicts")
     novel_rows = buck.join(
         verdicts.filter(F.col("verdict") == "novel"), "doc_id", "left_semi"
     ).join(idx_present, "doc_id", "left_anti")  # replay: already indexed
@@ -1451,6 +1457,8 @@ def winnow_index_ingest(
             .alias("verdict"),
         )
     )
+    # verdicts feed the novel commit below AND the caller's materialization
+    verdicts = bounded_cache(verdicts, "winnow_index_verdicts")
     novel_rows = fps.join(
         verdicts.filter(F.col("verdict") == "novel"), "doc_id", "left_semi"
     ).join(idx_present, "doc_id", "left_anti")  # replay: already indexed

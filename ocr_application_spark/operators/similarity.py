@@ -469,6 +469,8 @@ def embedding_index_ingest(
             .alias("verdict"),
         )
     )
+    # verdicts feed the novel commit below AND the caller's materialization
+    verdicts = bounded_cache(verdicts, "embedding_index_verdicts")
     novel_rows = (
         b.join(verdicts.filter(F.col("verdict") == "novel"), "vec_id", "left_semi")
         .join(idx_present, "vec_id", "left_anti")
