@@ -329,6 +329,15 @@ _ROTATED_BACK = (
     # window via their standalone ops' sf0.01 gates) and local parity
     # pins the composed schedule bit-for-bit at both SFs.
     "crawl_acquisition_pipeline",
+    # warc_response_roundtrip (new, post-freeze): the raw html:binary
+    # sibling of warc_wet_roundtrip, whose loop discipline (build ->
+    # pack -> byte-parse -> facts, oracle computes the facts without
+    # parsing) keeps warc_wet_roundtrip... which is itself rotated-back
+    # but f11_json_block_extract pins the build-then-parse roundtrip
+    # family in-window; local parity pins the full body bytes (hex) at
+    # both SFs, and the adversarial differential pytest pins the parser
+    # against hand-built records incl. non-UTF-8 bodies.
+    "warc_response_roundtrip",
     # dedup_containment (new): its pair-generation core is the SAME
     # _pair_intersections posting plan dedup_ngram_jaccard was
     # driver-green with in r02; only the directed-ratio emission is new,

@@ -184,6 +184,7 @@ def main() -> None:
             "url_sitemap_extract",
             "crawl_recrawl_candidates",
             "crawl_acquisition_pipeline",
+            "warc_response_roundtrip",
             "snapshot_drift_report",
             "text_nfc_normalize",
             "sketch_hdr_quantiles",

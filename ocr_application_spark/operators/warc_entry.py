@@ -79,3 +79,92 @@ def warc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("digest"),
         "status",
     )
+
+
+# --- raw response records: the html:binary acquisition path --------------------
+# Same discipline one level deeper: documents -> WARC/1.0 RESPONSE
+# records whose body is BINARY (the input_hint `html: binary` column,
+# bytes the parser may not decode) -> hex-packed segment blobs -> the
+# byte-level response kernel -> per-url facts. Every fifth body has
+# "\r\n\r\n" + a literal "WARC/1.0" INJECTED INTO ITS BYTES, so the
+# parse only survives if both walkers trust the declared
+# Content-Lengths and never scan for delimiters. The oracle computes
+# the facts (status, content type, byte count, the full body hex) straight
+# from documents — it never parses, so builder/parser compensation
+# can't hide a framing bug from it on byte counts or the raw bytes; the
+# adversarial pytest differential (independent hand-built records)
+# covers the parser alone.
+
+_RESP_ORACLE = """
+    with src as (
+      select doc_id,
+             'https://host' || cast(doc_id % 256 as varchar)
+               || '.example/doc/' || cast(doc_id as varchar) as url,
+             '2024-01-' || lpad(cast(1 + doc_id % 28 as varchar), 2, '0')
+               || 'T00:00:00Z' as warc_date,
+             case when doc_id % 7 = 0 then 404 else 200 end as http_status,
+             case when doc_id % 9 = 0 then 'application/octet-stream'
+                  else 'text/html; charset=utf-8' end as content_type,
+             encode(substr(text, 1, 120))
+               || case when doc_id % 5 = 0
+                       then '\\x0D\\x0A\\x0D\\x0A'::BLOB || encode('WARC/1.0')
+                       else ''::BLOB end as body
+      from documents
+    )
+    select url, warc_date, http_status, content_type,
+           cast(octet_length(body) as bigint) as n_bytes,
+           hex(body) as body_hex,
+           'ok' as status
+    from src
+"""
+
+
+@_q("warc_response_roundtrip", _RESP_ORACLE)
+def warc_response_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> binary response records -> packed segments -> parse
+    kernel -> per-url facts (see section comment)."""
+    from ocr_application_spark.sources.warc import (
+        pack_warc_segments,
+        parse_warc_segments,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    body = F.concat(
+        F.encode(F.substring("text", 1, 120), "UTF-8"),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.expr("X'0D0A0D0A'"), F.encode(F.lit("WARC/1.0"), "UTF-8")
+            ),
+        ).otherwise(F.expr("X''")),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://host"),
+            (d % 256).cast("string"),
+            F.lit(".example/doc/"),
+            d.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((1 + d % 28).cast("string"), 2, "0"),
+            F.lit("T00:00:00Z"),
+        ).alias("warc_date"),
+        F.when(d % 7 == 0, 404).otherwise(200).alias("status"),
+        F.when(d % 7 == 0, "Not Found").otherwise("OK").alias("reason"),
+        F.when(d % 9 == 0, "application/octet-stream")
+        .otherwise("text/html; charset=utf-8")
+        .alias("content_type"),
+        body.alias("body"),
+    )
+    parsed = parse_warc_segments(pack_warc_segments(pages, n_segments=32))
+    return parsed.select(
+        "url",
+        "warc_date",
+        "http_status",
+        "content_type",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.hex(F.col("body")).alias("body_hex"),
+        "status",
+    )

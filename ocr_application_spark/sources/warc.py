@@ -220,3 +220,249 @@ def wet_to_documents(parsed: DataFrame) -> DataFrame:
         F.parse_url("url", F.lit("HOST")).alias("source"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
+
+
+# --- raw WARC response records (html: binary) ---------------------------------
+# WET carries extracted TEXT; the raw crawl ships ``WARC-Type: response``
+# records whose payload is a full HTTP response — status line, headers,
+# then the page BYTES (html, pdf, anything; charset unknown — exactly
+# the ``html: binary`` column of the input_hint pages table). Framing
+# is two-level: the WARC Content-Length covers the whole HTTP block,
+# the HTTP Content-Length covers the body. Both parsers rely ONLY on
+# the declared lengths — a body containing "\r\n\r\n" or a literal
+# "WARC/1.0" must not derail the walk (the roundtrip query injects
+# exactly those bytes).
+
+RESPONSE_SCHEMA = (
+    "seg bigint, url string, warc_date string, http_status int, "
+    "content_type string, body binary, n_bytes bigint, status string"
+)
+
+
+def warc_response_record_col(
+    url: Column,
+    warc_date: Column,
+    status: Column,
+    reason: Column,
+    content_type: Column,
+    body: Column,
+) -> Column:
+    """One WARC/1.0 response record as a BINARY column. ``body`` is
+    binary and passes through untouched; every Content-Length is an
+    octet count of the bytes actually emitted."""
+    http_head = F.encode(
+        F.concat_ws(
+            "",
+            F.lit("HTTP/1.1 "),
+            status.cast("string"),
+            F.lit(" "),
+            reason,
+            F.lit("\r\nContent-Type: "),
+            content_type,
+            F.lit("\r\nContent-Length: "),
+            F.octet_length(body).cast("string"),
+            F.lit("\r\n\r\n"),
+        ),
+        "UTF-8",
+    )
+    # the WARC Content-Length covers the HTTP block = head + body
+    warc_head = F.encode(
+        F.concat_ws(
+            "",
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+            url,
+            F.lit("\r\nWARC-Date: "),
+            warc_date,
+            F.lit("\r\nContent-Type: application/http; msgtype=response"),
+            F.lit("\r\nContent-Length: "),
+            (F.octet_length(http_head) + F.octet_length(body)).cast("string"),
+            F.lit("\r\n\r\n"),
+        ),
+        "UTF-8",
+    )
+    return F.concat(warc_head, http_head, body, F.encode(F.lit("\r\n\r\n"), "UTF-8"))
+
+
+def pack_warc_segments(pages: DataFrame, n_segments: int = 64) -> DataFrame:
+    """pages(url, warc_date, status, reason, content_type, body) ->
+    (seg, payload binary, n_records).
+
+    Same shape as pack_wet_segments, with one twist: records are BINARY
+    and Spark's array_join is string-only, so each record crosses the
+    segment aggregation hex-encoded and the joined string un-hexes back
+    to bytes (hex(a)||hex(b) unhexes to a||b exactly — unlike base64,
+    whose padding breaks under concatenation). One hash shuffle on the
+    segment key; records sort by url so the blob is a pure function of
+    the input set."""
+    if n_segments < 1:
+        raise ValueError(f"n_segments must be >= 1, got {n_segments}")
+    rec = warc_response_record_col(
+        F.col("url"),
+        F.col("warc_date"),
+        F.col("status"),
+        F.col("reason"),
+        F.col("content_type"),
+        F.col("body"),
+    )
+    return (
+        pages.select(
+            F.pmod(F.xxhash64("url"), F.lit(n_segments)).alias("seg"),
+            F.col("url"),
+            F.hex(rec).alias("rech"),
+        )
+        .groupBy("seg")
+        .agg(F.array_sort(F.collect_list(F.struct("url", "rech"))).alias("recs"))
+        .select(
+            "seg",
+            F.unhex(
+                F.array_join(F.transform("recs", lambda r: r["rech"]), "")
+            ).alias("payload"),
+            F.size("recs").cast("int").alias("n_records"),
+        )
+    )
+
+
+def parse_warc_response_bytes(payload: bytes) -> list[dict]:
+    """Pure byte-level response parser — the spec the Spark kernel runs.
+
+    ok rows carry (url, warc_date, http_status, content_type, body,
+    n_bytes); malformed rows carry status='malformed:<reason>@<pos>'.
+    WARC-level damage stops the walk (framing is gone); HTTP-level
+    damage inside an intact record quarantines that record and
+    continues (the WARC Content-Length still bounds it)."""
+
+    def bad(reason: str, pos: int) -> dict:
+        return {
+            "url": None,
+            "warc_date": None,
+            "http_status": None,
+            "content_type": None,
+            "body": None,
+            "n_bytes": None,
+            "status": f"malformed:{reason}@{pos}",
+        }
+
+    out: list[dict] = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        if not payload.startswith(_VERSION, pos):
+            out.append(bad("version", pos))
+            break
+        hdr_end = payload.find(_HDR_END, pos)
+        if hdr_end < 0:
+            out.append(bad("unterminated-header", pos))
+            break
+        headers: dict[str, str] = {}
+        ok_hdr = True
+        for line in payload[pos + len(_VERSION) : hdr_end].split(b"\r\n"):
+            name, sep, value = line.partition(b": ")
+            if not sep or not name:
+                out.append(bad("header-line", pos))
+                ok_hdr = False
+                break
+            try:
+                headers[name.decode("ascii")] = value.decode("utf-8")
+            except UnicodeDecodeError:
+                out.append(bad("header-encoding", pos))
+                ok_hdr = False
+                break
+        if not ok_hdr:
+            break
+        clen_s = headers.get("Content-Length")
+        if clen_s is None or not clen_s.isdigit():
+            out.append(bad("content-length", pos))
+            break
+        block_start = hdr_end + len(_HDR_END)
+        block_end = block_start + int(clen_s)
+        if (
+            block_end + len(_REC_END) > n
+            or payload[block_end : block_end + len(_REC_END)] != _REC_END
+        ):
+            out.append(bad("framing", pos))
+            break
+        next_pos = block_end + len(_REC_END)
+        if headers.get("WARC-Type") != "response":
+            # an intact non-response record (request, metadata):
+            # skip it silently, the framing already consumed it
+            pos = next_pos
+            continue
+        block = payload[block_start:block_end]
+        # ---- HTTP block: status line + headers + \r\n\r\n + body ----
+        http_hdr_end = block.find(_HDR_END)
+        if http_hdr_end < 0:
+            out.append(bad("http-unterminated", pos))
+            pos = next_pos
+            continue
+        lines = block[:http_hdr_end].split(b"\r\n")
+        parts = lines[0].split(b" ", 2)
+        if len(parts) < 2 or not parts[0].startswith(b"HTTP/") or not parts[1].isdigit():
+            out.append(bad("http-status-line", pos))
+            pos = next_pos
+            continue
+        http_status = int(parts[1])
+        http_headers: dict[str, str] = {}
+        for line in lines[1:]:
+            name, sep, value = line.partition(b": ")
+            if sep and name:
+                try:
+                    http_headers[name.decode("ascii").lower()] = value.decode("utf-8")
+                except UnicodeDecodeError:
+                    pass  # an undecodable HTTP header never hides the body
+        body = block[http_hdr_end + len(_HDR_END) :]
+        declared = http_headers.get("content-length")
+        if declared is not None and declared.isdigit() and int(declared) != len(body):
+            out.append(bad("http-length-mismatch", pos))
+            pos = next_pos
+            continue
+        out.append(
+            {
+                "url": headers.get("WARC-Target-URI"),
+                "warc_date": headers.get("WARC-Date"),
+                "http_status": http_status,
+                "content_type": http_headers.get("content-type"),
+                "body": body,
+                "n_bytes": len(body),
+                "status": "ok",
+            }
+        )
+        pos = next_pos
+    return out
+
+
+def _parse_response_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for seg, payload in zip(pdf["seg"].to_numpy(), pdf["payload"].to_numpy()):
+            for rec in parse_warc_response_bytes(bytes(payload)):
+                rows.append({"seg": seg, **rec})
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "seg", "url", "warc_date", "http_status",
+                "content_type", "body", "n_bytes", "status",
+            ],
+        )
+
+
+def parse_warc_segments(segments: DataFrame) -> DataFrame:
+    """(seg, payload binary) -> one row per WARC response record.
+    No shuffle: segments are self-contained (same scale shape as
+    parse_wet_segments)."""
+    return segments.select("seg", "payload").mapInPandas(
+        _parse_response_batches, schema=RESPONSE_SCHEMA
+    )
+
+
+def warc_to_pages(parsed: DataFrame) -> DataFrame:
+    """Parsed response records -> the input_hint pages shape
+    (url, warc_ts, html, text, lang), ready for the extraction
+    pipeline. Malformed rows are excluded here; route them to
+    quarantine from the same parse pass (cf. wet_to_documents)."""
+    ok = parsed.where(F.col("status") == "ok")
+    return ok.select(
+        "url",
+        F.to_timestamp("warc_date").alias("warc_ts"),
+        F.col("body").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )

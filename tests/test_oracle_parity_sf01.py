@@ -33,6 +33,7 @@ POST_FREEZE = [
     "url_sitemap_extract",
     "crawl_recrawl_candidates",
     "crawl_acquisition_pipeline",
+    "warc_response_roundtrip",
     "text_nfc_normalize",
     "sketch_hdr_quantiles",
     "extract_yield_report",

@@ -192,3 +192,127 @@ def test_curate_job_wet_input_mode(spark, tmpdir_scratch):
     assert metrics[0]["rows_in"] == 40
     assert curated.count() > 0
     assert set(curated.columns) >= {"doc_id", "text", "split", "shard"}
+
+
+# --- raw WARC response records -------------------------------------------------
+from ocr_application_spark.sources.warc import (  # noqa: E402
+    pack_warc_segments,
+    parse_warc_response_bytes,
+    parse_warc_segments,
+    warc_to_pages,
+)
+
+
+def _resp_record(url, date, body, *, status=b"200 OK", ctype=b"text/html",
+                 http_clen=None, warc_type=b"response", warc_clen=None):
+    """Independent hand-rolled builder (never the Spark builder) — the
+    differential side of the roundtrip tests."""
+    http_clen = str(len(body)).encode() if http_clen is None else http_clen
+    http = (b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype
+            + b"\r\nContent-Length: " + http_clen + b"\r\n\r\n" + body)
+    warc_clen = str(len(http)).encode() if warc_clen is None else warc_clen
+    return (b"WARC/1.0\r\nWARC-Type: " + warc_type
+            + b"\r\nWARC-Target-URI: " + url + b"\r\nWARC-Date: " + date
+            + b"\r\nContent-Length: " + warc_clen + b"\r\n\r\n"
+            + http + b"\r\n\r\n")
+
+
+def test_response_length_framing_survives_lookalike_bodies():
+    # bodies containing the record delimiter AND the WARC magic: only
+    # declared lengths may drive the walk
+    evil = b"x\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nHTTP/1.1 200 OK\xff"
+    seg = (_resp_record(b"https://a", b"2024-01-01T00:00:00Z", evil)
+           + _resp_record(b"https://b", b"2024-01-02T00:00:00Z", b""))
+    rows = parse_warc_response_bytes(seg)
+    assert [r["status"] for r in rows] == ["ok", "ok"]
+    assert rows[0]["body"] == evil and rows[0]["n_bytes"] == len(evil)
+    assert rows[1]["body"] == b"" and rows[1]["n_bytes"] == 0
+
+
+def test_response_non_utf8_body_passes_through_verbatim():
+    body = bytes(range(256))  # every byte value, not valid UTF-8
+    rows = parse_warc_response_bytes(
+        _resp_record(b"https://bin", b"2024-01-01T00:00:00Z", body)
+    )
+    assert rows[0]["status"] == "ok" and rows[0]["body"] == body
+
+
+def test_non_response_records_skip_silently():
+    seg = (_resp_record(b"https://req", b"2024-01-01T00:00:00Z", b"GET",
+                        warc_type=b"request")
+           + _resp_record(b"https://a", b"2024-01-01T00:00:00Z", b"hi"))
+    rows = parse_warc_response_bytes(seg)
+    assert [r["url"] for r in rows] == ["https://a"]
+
+
+def test_http_length_mismatch_quarantines_record_walk_continues():
+    seg = (_resp_record(b"https://bad", b"2024-01-01T00:00:00Z", b"hello",
+                        http_clen=b"3")
+           + _resp_record(b"https://good", b"2024-01-01T00:00:00Z", b"ok"))
+    rows = parse_warc_response_bytes(seg)
+    assert rows[0]["status"].startswith("malformed:http-length-mismatch")
+    assert rows[1]["status"] == "ok" and rows[1]["url"] == "https://good"
+
+
+def test_warc_level_damage_stops_walk():
+    good = _resp_record(b"https://a", b"2024-01-01T00:00:00Z", b"hi")
+    rows = parse_warc_response_bytes(good + b"GARBAGE")
+    assert rows[0]["status"] == "ok"
+    assert rows[1]["status"].startswith("malformed:version")
+    truncated = _resp_record(b"https://t", b"2024-01-01T00:00:00Z", b"hello",
+                             warc_clen=b"999")
+    rows = parse_warc_response_bytes(truncated)
+    assert rows[0]["status"].startswith("malformed:framing")
+
+
+def test_response_spark_kernel_matches_python_spec(spark, tmpdir_scratch):
+    import pandas as pd
+
+    bodies = [bytes(range(256)), b"", b"x\r\n\r\nWARC/1.0", b"<html>\xff</html>"]
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (f"https://k.example/{i}", "2024-01-03T00:00:00Z",
+                 200, "OK", "text/html", b)
+                for i, b in enumerate(bodies)
+            ],
+            columns=["url", "warc_date", "status", "reason", "content_type", "body"],
+        )
+    )
+    segs = pack_warc_segments(pages, n_segments=2)
+    segs.write.mode("overwrite").parquet(f"{tmpdir_scratch}/resp_segs")
+    back = spark.read.parquet(f"{tmpdir_scratch}/resp_segs")
+    via_spark = {
+        r["url"]: (bytes(r["body"]), r["status"], r["http_status"])
+        for r in parse_warc_segments(back).collect()
+    }
+    via_python = {}
+    for row in back.collect():
+        for rec in parse_warc_response_bytes(bytes(row["payload"])):
+            via_python[rec["url"]] = (rec["body"], rec["status"], rec["http_status"])
+    assert via_spark == via_python
+    assert sorted(via_spark) == [f"https://k.example/{i}" for i in range(4)]
+    assert all(s == "ok" for _, s, _ in via_spark.values())
+    assert via_spark["https://k.example/0"][0] == bytes(range(256))
+
+
+def test_warc_to_pages_feeds_extraction(spark):
+    import pandas as pd
+
+    from ocr_application_spark.pipeline import extract_pages
+
+    html = "<html><head><title>t</title></head><body><p>hello world</p></body></html>"
+    pages_in = spark.createDataFrame(
+        pd.DataFrame(
+            [("https://e.example/1", "2024-01-04T05:06:07Z", 200, "OK",
+              "text/html", html.encode())],
+            columns=["url", "warc_date", "status", "reason", "content_type", "body"],
+        )
+    )
+    parsed = parse_warc_segments(pack_warc_segments(pages_in, n_segments=1))
+    pages = warc_to_pages(parsed)
+    row = pages.collect()[0]
+    assert row["url"] == "https://e.example/1" and bytes(row["html"]) == html.encode()
+    assert row["warc_ts"] is not None
+    out = extract_pages(pages).collect()
+    assert len(out) == 1 and out[0]["status"] == "success"
