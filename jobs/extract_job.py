@@ -174,9 +174,43 @@ def _run_snapshot_ingest(spark, args) -> None:
         print(f"extract_job: already at snapshot v{latest}, nothing to do")
 
 
+def stage_warc_input(spark, segments_dir: str, staged_dir: str, n_buckets: int) -> str:
+    """Convert a raw WARC response segment drop folder (seg, payload —
+    sources/warc.py shape) into a bucket-branded pages table at
+    ``staged_dir``, quarantining malformed records from the SAME parse
+    pass (cf. curate_job.stage_wet_input). Returns the pages path."""
+    from pyspark.sql import functions as F
+
+    from ocr_application_spark.sources.warc import parse_warc_segments, warc_to_pages
+    from ocr_application_spark.sources.webpages import write_pages
+
+    parsed = parse_warc_segments(spark.read.parquet(segments_dir)).persist()
+    try:
+        pages_path = f"{staged_dir}/pages"
+        write_pages(warc_to_pages(parsed), pages_path, n_buckets=n_buckets)
+        # quarantine keeps the malformed rows' offsets, not bodies (a
+        # malformed record has no trustworthy body to keep)
+        parsed.where(F.col("status") != "ok").drop("body").write.mode(
+            "overwrite"
+        ).parquet(f"{staged_dir}/quarantine.parquet")
+        n_all = parsed.count()
+        n_ok = spark.read.parquet(pages_path).count()
+    finally:
+        parsed.unpersist()
+    print(json.dumps({"stage": "warc_ingest", "records": n_all,
+                      "rows_out": n_ok, "malformed": n_all - n_ok,
+                      "staged": staged_dir}))
+    return pages_path
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", default=None, help="pages table path (input_hint schema)")
+    ap.add_argument("--input", default=None, help="pages table path (input_hint schema), or a raw WARC response segment table with --input-format warc")
+    ap.add_argument("--input-format", default="pages", choices=("pages", "warc"),
+                    help="'warc': --input is a packed response-segment table "
+                         "(sources/warc.py shape); it is parsed, quarantined "
+                         "and staged as a bucket-branded pages table under "
+                         "--output before extraction runs")
     ap.add_argument(
         "--snapshot-input",
         default=None,
@@ -237,7 +271,13 @@ def main() -> None:
         # with_bucket rejects it. Plain tables read through unchanged.
         from ocr_application_spark.sources.webpages import read_pages
 
-        pages = read_pages(spark, args.input)
+        input_path = args.input
+        if args.input_format == "warc":
+            input_path = stage_warc_input(
+                spark, args.input, args.output.rstrip("/") + "_warc_staged",
+                args.buckets,
+            )
+        pages = read_pages(spark, input_path)
 
     lin = run_to_table(
         pages,

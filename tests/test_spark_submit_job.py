@@ -422,3 +422,66 @@ def test_spark_submit_ingest_job(spark, tmpdir_scratch):
         for r2 in spark.read.parquet(tmpdir_scratch + "/out").collect()
     }
     assert got == {1: "novel", 2: "novel", 3: "known"}
+
+
+@pytest.mark.slow
+def test_spark_submit_warc_input_mode(spark, tmpdir_scratch):
+    """Raw response segments -> staged bucket-branded pages ->
+    extraction, all through spark-submit; malformed records land in the
+    quarantine table from the same parse pass."""
+    if not os.path.exists(_SPARK_SUBMIT):
+        pytest.skip("spark-submit binary not found")
+    subprocess.run(["bash", "scripts/package.sh"], cwd="/root/repo", check=True)
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ocr_application_spark.sources.warc import pack_warc_segments
+
+    html = "<html><head><title>t</title></head><body><p>doc %d body</p></body></html>"
+    pages_in = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (f"https://w.example/{i:03d}", "2024-01-05T00:00:00Z",
+                 200, "OK", "text/html", (html % i).encode())
+                for i in range(60)
+            ],
+            columns=["url", "warc_date", "status", "reason", "content_type", "body"],
+        )
+    )
+    segs = pack_warc_segments(pages_in, n_segments=4).select("seg", "payload")
+    # append one corrupt segment: a truncated record -> quarantine row
+    bad = spark.createDataFrame(
+        pd.DataFrame([(99, b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort")],
+                     columns=["seg", "payload"]),
+    )
+    segs.unionByName(bad).write.parquet(tmpdir_scratch + "/warc_segs")
+
+    out = _submit(
+        [
+            "--input", tmpdir_scratch + "/warc_segs",
+            "--input-format", "warc",
+            "--output", tmpdir_scratch + "/wout",
+            "--lineage", tmpdir_scratch + "/wlin",
+            "--buckets", "4",
+        ]
+    )
+    stage = next(json.loads(l) for l in out.splitlines() if l.startswith('{"stage"'))
+    assert stage["stage"] == "warc_ingest"
+    assert stage["rows_out"] == 60 and stage["malformed"] == 1
+    assert "committed 4 buckets" in out
+    extracted = spark.read.parquet(tmpdir_scratch + "/wout")
+    assert extracted.count() == 60
+    assert extracted.filter(F.col("status") == "success").count() == 60
+    q = spark.read.parquet(tmpdir_scratch + "/wout_warc_staged/quarantine.parquet")
+    assert q.count() == 1 and q.collect()[0]["status"].startswith("malformed:framing")
+    # resume probe through the staged, branded pages table: 0 reprocessed
+    out2 = _submit(
+        [
+            "--input", tmpdir_scratch + "/wout_warc_staged/pages",
+            "--output", tmpdir_scratch + "/wout",
+            "--lineage", tmpdir_scratch + "/wlin",
+            "--buckets", "4",
+        ]
+    )
+    assert "committed 0 buckets" in out2
