@@ -47,6 +47,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def _ascii_digits(v: str) -> bool:
+    """int()-safe length guard: str.isdigit() accepts superscripts and
+    Arabic-Indic digits that int() rejects (crash) or accepts (silently
+    validating non-ASCII framing) — a Content-Length is ASCII or it is
+    malformed."""
+    return v.isascii() and v.isdigit()
+
+
 _VERSION = b"WARC/1.0\r\n"
 _HDR_END = b"\r\n\r\n"
 _REC_END = b"\r\n\r\n"
@@ -146,7 +154,7 @@ def parse_wet_bytes(payload: bytes) -> list[dict]:
         if not ok_hdr:
             break
         clen_s = headers.get("Content-Length")
-        if clen_s is None or not clen_s.isdigit():
+        if clen_s is None or not _ascii_digits(clen_s):
             out.append(bad("content-length", pos))
             break
         body_start = hdr_end + len(_HDR_END)
@@ -296,13 +304,22 @@ def pack_warc_segments(pages: DataFrame, n_segments: int = 64) -> DataFrame:
     the input set."""
     if n_segments < 1:
         raise ValueError(f"n_segments must be >= 1, got {n_segments}")
+    # a NULL body would null the whole concat and array_join would then
+    # DROP the record silently while n_records still counted it — fail
+    # loud at pack time instead (the caller routes null-body rows to
+    # quarantine before packing)
+    body = F.when(
+        F.col("body").isNotNull(), F.col("body")
+    ).otherwise(
+        F.raise_error(F.concat(F.lit("pack_warc_segments: NULL body for "), F.col("url")))
+    )
     rec = warc_response_record_col(
         F.col("url"),
         F.col("warc_date"),
         F.col("status"),
         F.col("reason"),
         F.col("content_type"),
-        F.col("body"),
+        body,
     )
     return (
         pages.select(
@@ -369,7 +386,7 @@ def parse_warc_response_bytes(payload: bytes) -> list[dict]:
         if not ok_hdr:
             break
         clen_s = headers.get("Content-Length")
-        if clen_s is None or not clen_s.isdigit():
+        if clen_s is None or not _ascii_digits(clen_s):
             out.append(bad("content-length", pos))
             break
         block_start = hdr_end + len(_HDR_END)
@@ -395,7 +412,8 @@ def parse_warc_response_bytes(payload: bytes) -> list[dict]:
             continue
         lines = block[:http_hdr_end].split(b"\r\n")
         parts = lines[0].split(b" ", 2)
-        if len(parts) < 2 or not parts[0].startswith(b"HTTP/") or not parts[1].isdigit():
+        if (len(parts) < 2 or not parts[0].startswith(b"HTTP/")
+                or not _ascii_digits(parts[1].decode("ascii", "replace"))):
             out.append(bad("http-status-line", pos))
             pos = next_pos
             continue
@@ -410,7 +428,8 @@ def parse_warc_response_bytes(payload: bytes) -> list[dict]:
                     pass  # an undecodable HTTP header never hides the body
         body = block[http_hdr_end + len(_HDR_END) :]
         declared = http_headers.get("content-length")
-        if declared is not None and declared.isdigit() and int(declared) != len(body):
+        if (declared is not None and _ascii_digits(declared)
+                and int(declared) != len(body)):
             out.append(bad("http-length-mismatch", pos))
             pos = next_pos
             continue
