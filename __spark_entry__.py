@@ -101,303 +101,134 @@ def _modules():
     ]
 
 
-# Rotated to the back of the queries() ordering so every round-3
-# curation operator (never driver-checked) lands inside the driver's
-# 50-entry window. Every name here was driver-green in CORRECTNESS_r02
-# and its implementation is unchanged since (local oracle parity still
-# covers them in tests/test_oracle_parity.py); ann_ivf_topk is rows-only
-# and its value-checked twin ann_ivf_exhaustive stays in-window;
-# forecast_arima_like (changed this round: MA(1) term) stays in-window
-# while its unchanged linear/AR(1) siblings rotate out.
-# a1_a2_tarification_totals (r02-green, reference_ops untouched this
-# round) rotates out to make room for kernel_normalize (new op, never
-# driver-checked); the production twin tarification_pipeline stays
-# in-window and oracle-checks the same totals end-to-end.
-# j2_label_value_pairing and f_record_filters (r02-green,
-# reference_ops untouched this round) rotate out for the two new ops
-# emb_neardup_multiprobe and dedup_minhash_band_dial.
-# w1_reading_order (r02-green, reference_ops untouched this round)
-# rotates out for link_outdegree (new outlink kernel).
-# f11_json_block_extract (r02-green, reference_ops untouched this
-# round) rotates out for link_host_pagerank (new link-graph kernel).
-# j1_fuzzy_catalog_match (r02-green, reference_ops untouched this
-# round; its production twin tarification_pipeline stays in-window and
-# exercises the same fuzzy join end-to-end) rotates out for
-# text_bm25_topk (new integer-exact retrieval op).
-# w2_line_sessionize and a5_corpus_counts (r02-green, reference_ops
-# untouched this round) rotate out for the two new ops
-# events_asof_profile (as-of join) and sketch_kmv_distinct (KMV
-# cardinality sketch).
-# w5_sweep_merge (r01 driver-green, sweep_merge untouched since r01)
-# rotates out for sketch_kmv_merged (the sketch-mergeability proof,
-# never driver-checked).
-# dedup_ngram_jaccard (r02-green, the jaccard posting plan untouched
-# this round) rotates out for link_anchor_texts (new anchor kernel,
-# never driver-checked).
-# text_vocabulary (r02-green, its TakeOrdered plan untouched this
-# round) rotates out for text_lm_score (new CCNet-style bigram-LM
-# scoring op, never driver-checked).
-# corpus_clean_pipeline (r02-green, its langid/quality/survivor
-# expressions untouched this round) rotates out for text_char_entropy
-# (new exact-entropy quality signal, never driver-checked).
-# emb_neardup_pairs (r02-green) rotates out for text_pmi_collocations
-# (new collocation op, never driver-checked); the shared quantized pair
-# scorer stays in-window through emb_neardup_multiprobe, which
-# exercises the identical bucket/score machinery plus the probe ring.
-# url_holdout_split (new r03, never driver-checked) yields its slot to
-# events_interval_overlap (bucketized range join, new): every piece of
-# its machinery keeps an in-window twin — canonicalization through
-# url_canonicalize/url_canonical_dupes, the md5 hex-coin bridge through
-# sample_stratified and shard_shuffle — while the range-join plan is
-# brand-new physical machinery with no twin at all.
-# sketch_kmv_distinct (new r03, never driver-checked) yields its slot
-# to classify_nb_langid (new trained-NB classifier): the KMV sketch
-# construction it would prove stays driver-checked through
-# sketch_kmv_merged, whose merged==direct oracle rebuilds the same
-# per-partition sketches before the merge — the weaker loss.
-# dedup_minhash_lsh (r02-green) rotates out for warc_wet_roundtrip
-# (new WET segment source, never driver-checked); the banding code it
-# shares with dedup_minhash_band_dial stays in-window through the dial
-# query, which exercises the identical signature/band/pair machinery.
-# Never-sampled-BY-DESIGN entries (distinct from _ROTATED_BACK's
-# previously-driver-green names): rows-only queries whose value
-# contract is pytest-pinned — a window slot would buy only the weak
-# rows-only check, so they yield their slot to oracle-paired ops.
-# Justifications live in COVERAGE.md next to each op.
-# ann_pq_topk joins ann_ivf_topk's class: approximate BY DESIGN (no SQL
-# can refit the per-subspace k-means), rows-only, value contract pinned
-# by tests/test_ann_pq.py (ADC==reconstructed-dot identity, determinism,
-# measured recall floor) — a window slot would buy only the weak check.
-_OUTSIDE_WINDOW = ("text_compression_ratio", "ann_pq_topk")
-
-_ROTATED_BACK = (
-    # text_nfc_normalize (new, post-freeze): its digest discipline (sha2
-    # of rebuilt text) keeps the in-window twin pipeline_extract_digest,
-    # and the NFC recomposition itself is pinned bit-for-bit by local
-    # parity (sha256 per row vs DuckDB nfc_normalize) plus a
-    # unicodedata differential + idempotence pytest in
-    # test_unicode_norm.py — the window buys nothing the local gate
-    # doesn't already enforce at the same strength.
+# ---------------------------------------------------------------------
+# r04 driver window (VERDICT r03 "Next round" #4). The driver's
+# correctness gate samples queries()[:50]; `_WINDOW` pins those 50 slots
+# explicitly, in order. Composition:
+#   - 4 permanent anchors (the flagship digest + the incremental-ingest
+#     family, per the judge's instruction),
+#   - the 4 oracles fixed this round (HUGEINT->BIGINT casts; VERDICT #1
+#     requires their green r04 rows),
+#   - all 28 never-driver-checked ops from r03's `_ROTATED_BACK` era
+#     (each had only local sf0.001+sf0.01 parity until now),
+#   - warc_wet_roundtrip (warc.py changes this round: try_to_timestamp
+#     quarantine path, per ADVICE),
+#   - the rest filled with r03-green flagships; new r04 ops displace
+#     these fills as they land (a displaced fill is prior-driver-green,
+#     so it may legally sit outside — pinned by the window test).
+# Everything OUTSIDE the window must be prior-driver-green
+# (`_PRIOR_DRIVER_GREEN`, the union of green rows across
+# CORRECTNESS_r01-r03), a TPC-H/engine demonstrator, or
+# rows-only-by-design; tests/test_oracle_parity.py enforces this.
+_WINDOW = (
+    "pipeline_extract_digest",
+    "dedup_incremental_ingest",
+    "neardup_incremental_ingest",
+    "semantic_incremental_ingest",
+    "text_lm_score",
+    "classify_nb_langid",
+    "text_hashed_tfidf",
+    "seq_pack",
     "text_nfc_normalize",
-    # extract_charset_sniff (new, post-freeze): pure scan-fused
-    # projection whose hex-space discipline has no shuffle to regress;
-    # the detector pattern is generated ONCE in Python and interpolated
-    # into both engines, local parity (sf0.001 + sf0.01) pins all four
-    # detection routes value-level, and test_charset_sniff.py pins the
-    # WHATWG edge cases (BOM precedence, quote styles, bounded scan).
     "extract_charset_sniff",
-    # extract_yield_report (new, post-freeze): every piece of its
-    # machinery keeps the strongest possible in-window twin —
-    # pipeline_extract_digest drives the IDENTICAL extraction kernel
-    # and _ETEXT_CTES rebuild at the per-row byte level, which strictly
-    # subsumes this per-lang aggregate view of the same values; local
-    # parity pins the report itself bit-for-bit.
     "extract_yield_report",
-    # sketch_hdr_quantiles (new, post-freeze): the quantile member of
-    # the mergeable-sketch family; its group-by-sum state discipline
-    # keeps the in-window twin sketch_kmv_merged, and local parity pins
-    # the full build->merge->query chain bit-for-bit (all-integer bit
-    # arithmetic, no floats anywhere), plus merged==direct and the
-    # error-bound-vs-exact property in test_quantile_sketch.py.
     "sketch_hdr_quantiles",
-    # dedup_span_ratio yields its slot to dedup_span_strip (ExactSubstr
-    # REMOVAL, new): the strip oracle re-derives the identical dup-window
-    # grid/hash/>=2 machinery the ratio op would prove, and additionally
-    # pins the rebuilt cleaned bytes via sha256 — a strict superset of
-    # the ratio check (the kmv_distinct -> kmv_merged pattern).
     "dedup_span_ratio",
-    # link_host_hits (new): its graph plumbing — the same synth host
-    # multigraph, pre-merged edge table, integer fixed-point discipline
-    # and per-iteration localCheckpoint loop — keeps an in-window twin
-    # in link_host_pagerank; only the two-phase L1 normalization is new,
-    # and local parity pins it bit-for-bit at sf0.001 AND sf0.01, plus a
-    # randomized dict-model differential in test_linkgraph.py.
     "link_host_hits",
-    # sketch_bloom_seen (new): its hash machinery — the 48-bit md5-slice
-    # integer discipline — keeps the in-window twin sketch_kmv_merged;
-    # the bit_or word state is new but local parity pins it bit-for-bit
-    # (false positives included) at sf0.001 AND sf0.01.
     "sketch_bloom_seen",
-    # sketch_cms_counts (new): same justification as sketch_bloom_seen —
-    # the identical md5-slice double-hash spec keeps the in-window twin
-    # sketch_kmv_merged; the sum-grid state is new but local parity pins
-    # it bit-for-bit (collision overestimates included) at both SFs.
     "sketch_cms_counts",
-    # dedup_bloom_antijoin (new): its oracle is the NAIVE anti-join with
-    # no bloom in it (the skew_salted naive-form pattern), its exact
-    # path is the same left_anti machinery dedup_exact was driver-green
-    # with, and a randomized pytest pins parameter-independence; local
-    # parity pins the gate at both SFs.
     "dedup_bloom_antijoin",
-    # sketch_kmv_overlap (new): pure composition of the kmv_distinct /
-    # kmv_merge machinery sketch_kmv_merged keeps in-window — only the
-    # inclusion-exclusion arithmetic is new, and local parity pins it
-    # bit-for-bit at both SFs with the exact overlap joined alongside.
     "sketch_kmv_overlap",
-    # dedup_winnow (new): its gram-hash/explode plumbing keeps in-window
-    # twins across the dedup shingle family; the window-min selection is
-    # new but local parity pins the four-aggregate fold bit-for-bit at
-    # both SFs, plus a pure-Python twin differential and the detection-
-    # guarantee property in test_winnow.py.
     "dedup_winnow",
-    # overlap_incremental_ingest (new): its snapshot/verdict/replay
-    # machinery keeps THREE in-window twins (dedup_ / neardup_ /
-    # semantic_incremental_ingest) and its winnowing selection is pinned
-    # by dedup_winnow's local parity + test_winnow; local parity pins
-    # the full bootstrap->recrawl chain bit-for-bit at both SFs.
     "overlap_incremental_ingest",
-    # snapshot_delete_rows (new): the copy-on-write commit machinery it
-    # drives keeps its in-window twin snapshot_merge_upsert (same
-    # affected-file detection, survivor rewrite, merge-mode commit);
-    # only the anti-join survivor rule and the no-op branch are new,
-    # and local parity pins them at both SFs.
     "snapshot_delete_rows",
-    # crawl_politeness_schedule (new): a row_number window + integer
-    # div — machinery with MANY in-window twins (every WindowGroupLimit
-    # / sessionize op); local parity pins the schedule bit-for-bit at
-    # both SFs and the rate law is pytest-pinned.
     "crawl_politeness_schedule",
-    # crawl_robots_filter (new): broadcast equi-join with a residual
-    # predicate keeps in-window twins across the fuzzy/tarification
-    # joins, and the struct-max winner is the same max_by discipline
-    # w4_top1_argmax was driver-green with; only the RFC 9309 tie rule
-    # (longest prefix, allow over disallow) is new, and local parity
-    # pins it at both SFs including the engineered equal-length
-    # allow/disallow conflict on host h4.
     "crawl_robots_filter",
-    # sample_dsir_topk (new): its machinery keeps in-window twins piece
-    # by piece — md5-hash dims and the micro-nat ln-of-integer-ratio
-    # through text_hashed_tfidf, integer-quantized per-doc log sums
-    # through text_lm_score, TakeOrdered selection through the vocab /
-    # top-k family; only the target-vs-raw importance ratio is new, and
-    # local parity pins it bit-for-bit at both SFs plus a pure-Python
-    # spec differential in test_dsir.py.
     "sample_dsir_topk",
-    # snapshot_zorder_scan (new): the commit/manifest/zone-stat
-    # machinery it drives keeps in-window twins in the three ingest
-    # gates + snapshot_merge_upsert, and scan==filter identity is
-    # pinned by test_zonemap's randomized differential; only the
-    # z-key interleave is new — pure int64 layout arithmetic that can
-    # only mis-place rows, never change results, and the gate asserts
-    # both-dimension pruning in-query. Local parity pins it at both
-    # SFs; test_zonemap pins pruning, time travel and validation.
     "snapshot_zorder_scan",
-    # snapshot_wap_publish (new): the commit/manifest machinery it
-    # drives keeps FOUR in-window twins (snapshot_merge_upsert + the
-    # three incremental-ingest gates); only the ref-pointer layer
-    # (branch parenting, fast-forward publish) is new — pure manifest
-    # arithmetic that never touches row values — and six dedicated
-    # pytest cases pin WAP isolation, non-fast-forward refusal, tag
-    # immutability/expiry protection, rollback ancestry and legacy
-    # compatibility, while local parity pins the staged-union result
-    # bit-for-bit at both SFs.
     "snapshot_wap_publish",
-    # snapshot_drift_report (new): the commit/time-travel machinery it
-    # drives keeps in-window twins in the three ingest gates +
-    # snapshot_merge_upsert; the drift arithmetic reuses the micro-nat
-    # quantization discipline text_lm_score keeps in-window. Local
-    # parity pins the full per-language report bit-for-bit at both SFs.
     "snapshot_drift_report",
-    # url_surt_index (new): a pure scan projection whose every piece
-    # keeps an in-window twin — the canonicalizer through
-    # url_canonicalize/url_canonical_dupes (the SURT input IS that
-    # column), regexp extraction through the same, and the packed-int64
-    # discipline through the winnowing keys; local parity pins the
-    # key+pack bit-for-bit at both SFs, and the index write / pruned
-    # prefix lookup are pytest-pinned against brute force in
-    # test_urlops.py.
     "url_surt_index",
-    # url_sitemap_extract (new, post-freeze): every piece keeps an
-    # in-window twin — deterministic fixture-string building + regexp
-    # parsing through f11_json_block_extract (the identical
-    # build-then-parse roundtrip discipline), url plumbing through
-    # url_canonicalize; the <url>-entry explode is new but local parity
-    # pins the parsed (url, lastmod, priority_bp) rows bit-for-bit at
-    # both SFs.
     "url_sitemap_extract",
-    # crawl_recrawl_candidates (new, post-freeze): a broadcast
-    # dimension-join + string-date compare whose every piece keeps
-    # in-window twins (events aggregation via events_rollup_daily's
-    # date_format discipline, broadcast-dim joins across the TPC-H and
-    # tarification flagships); local parity pins the verdicts at both
-    # SFs.
     "crawl_recrawl_candidates",
-    # crawl_acquisition_pipeline (new, post-freeze): the composed
-    # sitemap -> recrawl -> robots -> politeness chain; every stage's
-    # machinery keeps an in-window twin (the composition discipline via
-    # tarification_pipeline, the robots struct-max and the politeness
-    # window via their standalone ops' sf0.01 gates) and local parity
-    # pins the composed schedule bit-for-bit at both SFs.
     "crawl_acquisition_pipeline",
-    # warc_response_roundtrip (new, post-freeze): the raw html:binary
-    # sibling of warc_wet_roundtrip, whose loop discipline (build ->
-    # pack -> byte-parse -> facts, oracle computes the facts without
-    # parsing) keeps warc_wet_roundtrip... which is itself rotated-back
-    # but f11_json_block_extract pins the build-then-parse roundtrip
-    # family in-window; local parity pins the full body bytes (hex) at
-    # both SFs, and the adversarial differential pytest pins the parser
-    # against hand-built records incl. non-UTF-8 bodies.
     "warc_response_roundtrip",
-    # dedup_containment (new): its pair-generation core is the SAME
-    # _pair_intersections posting plan dedup_ngram_jaccard was
-    # driver-green with in r02; only the directed-ratio emission is new,
-    # and local parity pins it — a window slot would re-prove machinery
-    # the driver already certified.
     "dedup_containment",
-    # sample_domain_mix yields its slot to text_hashed_tfidf (hashing-
-    # trick featurizer, new machinery: stateless hash dims + micro-nat
-    # idf): the domain-mix op's md5-hex-coin-under-threshold machinery
-    # keeps FOUR in-window twins (sample_token_budget — the identical
-    # coin<hex-threshold compare — plus sample_stratified,
-    # sample_epochs_weighted, shard_shuffle).
     "sample_domain_mix",
     "url_holdout_split",
     "sketch_kmv_distinct",
-    "emb_neardup_pairs",
-    "corpus_clean_pipeline",
-    "dedup_minhash_lsh",
-    "text_vocabulary",
-    "dedup_ngram_jaccard",
-    "w5_sweep_merge",
-    "w2_line_sessionize",
-    "a5_corpus_counts",
-    "f11_json_block_extract",
-    "j1_fuzzy_catalog_match",
-    "a1_a2_tarification_totals",
-    "j2_label_value_pairing",
-    "f_record_filters",
-    "w1_reading_order",
-    "j3_region_table_antijoin",
-    "f6_field_keywords",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "dedup_simhash",
-    "text_fingerprint",
-    "ann_lsh_buckets",
-    "emb_neardup_components",
-    "forecast_linear",
-    "forecast_ar1",
-    "skew_salted_host_stats",
-    "w3_topk_area",
-    "j4_iou_dedup",
-    "a6_doc_bbox",
-    "a4_monthly_sums",
-    "a3_mean_nonzero",
-    "w4_top1_argmax",
-    "f7_table_size_filter",
-    "text_token_stats",
-    "text_langid_heuristic",
-    "text_quality_score",
-    "dedup_exact",
+    "warc_wet_roundtrip",
+    # fills (r03-green flagships; new r04 ops displace from the bottom up)
+    "streaming_extract_digest",
+    "classify_docwrap",
+    "kernel_normalize",
+    "tarification_pipeline",
+    "snapshot_merge_upsert",
+    "ann_ivf_exhaustive",
+    "sketch_kmv_merged",
+    "link_host_pagerank",
+    "forecast_arima_like",
+    "events_asof_profile",
+    "events_interval_overlap",
+    "emb_neardup_multiprobe",
+    "dedup_components_star",
 )
+
+# Names with a green driver row in some prior round (union of
+# CORRECTNESS_r01..r03 rows with all three checks true). Local oracle
+# parity still runs the identical comparison on every one of these each
+# pytest run; a name may sit outside the 50-slot window only if it is
+# here, a demonstrator, or rows-only-by-design.
+_PRIOR_DRIVER_GREEN = (
+    "a1_a2_tarification_totals", "a3_mean_nonzero", "a4_monthly_sums",
+    "a5_corpus_counts", "a6_doc_bbox", "ann_cosine_topk",
+    "ann_ivf_exhaustive", "ann_lsh_buckets", "boilerplate_strip_source",
+    "classify_docwrap", "corpus_clean_pipeline", "decontaminate_13gram",
+    "dedup_components", "dedup_components_star", "dedup_consecutive_lines",
+    "dedup_exact", "dedup_incremental_ingest", "dedup_minhash_band_dial",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_paragraphs",
+    "dedup_simhash", "dedup_span_strip", "emb_neardup_components",
+    "emb_neardup_multiprobe", "emb_neardup_pairs", "events_asof_profile",
+    "events_interval_overlap", "events_retention_cohorts",
+    "events_sessionize", "f11_json_block_extract", "f6_field_keywords",
+    "f7_table_size_filter", "f_record_filters", "forecast_ar1",
+    "forecast_arima_like", "forecast_linear", "j1_fuzzy_catalog_match",
+    "j2_label_value_pairing", "j3_region_table_antijoin", "j4_iou_dedup",
+    "kernel_normalize", "link_anchor_texts", "link_host_pagerank",
+    "link_outdegree", "multimodal_enhance", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_resize",
+    "neardup_incremental_ingest", "pipeline_extract_digest",
+    "pivot_lang_by_source", "q10_returned_customers", "q14_promo_revenue",
+    "q18_large_orders", "q1_pricing_summary", "q3_shipping_priority",
+    "q4_priority_semijoin", "q5_region_revenue", "q6_revenue_change",
+    "q7_nation_volume", "sample_epochs_weighted", "sample_stratified",
+    "sample_token_budget", "semantic_incremental_ingest", "shard_shuffle",
+    "sketch_kmv_merged", "skew_salted_host_stats", "snapshot_merge_upsert",
+    "streaming_extract_digest", "tarification_pipeline", "text_bm25_topk",
+    "text_c4_line_filter", "text_char_entropy", "text_fingerprint",
+    "text_gopher_quality", "text_gopher_repetition", "text_langid_heuristic",
+    "text_pii_scrub", "text_pmi_collocations", "text_quality_score",
+    "text_rank_quality", "text_token_stats", "text_vocabulary",
+    "topk_orders_per_customer", "url_canonical_dupes", "url_canonicalize",
+    "url_crawl_filter", "w1_reading_order", "w2_line_sessionize",
+    "w3_topk_area", "w4_top1_argmax", "w5_sweep_merge",
+    "warc_wet_roundtrip",
+)
+
+# Historical note (r03): the pre-r04 ordering was expressed inversely, as
+# a `_ROTATED_BACK` list pushing prior-green names to the back; the
+# per-op rotation rationale that lived here is preserved in git history
+# (see the r03 tree) and summarized in COVERAGE.md.
+# Rows-only by design (no SQL-expressible oracle; rationale per op in
+# COVERAGE.md). Deliberately outside the window: a slot would buy only
+# the weak rows-only check while a value-checking twin or differential
+# pytest already pins each one.
+_ROWS_ONLY_BY_DESIGN = ("text_compression_ratio", "ann_pq_topk", "ann_ivf_topk")
 
 
 def _rotate(entries: dict) -> dict:
-    back = {
-        n: entries[n] for n in (*_OUTSIDE_WINDOW, *_ROTATED_BACK) if n in entries
-    }
-    front = {n: v for n, v in entries.items() if n not in back}
-    front.update(back)
+    front = {n: entries[n] for n in _WINDOW if n in entries}
+    front.update((n, v) for n, v in entries.items() if n not in front)
     return front
 
 

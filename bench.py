@@ -208,20 +208,25 @@ def main() -> None:
             timings[name] = round(sorted(trials)[1], 3)
 
         total = round(sum(timings.values()), 3)
-        print(
-            json.dumps(
-                {
-                    "metric": "total_headline_seconds",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": sf_num,
-                    "extraction_docs_per_sec": docs_per_sec,
-                    "extraction_corpus_docs": n_out,
-                    "cpus": cpus,
-                }
-            )
-        )
+        # The printed line must stay SMALL (<~1.5 KB): the driver keeps only
+        # the last ~2.2 KB of stdout, and r03's 107-query map on this line
+        # made BENCH_r03.json unparseable (VERDICT r03 #3). Summary keys on
+        # the line; the per-query map goes to BENCH/last_run.json.
+        summary = {
+            "metric": "total_headline_seconds",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_num,
+            "cpus": cpus,
+            "n_queries": len(timings),
+            "extraction_docs_per_sec": docs_per_sec,
+            "extraction_corpus_docs": n_out,
+        }
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json")
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)
+        print(json.dumps(summary))
     finally:
         # a failing query must not leave the 48k-page scratch tree behind
         shutil.rmtree(pages_path, ignore_errors=True)

@@ -172,9 +172,10 @@ _LM_ORACLE = f"""
     )
     select doc_id,
            count(*) as n_bigrams,
-           sum(case when c12 = 0 then 1 else 0 end) as oov_bigrams,
-           sum(cast(round(1e6 * ln(cast(c12 + 1 as double)
-                                   / cast(c1 + v_size as double)), 0) as bigint))
+           cast(sum(case when c12 = 0 then 1 else 0 end) as bigint) as oov_bigrams,
+           cast(sum(cast(round(1e6 * ln(cast(c12 + 1 as double)
+                                        / cast(c1 + v_size as double)), 0)
+                         as bigint)) as bigint)
              as lm_logprob_micro
     from joined
     group by doc_id
@@ -259,11 +260,12 @@ _NB_ORACLE = f"""
     ),
     scored as (
       select d.doc_id, l.lang,
-             sum(d.tf * cast(round(1e6 * ln(cast(coalesce(t.c_lt, 0) + 1 as double)
-                                            / cast(l.c_l + c.v_size as double)), 0)
-                             as bigint))
-             + cast(round(1e6 * ln(cast(p.n_l as double)
-                                   / cast(c.n_train as double)), 0) as bigint)
+             cast(sum(d.tf * cast(round(1e6 * ln(cast(coalesce(t.c_lt, 0) + 1 as double)
+                                                 / cast(l.c_l + c.v_size as double)), 0)
+                                  as bigint))
+                  + cast(round(1e6 * ln(cast(p.n_l as double)
+                                        / cast(c.n_train as double)), 0) as bigint)
+                  as bigint)
                as score_micro
       from doctf d
       cross join langs l

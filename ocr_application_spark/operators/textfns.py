@@ -339,7 +339,7 @@ _TFIDF_DIMS = 16
     select t.doc_id,
            cast(cast(cast(concat('0x', substr(md5(t.token), 1, 8)) as ubigint)
                 % {_TFIDF_DIMS} as bigint) as bigint) as dim,
-           sum(t.tf * i.idf_micro) as weight_micro,
+           cast(sum(t.tf * i.idf_micro) as bigint) as weight_micro,
            cast(count(*) as bigint) as n_terms
     from tf t join idf i using (token)
     group by 1, 2

@@ -61,10 +61,45 @@ def _rows_to_key(rows, cols):
     return sorted(out, key=_sort_key)
 
 
+_INTEGRAL_SPARK = {"tinyint", "smallint", "int", "bigint"}
+
+
+def dtype_parity_errs(spark_df, rel) -> list[str]:
+    """Type-parity guard (VERDICT r03 #2): the driver hashes DuckDB results
+    through the pandas bridge, which renders HUGEINT as float64 — so an
+    oracle whose values are bit-exact still fails the driver's exact hash
+    if any output column types as HUGEINT (DuckDB's sum(BIGINT) does).
+    Flag HUGEINT anywhere, and DOUBLE/FLOAT/DECIMAL where Spark is
+    integral (DECIMAL where Spark is DECIMAL is fine — money stays exact
+    through the bridge)."""
+    errs = []
+    duck_types = {c.lower(): str(t).upper() for c, t in zip(rel.columns, rel.types)}
+    for f in spark_df.schema.fields:
+        dt = duck_types.get(f.name.lower())
+        if dt is None:
+            continue
+        s = f.dataType.simpleString()
+        if dt == "HUGEINT":
+            errs.append(
+                f"dtype: {f.name} is HUGEINT in DuckDB (pandas bridge -> "
+                f"float64, driver hash mismatch); cast(... as bigint) in the oracle"
+            )
+        elif s in _INTEGRAL_SPARK and (
+            dt in ("DOUBLE", "FLOAT") or dt.startswith("DECIMAL")
+        ):
+            errs.append(
+                f"dtype: {f.name} spark={s} but duck={dt}; align the oracle type"
+            )
+    return errs
+
+
 def compare(spark_df, con, sql: str, name: str, float_rtol: float = 1e-9):
     sdf = spark_df.toPandas()
-    ddf = con.sql(sql).df()
-    errs = []
+    rel = con.sql(sql)
+    errs = dtype_parity_errs(spark_df, rel)
+    if errs:
+        return errs, 0.0
+    ddf = rel.df()
     if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, ddf.columns)):
         errs.append(f"columns: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
         return errs, 0.0

@@ -39,79 +39,76 @@ def test_entry_smoke(spark):
 
 
 def test_driver_window_covers_flagships_and_new_ops():
-    """The driver's correctness gate samples queries()[:50]; pin the
-    window so adding a query can't silently evict a flagship or a
-    never-driver-checked operator. Everything outside must be either a
-    plan-audited TPC-H demonstrator or an explicitly rotated-back name
-    that was driver-green in a prior round."""
+    """The driver's correctness gate samples queries()[:50]; pin the r04
+    window (explicit `_WINDOW` tuple) so adding a query can't silently
+    evict an anchor, a this-round-fixed oracle, or one of the 28 ops
+    that had never had a driver row before r04. Everything outside must
+    be prior-driver-green, a plan-audited demonstrator, or
+    rows-only-by-design."""
     names = list(_QUERIES)
     window, outside = set(names[:50]), set(names[50:])
+    # the _WINDOW tuple must BE the first 50, in its own order
+    assert len(entrymod._WINDOW) == 50
+    assert names[:50] == list(entrymod._WINDOW)
+    # permanent anchors + the four oracles fixed in r04 + the 28
+    # previously-never-driver-checked ops (VERDICT r03 #4's rotate-in set)
     must_cover = {
         "pipeline_extract_digest",
-        "streaming_extract_digest",
-        "classify_docwrap",
-        "tarification_pipeline",
-        "snapshot_merge_upsert",
-        "ann_ivf_exhaustive",
-        "forecast_arima_like",
-        "dedup_components",
-        "dedup_components_star",
-        "text_pii_scrub",
-        "decontaminate_13gram",
-        "dedup_paragraphs",
-        "sample_stratified",
-        "text_gopher_repetition",
-        "seq_pack",
-        "text_hashed_tfidf",
-        "text_rank_quality",
-        "dedup_span_strip",
-        "boilerplate_strip_source",
-        "sample_token_budget",
-        "text_gopher_quality",
-        "text_c4_line_filter",
-        "shard_shuffle",
-        "url_crawl_filter",
-        "sample_epochs_weighted",
-        "dedup_consecutive_lines",
-        "events_interval_overlap",
-        "url_canonicalize",
-        "url_canonical_dupes",
-        "kernel_normalize",
-        "emb_neardup_multiprobe",
-        "dedup_minhash_band_dial",
-        "link_outdegree",
-        "link_anchor_texts",
-        "link_host_pagerank",
-        "text_bm25_topk",
-        "events_asof_profile",
-        "sketch_kmv_merged",
-        "classify_nb_langid",
+        "dedup_incremental_ingest",
+        "neardup_incremental_ingest",
+        "semantic_incremental_ingest",
         "text_lm_score",
-        "warc_wet_roundtrip",
-        "text_char_entropy",
-        "text_pmi_collocations",
+        "classify_nb_langid",
+        "text_hashed_tfidf",
+        "seq_pack",
+        "text_nfc_normalize",
+        "extract_charset_sniff",
+        "extract_yield_report",
+        "sketch_hdr_quantiles",
+        "dedup_span_ratio",
+        "link_host_hits",
+        "sketch_bloom_seen",
+        "sketch_cms_counts",
+        "dedup_bloom_antijoin",
+        "sketch_kmv_overlap",
+        "dedup_winnow",
+        "overlap_incremental_ingest",
+        "snapshot_delete_rows",
+        "crawl_politeness_schedule",
+        "crawl_robots_filter",
+        "sample_dsir_topk",
+        "snapshot_zorder_scan",
+        "snapshot_wap_publish",
+        "snapshot_drift_report",
+        "url_surt_index",
+        "url_sitemap_extract",
+        "crawl_recrawl_candidates",
+        "crawl_acquisition_pipeline",
+        "warc_response_roundtrip",
+        "dedup_containment",
+        "sample_domain_mix",
+        "url_holdout_split",
+        "sketch_kmv_distinct",
     }
     assert must_cover <= window, must_cover - window
-    tpch_demos = {n for n in names if n.startswith(("q1", "q3", "q4", "q5", "q6", "q7"))} | {
+    # every in-window entry must be oracle-paired (a rows-only row would
+    # waste a slot on the weak check)
+    assert window <= set(_ORACLES), window - set(_ORACLES)
+    demonstrators = {n for n in names if n.startswith(("q1", "q3", "q4", "q5", "q6", "q7"))} | {
         "topk_orders_per_customer",
         "events_sessionize",
         "pivot_lang_by_source",
         "events_retention_cohorts",
-    }
-    demonstrators_outside = {
-        # engine demonstrators with no reference analog, deliberately
-        # outside the 50-slot window like the TPC-H set (module order
-        # comment in __spark_entry__._modules); oracle-checked here
+        # engine demonstrators with no reference analog; oracle-checked here
         "group_percentiles_chars",
         "events_rollup_daily",
         "text_heavy_hitters",
         "bucketed_colocated_join",
     }
     allowed_outside = (
-        tpch_demos
-        | demonstrators_outside
-        | set(entrymod._ROTATED_BACK)
-        | set(entrymod._OUTSIDE_WINDOW)
+        demonstrators
+        | set(entrymod._PRIOR_DRIVER_GREEN)
+        | set(entrymod._ROWS_ONLY_BY_DESIGN)
     )
     assert outside <= allowed_outside, outside - allowed_outside
 

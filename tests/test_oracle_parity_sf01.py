@@ -1,9 +1,13 @@
 """The driver's CORRECTNESS gate runs at sf0.01 but samples only
-queries()[:50]; the post-freeze ops listed here sit OUTSIDE that window
-(`_ROTATED_BACK`, rationale per name in `__spark_entry__.py`), so this
-module is their sf0.01 gate: the IDENTICAL comparison the driver runs,
-at the driver's scale factor — backing the "bit-for-bit at both SFs"
-claims in the rotation rationale (sf0.001 runs in test_oracle_parity).
+queries()[:50]; any op that sits OUTSIDE that window while its
+implementation or oracle changed after its last driver-green row gets
+its sf0.01 gate here — the IDENTICAL comparison the driver runs, at the
+driver's scale factor (sf0.001 runs for every oracle in
+test_oracle_parity). In r04 all 28 previously-never-driver-checked ops
+rotated INTO the window (VERDICT r03 #4), so this list holds only
+out-of-window ops touched since their last driver row. Keep it current:
+touch an out-of-window op -> add its name; it earns a driver row -> drop
+it.
 """
 
 import pytest
@@ -13,32 +17,9 @@ from tests.oracle_harness import compare, duck_con
 
 SF_DIR = "/root/testdata/sf0.01"
 
-# every never-driver-sampled op added after the r03 window freeze
-POST_FREEZE = [
-    "link_host_hits",
-    "sketch_bloom_seen",
-    "sketch_cms_counts",
-    "dedup_bloom_antijoin",
-    "sketch_kmv_overlap",
-    "dedup_winnow",
-    "overlap_incremental_ingest",
-    "snapshot_delete_rows",
-    "crawl_politeness_schedule",
-    "crawl_robots_filter",
-    "sample_dsir_topk",
-    "snapshot_zorder_scan",
-    "snapshot_wap_publish",
-    "snapshot_drift_report",
-    "url_surt_index",
-    "url_sitemap_extract",
-    "crawl_recrawl_candidates",
-    "crawl_acquisition_pipeline",
-    "warc_response_roundtrip",
-    "text_nfc_normalize",
-    "sketch_hdr_quantiles",
-    "extract_yield_report",
-    "extract_charset_sniff",
-]
+# out-of-window ops whose implementation/oracle changed after their last
+# driver-green row (currently none: every r04-touched oracle is in-window)
+STALE_OUTSIDE = []
 
 _QUERIES = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()
@@ -51,19 +32,18 @@ def con():
     c.close()
 
 
-def test_post_freeze_list_is_current():
-    # every listed op must exist, be oracle-paired, and sit outside the
-    # driver's 50-slot window (else it has a driver row and this module
-    # is redundant for it)
+def test_stale_outside_list_is_current():
     names = list(_QUERIES)
     window = set(names[:50])
-    for n in POST_FREEZE:
+    for n in STALE_OUTSIDE:
         assert n in _QUERIES and n in _ORACLES, n
         assert n not in window, f"{n} is driver-sampled now; drop it here"
 
 
-@pytest.mark.parametrize("name", POST_FREEZE)
+@pytest.mark.parametrize("name", STALE_OUTSIDE or ["__none__"])
 def test_oracle_parity_sf01(name, spark, con):
+    if name == "__none__":
+        pytest.skip("no out-of-window op touched since its last driver row")
     errs, max_delta = compare(
         _QUERIES[name](spark, SF_DIR), con, _ORACLES[name], name
     )
