@@ -510,8 +510,11 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = t.withColumn("cum", F.sum("n_tokens").over(w))
     # greatest(cum-1, 0): a zero-token doc at a shard head makes cum-1
-    # negative, where DuckDB // (floor) and Spark div (truncate) disagree
-    # (VERDICT r03 #8); clamping keeps both engines on the same integer.
+    # negative (VERDICT r03 #8). Measured: BOTH engines truncate integer
+    # division toward zero today (pinned by test_curation_edges), but an
+    # unclamped expression would still emit last_seq = -1 — a nonsense
+    # sequence id — and truncation-on-negatives is not a contract either
+    # engine documents firmly; the clamp makes the question moot.
     first_seq = F.expr(f"div(cum - n_tokens, {_SEQ_LEN})")
     last_seq = F.expr(f"div(greatest(cum - 1, 0), {_SEQ_LEN})")
     return c.select(

@@ -497,22 +497,48 @@ def crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- robots.txt allow/deny filter (RFC 9309 decision rule) -------------------
 #
 # The REP gate the frontier applies between politeness scheduling and
-# fetching: per (host, path), the MOST SPECIFIC matching rule wins
-# (longest path prefix), Allow beating Disallow on equal length; a url
-# with no matching rule is allowed. The reference has no crawler, but
-# the north-rule input is a table of Common-Crawl-style pages — this is
-# the op that decides what may enter that table at all.
+# fetching: per (host, path), the MOST SPECIFIC matching rule wins —
+# specificity is the rule PATTERN's octet length (RFC 9309 §2.2.2, the
+# googlebot matchlength rule; '*' and '$' count as octets) — with Allow
+# beating Disallow on equal length; a url with no matching rule is
+# allowed. Patterns support the RFC's two wildcards: '*' matches any
+# span, a TRAILING '$' anchors the end of the path (real robots.txt
+# files lean on these constantly, e.g. ``Disallow: /*?sessionid=``).
+# The reference has no crawler, but the north-rule input is a table of
+# Common-Crawl-style pages — this is the op that decides what may enter
+# that table at all.
 #
 # Scale shape: the rules side is tiny relative to a 10^12-url frontier
 # (a robots.txt is a few KB per host), so the match is a BROADCAST
-# equi-join on host with a startswith residual, and the per-url winner
-# is a map-side-combinable MAX over a (prefix_len, allow, prefix)
-# struct — deliberately NOT a window (a window would sort the whole
-# frontier inside one exchange; the struct-max partial-aggregates
-# before it, so the exchange carries one row per url per partition).
-# Ordering by the struct makes the tie rule explicit: longer prefix
-# first, then allow=true over disallow, then prefix text as the
-# deterministic final tiebreak.
+# equi-join on host with a match residual, and the per-url winner is a
+# map-side-combinable MAX over a (pattern_len, allow, prefix) struct —
+# deliberately NOT a window (a window would sort the whole frontier
+# inside one exchange; the struct-max partial-aggregates before it, so
+# the exchange carries one row per url per partition). Ordering by the
+# struct makes the tie rule explicit: longer pattern first, then
+# allow=true over disallow, then pattern text as the deterministic
+# final tiebreak. Wildcard rules are translated ONCE, columnar, on the
+# tiny broadcast side (escape regex metachars, '*' -> '.*', trailing
+# '$' kept as the anchor); wildcard-free rules keep the startswith fast
+# path so the residual stays a byte-prefix compare for the common case.
+
+
+def _robots_rule_regex(prefix: Column) -> Column:
+    """Anchored regex for a wildcard rule pattern, NULL for a plain
+    prefix (which takes the startswith fast path). Translation mirrors
+    the oracle's SQL verbatim: strip a trailing '$', escape every regex
+    metachar EXCEPT '*', turn '*' into '.*', re-anchor."""
+    ends = prefix.endswith("$")
+    body = F.when(ends, F.substring(prefix, 1, F.length(prefix) - 1)).otherwise(prefix)
+    esc = F.regexp_replace(body, r"([.\[\]{}()+?^$|\\])", r"\\$1")
+    return F.when(
+        prefix.contains("*") | ends,
+        F.concat(
+            F.lit("^"),
+            F.replace(esc, F.lit("*"), F.lit(".*")),
+            F.when(ends, F.lit("$")).otherwise(F.lit("")),
+        ),
+    )
 
 
 def robots_filter(
@@ -523,8 +549,10 @@ def robots_filter(
 ) -> DataFrame:
     """Apply robots rules ``(host, prefix, allow:boolean)`` to a frontier.
 
-    Returns the frontier columns plus ``allowed`` (boolean; true when no
-    rule matches) and ``matched_prefix`` (the winning rule's prefix, or
+    ``prefix`` is an RFC 9309 path pattern: a literal prefix, optionally
+    with ``*`` wildcards and a trailing ``$`` end-anchor. Returns the
+    frontier columns plus ``allowed`` (boolean; true when no rule
+    matches) and ``matched_prefix`` (the winning rule's pattern, or
     NULL). Frontier rows are assumed distinct (url is the identity per
     the input_hint); exact duplicate rows would collapse in the winner
     aggregation.
@@ -533,11 +561,15 @@ def robots_filter(
         F.col(host_col).alias("_r_host"),
         F.col("prefix").alias("_r_prefix"),
         F.col("allow").alias("_r_allow"),
+        _robots_rule_regex(F.col("prefix")).alias("_r_rx"),
     )
+    match = F.when(
+        F.col("_r_rx").isNull(),
+        F.col(path_col).startswith(F.col("_r_prefix")),
+    ).otherwise(F.regexp_like(F.col(path_col), F.col("_r_rx")))
     j = frontier.join(
         F.broadcast(r),
-        (F.col(host_col) == F.col("_r_host"))
-        & F.col(path_col).startswith(F.col("_r_prefix")),
+        (F.col(host_col) == F.col("_r_host")) & match,
         "left",
     )
     # (prefix_len, allow, prefix): struct max == RFC 9309 winner. NULL
@@ -568,38 +600,76 @@ def robots_filter(
 # ban EXCEPT that subtree; h2 bans assets; h3 carries a redundant
 # allow; h4 carries an equal-length allow/disallow conflict on the
 # /private/pub/ subtree — the allow must win the tie in both engines.
+# Live RFC 9309 wildcard cases: every host bans '/*?sessionid=' (the
+# canonical real-world wildcard rule — session-id url variants); h2
+# re-allows '/img/*.png$' (wildcard + end-anchor beating the plain
+# '/img/' ban on pattern length: 11 > 5); h0 end-anchors a ban on the
+# exact path '/p/a0$' (longer than the '/p/' shapes it competes with).
 _ROBOTS_RULES = [
     *[(f"h{i}", "/private/", False) for i in range(5)],
     *[(f"h{i}", "/private/pub/", True) for i in range(5)],
+    *[(f"h{i}", "/*?sessionid=", False) for i in range(5)],
     ("h1", "/", False),
     ("h2", "/img/", False),
+    ("h2", "/img/*.png$", True),
     ("h3", "/p/", True),
     ("h4", "/private/pub/", False),
+    ("h0", "/p/a0$", False),
 ]
 
 _ROBOTS_RULES_SQL = ",\n  ".join(
     f"('{h}', '{p}', {'true' if a else 'false'})" for h, p, a in _ROBOTS_RULES
 )
 
+# DuckDB twin of _robots_rule_regex — verbatim the same translation
+# (strip trailing '$', escape every RE2 metachar except '*', '*' ->
+# '.*', re-anchor). Prototyped side-by-side with the Spark column expr:
+# identical output byte-for-byte on wildcard, anchored, metachar-heavy
+# and backslash patterns. Plain raw string (not f-string): the char
+# class contains '{}'.
+_ROBOTS_RX_SQL = r"""
+    case when prefix like '%*%' or prefix like '%$' then
+      '^' || replace(
+        regexp_replace(
+          case when prefix like '%$'
+               then substr(prefix, 1, length(prefix) - 1)
+               else prefix end,
+          '([.\[\]{}()+?^$|\\])', '\\\1', 'g'),
+        '*', '.*')
+      || case when prefix like '%$' then '$' else '' end
+    end
+"""
+
 _ROBOTS_ORACLE = f"""
 with frontier as (
   select doc_id,
          'h' || cast(doc_id % 5 as varchar) as host,
-         case cast(doc_id % 4 as integer)
+         case cast(doc_id % 8 as integer)
            when 0 then '/p/a' || cast(doc_id as varchar)
            when 1 then '/private/x' || cast(doc_id as varchar)
            when 2 then '/private/pub/y' || cast(doc_id as varchar)
-           else '/img/z' || cast(doc_id as varchar) end as path
+           when 3 then '/img/z' || cast(doc_id as varchar)
+           when 4 then '/p/a' || cast(doc_id as varchar) || '?sessionid=1'
+           when 5 then '/img/z' || cast(doc_id as varchar) || '.png'
+           when 6 then '/private/pub/y' || cast(doc_id as varchar) || '?sessionid=2'
+           else '/img/n' || cast(doc_id as varchar) || '.png?sessionid=3'
+         end as path
   from documents
 ),
 rules(host, prefix, allow) as (values
   {_ROBOTS_RULES_SQL}
 ),
+rx as (
+  select host, prefix, allow, {_ROBOTS_RX_SQL} as rxp
+  from rules
+),
 j as (
   select f.doc_id, f.host, f.path, r.prefix, r.allow
   from frontier f
-  left join rules r
-    on f.host = r.host and starts_with(f.path, r.prefix)
+  left join rx r
+    on f.host = r.host
+   and case when r.rxp is null then starts_with(f.path, r.prefix)
+            else regexp_matches(f.path, r.rxp) end
 ),
 best as (
   select doc_id, host, path, prefix, allow,
@@ -620,20 +690,32 @@ from best where rn = 1
 @_q("crawl_robots_filter", _ROBOTS_ORACLE)
 def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REP gate: a synthetic 5-host frontier against the rule card above
-    — per url, (allowed, matched_prefix) under longest-prefix-wins /
-    allow-beats-disallow-on-ties. The oracle states the same rule as a
-    per-url rank-1 window; the Spark plan is the broadcast-join +
-    struct-max aggregation (no frontier-wide sort)."""
+    — per url, (allowed, matched_prefix) under longest-pattern-wins /
+    allow-beats-disallow-on-ties, with live RFC 9309 wildcard traffic:
+    mod-8 shapes 4/6/7 carry ?sessionid= urls (the wildcard ban fires;
+    shape 6 is a deliberate LENGTH TIE — '/private/pub/' allow vs
+    '/*?sessionid=' ban, both 13 octets, allow must win), shape 5 is
+    .png urls (h2's '/img/*.png$' re-allow outranks the '/img/' ban),
+    and shape 7 puts a query string AFTER '.png' so the end-anchored
+    rule must NOT fire. The oracle states the same rule as a per-url
+    rank-1 window over the same regex translation; the Spark plan is
+    the broadcast-join + struct-max aggregation (no frontier-wide
+    sort)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     did = F.col("doc_id")
-    pm = did % 4
+    pm = did % 8
+    sid = did.cast("string")
     frontier = d.select(
         "doc_id",
         F.concat(F.lit("h"), (did % 5).cast("string")).alias("host"),
-        F.when(pm == 0, F.concat(F.lit("/p/a"), did.cast("string")))
-        .when(pm == 1, F.concat(F.lit("/private/x"), did.cast("string")))
-        .when(pm == 2, F.concat(F.lit("/private/pub/y"), did.cast("string")))
-        .otherwise(F.concat(F.lit("/img/z"), did.cast("string")))
+        F.when(pm == 0, F.concat(F.lit("/p/a"), sid))
+        .when(pm == 1, F.concat(F.lit("/private/x"), sid))
+        .when(pm == 2, F.concat(F.lit("/private/pub/y"), sid))
+        .when(pm == 3, F.concat(F.lit("/img/z"), sid))
+        .when(pm == 4, F.concat(F.lit("/p/a"), sid, F.lit("?sessionid=1")))
+        .when(pm == 5, F.concat(F.lit("/img/z"), sid, F.lit(".png")))
+        .when(pm == 6, F.concat(F.lit("/private/pub/y"), sid, F.lit("?sessionid=2")))
+        .otherwise(F.concat(F.lit("/img/n"), sid, F.lit(".png?sessionid=3")))
         .alias("path"),
     )
     rules = spark.createDataFrame(_ROBOTS_RULES, ["host", "prefix", "allow"])
@@ -1126,7 +1208,11 @@ def crawl_acquisition_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority_bp",
         F.regexp_extract("url", "https://([^/]+)/", 1).alias("host"),
         F.regexp_extract("url", "(/doc/[0-9]+)$", 1).alias("path"),
-        F.regexp_extract("url", "/doc/([0-9]+)$", 1).cast("bigint").alias("did"),
+        # try_cast: regexp_extract yields '' on non-match and the session
+        # runs ANSI mode, so a plain cast would abort the whole chain on
+        # the first url outside the /doc/<n> shape; null keeps the row
+        # flowing through the left join like any never-fetched url
+        F.expr("try_cast(regexp_extract(url, '/doc/([0-9]+)$', 1) as bigint)").alias("did"),
     )
     rec = (
         keyed.join(

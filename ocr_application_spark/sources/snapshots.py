@@ -242,10 +242,17 @@ def _ref_lock(path: str, stale_after: float = 60.0):
     retries, as in Iceberg)."""
     os.makedirs(_refs_dir(path), exist_ok=True)
     d = os.path.join(_refs_dir(path), ".reflock")
+    owner_file = os.path.join(d, "owner")
+    token = uuid.uuid4().hex
     acquired = False
     for _ in range(2):  # initial try + one retry after steal/release
         try:
             os.mkdir(d)
+            # owner token: release (and only release) what WE acquired —
+            # without it, a >stale_after holder's finally-rmdir could
+            # release a lock a thief now legitimately holds
+            with open(owner_file, "w") as fh:
+                fh.write(token)
             acquired = True
             break
         except FileExistsError:
@@ -255,8 +262,20 @@ def _ref_lock(path: str, stale_after: float = 60.0):
                 continue  # holder released between mkdir and stat; retry
             if not stale:
                 break
+            # Steal by atomic RENAME, never rmdir-in-place: two thieves
+            # both rmdir-ing could interleave with the winner's fresh
+            # mkdir and put both inside the critical section. rename is
+            # atomic — exactly one thief moves the stale dir aside; the
+            # loser retries and finds the winner's fresh (non-stale) lock.
+            grave = f"{d}.stale.{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(d, grave)
+            except OSError:
+                continue  # another thief won the rename; retry mkdir
             with contextlib.suppress(OSError):
-                os.rmdir(d)
+                os.unlink(os.path.join(grave, "owner"))
+            with contextlib.suppress(OSError):
+                os.rmdir(grave)
     if not acquired:
         raise SnapshotConflictError(
             f"ref lock at {path} is held by a concurrent writer; "
@@ -265,8 +284,18 @@ def _ref_lock(path: str, stale_after: float = 60.0):
     try:
         yield
     finally:
-        with contextlib.suppress(OSError):
-            os.rmdir(d)
+        # verify ownership before releasing: if our lock was stolen
+        # (we held it past stale_after), d now belongs to the thief
+        try:
+            with open(owner_file) as fh:
+                ours = fh.read() == token
+        except OSError:
+            ours = False
+        if ours:
+            with contextlib.suppress(OSError):
+                os.unlink(owner_file)
+            with contextlib.suppress(OSError):
+                os.rmdir(d)
 
 
 def _create_ref(path: str, name: str, rtype: str, version: int) -> None:

@@ -59,6 +59,27 @@ _VERSION = b"WARC/1.0\r\n"
 _HDR_END = b"\r\n\r\n"
 _REC_END = b"\r\n\r\n"
 
+
+def _valid_warc_date(v: str | None) -> bool:
+    """WARC-Date is mandatory and ISO-8601 Zulu (WARC 1.0 §5.4; 1.1
+    allows fractional seconds). The session runs Spark 4 ANSI mode, so
+    an unvalidated garbage date would make ``to_timestamp`` throw and
+    crash the whole ingest instead of quarantining one record — validate
+    here so downstream timestamp parsing can never see a bad value.
+    Fractions are capped at 6 digits (micros), the engine's timestamp
+    resolution (see the zone-map TIMESTAMP_MICROS invariant)."""
+    if v is None:
+        return False
+    from datetime import datetime
+
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            datetime.strptime(v, fmt)
+            return True
+        except ValueError:
+            continue
+    return False
+
 PARSED_SCHEMA = (
     "seg bigint, url string, warc_date string, text string, "
     "n_bytes bigint, status string"
@@ -403,6 +424,13 @@ def parse_warc_response_bytes(payload: bytes) -> list[dict]:
             # skip it silently, the framing already consumed it
             pos = next_pos
             continue
+        if not _valid_warc_date(headers.get("WARC-Date")):
+            # record-level damage with intact framing: quarantine this
+            # record and continue (same class as HTTP-level damage) — a
+            # hostile date must never reach the Spark-side to_timestamp
+            out.append(bad("warc-date", pos))
+            pos = next_pos
+            continue
         block = payload[block_start:block_end]
         # ---- HTTP block: status line + headers + \r\n\r\n + body ----
         http_hdr_end = block.find(_HDR_END)
@@ -478,9 +506,13 @@ def warc_to_pages(parsed: DataFrame) -> DataFrame:
     pipeline. Malformed rows are excluded here; route them to
     quarantine from the same parse pass (cf. wet_to_documents)."""
     ok = parsed.where(F.col("status") == "ok")
+    # try_to_timestamp: the parser already quarantines invalid WARC-Dates
+    # (_valid_warc_date), but ANSI mode makes a plain to_timestamp a
+    # whole-job crash if any other producer feeds this stage — null (and
+    # the row survives) beats aborting a 100-TB ingest on one record.
     return ok.select(
         "url",
-        F.to_timestamp("warc_date").alias("warc_ts"),
+        F.try_to_timestamp("warc_date").alias("warc_ts"),
         F.col("body").alias("html"),
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),

@@ -1,0 +1,66 @@
+"""Edge semantics pinned for the curation operators.
+
+seq_pack (VERDICT r03 #8): a zero-token doc at a shard head makes
+``cum - 1`` negative. VERDICT predicted DuckDB ``//`` floors while
+Spark ``div`` truncates; MEASURED on the shipped DuckDB (1.0.0) integer
+``//`` also truncates toward zero, so the engines happen to agree on
+negatives today — but an unguarded expression would still emit
+``last_seq = -1`` (a nonsense sequence id), and DuckDB documents ``//``
+loosely enough that relying on truncation is fragile. The
+``greatest(cum - 1, 0)`` clamp both engines ship makes the question
+moot; these tests pin (a) the measured division semantics so any future
+DuckDB/Spark change that re-opens the floor/trunc gap fails loudly, and
+(b) that the clamped expression agrees exactly on adversarial prefix
+sums and lands a zero-token shard head in sequence 0.
+
+Today's tokenization can never emit n_tokens == 0 (splitting even an
+empty string yields one token), so the case is unreachable from data;
+this is the contract test the op's comment points at.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from ocr_application_spark.operators.curation import _SEQ_LEN
+
+
+def test_integer_division_semantics_pinned_both_engines(spark):
+    # MEASURED: DuckDB 1.0.0 integer '//' truncates toward zero, same
+    # as Spark div. If either engine ever flips to floor division on
+    # negatives, seq_pack's oracle mirror must be revisited — this
+    # failing is the early alarm.
+    duck = duckdb.sql(
+        f"select (-1) // {_SEQ_LEN}, (-{_SEQ_LEN + 1}) // {_SEQ_LEN}"
+    ).fetchone()
+    assert duck == (0, -1)  # truncation
+    srow = spark.sql(
+        f"select div(-1, {_SEQ_LEN}), div(-{_SEQ_LEN + 1}, {_SEQ_LEN})"
+    ).first()
+    assert tuple(srow) == (0, -1)  # truncation
+
+
+def test_seq_pack_clamped_expr_agrees_on_zero_token_shard_head(spark):
+    # cum values as seen by a shard whose HEAD doc has n_tokens == 0
+    # (cum stays 0 -> cum - 1 == -1), plus boundary-straddling values
+    cums = [0, 1, _SEQ_LEN - 1, _SEQ_LEN, _SEQ_LEN + 1, 5 * _SEQ_LEN]
+    expr = f"cast(greatest(cum - 1, 0) // {_SEQ_LEN} as bigint)"
+    duck = duckdb.sql(
+        "select "
+        + expr
+        + " from (values "
+        + ", ".join(f"({c})" for c in cums)
+        + ") t(cum) order by cum"
+    ).fetchall()
+    sdf = spark.createDataFrame([(c,) for c in cums], ["cum"])
+    got = [
+        r["last_seq"]
+        for r in sdf.selectExpr(
+            "cum", f"div(greatest(cum - 1, 0), {_SEQ_LEN}) as last_seq"
+        )
+        .orderBy("cum")
+        .collect()
+    ]
+    assert got == [d[0] for d in duck]
+    # and the shard-head zero-token doc lands in sequence 0, not -1
+    assert got[0] == 0

@@ -1371,3 +1371,62 @@ def test_cluster_snapshot_wide_range_and_concurrent_append(spark, tmpdir_scratch
     assert read_snapshot(spark, tbl).count() == 10_001
     snap.cluster_snapshot(spark, tbl, ["k"])
     assert read_snapshot(spark, tbl).count() == 10_001
+
+
+def test_ref_lock_steal_is_atomic_and_release_checks_ownership(tmpdir_scratch):
+    """Two contenders observing the same stale lock must not BOTH end up
+    inside the critical section (steal is by atomic rename, not
+    rmdir-in-place), and a holder whose lock was stolen must not release
+    the thief's lock on exit."""
+    import os
+    import time as _time
+
+    import ocr_application_spark.sources.snapshots as snap
+
+    tbl = tmpdir_scratch + "/locktbl"
+    refs = snap._refs_dir(tbl)
+    d = os.path.join(refs, ".reflock")
+
+    # --- stale lock is stolen and re-acquired ---------------------------
+    os.makedirs(d)
+    old = _time.time() - 3600
+    os.utime(d, (old, old))
+    with snap._ref_lock(tbl):
+        # thief acquired: fresh dir with our owner token inside
+        assert os.path.exists(os.path.join(d, "owner"))
+    assert not os.path.exists(d)  # clean release
+
+    # --- loser of the steal race gets a conflict, not the lock ----------
+    os.makedirs(d)
+    os.utime(d, (old, old))
+    real_rename = os.rename
+
+    def losing_rename(src, dst):
+        if os.path.basename(src) == ".reflock":
+            # another thief won the rename first
+            raise OSError("lost the steal race")
+        return real_rename(src, dst)
+
+    os.rename = losing_rename
+    try:
+        with pytest.raises(snap.SnapshotConflictError):
+            with snap._ref_lock(tbl):
+                pass
+    finally:
+        os.rename = real_rename
+    os.rmdir(d)
+
+    # --- release after theft must not remove the thief's lock -----------
+    lock_cm = snap._ref_lock(tbl)
+    lock_cm.__enter__()
+    # simulate a steal while the holder is inside: rename aside, thief
+    # re-acquires with its own token
+    real_rename(d, d + ".stale.test")
+    os.makedirs(d)
+    with open(os.path.join(d, "owner"), "w") as fh:
+        fh.write("thief-token")
+    lock_cm.__exit__(None, None, None)
+    # thief's lock survives the old holder's finally-release
+    assert os.path.exists(d)
+    with open(os.path.join(d, "owner")) as fh:
+        assert fh.read() == "thief-token"

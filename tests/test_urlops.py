@@ -128,6 +128,52 @@ def test_robots_filter_rfc9309_semantics(spark):
     assert len(out) == 7
 
 
+def test_robots_filter_rfc9309_wildcards(spark):
+    """RFC 9309 '*' / '$' semantics: '*' spans any run of octets, a
+    TRAILING '$' anchors the end of the path, specificity is the
+    pattern's octet length ('*' and '$' count), and regex metachars in
+    real-world rule text must be matched literally."""
+    from ocr_application_spark.operators.urlops import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("w", "/*?sessionid=", False),  # the canonical live wildcard rule
+            ("w", "/img/", False),
+            ("w", "/img/*.png$", True),  # len 11 beats /img/ (5)
+            ("w", "/exact$", False),  # end-anchored exact path
+            ("w", "/a(b)+c/", False),  # metachars stay literal
+            ("w", "/dl/*.pdf", False),  # wildcard, NOT anchored
+        ],
+        ["host", "prefix", "allow"],
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("w", "/page?sessionid=abc"),  # '*' spans mid-path
+            ("w", "/img/photo.png"),  # anchored allow wins over /img/ ban
+            ("w", "/img/photo.png?x=1"),  # $ must NOT match -> /img/ ban
+            ("w", "/exact"),  # $ matches the exact path
+            ("w", "/exact/sub"),  # longer than the anchor -> no match
+            ("w", "/a(b)+c/d"),  # literal parens/plus
+            ("w", "/abbc/d"),  # would match only if '+' were regex
+            ("w", "/dl/file.pdf.tmp"),  # unanchored wildcard still matches
+        ],
+        ["host", "path"],
+    )
+    out = {
+        r.path: (r.allowed, r.matched_prefix)
+        for r in robots_filter(frontier, rules).collect()
+    }
+    assert out["/page?sessionid=abc"] == (False, "/*?sessionid=")
+    assert out["/img/photo.png"] == (True, "/img/*.png$")
+    assert out["/img/photo.png?x=1"] == (False, "/img/")
+    assert out["/exact"] == (False, "/exact$")
+    assert out["/exact/sub"] == (True, None)
+    assert out["/a(b)+c/d"] == (False, "/a(b)+c/")
+    assert out["/abbc/d"] == (True, None)
+    assert out["/dl/file.pdf.tmp"] == (False, "/dl/*.pdf")
+    assert len(out) == 8
+
+
 # --- SURT keys + the CDX index ------------------------------------------------
 
 SURT_CASES = [

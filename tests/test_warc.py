@@ -296,6 +296,32 @@ def test_response_spark_kernel_matches_python_spec(spark, tmpdir_scratch):
     assert via_spark["https://k.example/0"][0] == bytes(range(256))
 
 
+def test_hostile_warc_date_quarantines_record_walk_continues(spark):
+    # an otherwise-intact record with a garbage WARC-Date must land in
+    # quarantine, not crash the ANSI-mode to_timestamp downstream
+    seg = (_resp_record(b"https://bad", b"NOT A DATE", b"hello")
+           + _resp_record(b"https://nodate", b"2024-13-45T99:00:00Z", b"x")
+           + _resp_record(b"https://frac9", b"2024-01-01T00:00:00.123456789Z", b"x")
+           + _resp_record(b"https://good", b"2024-01-01T00:00:00.5Z", b"ok"))
+    rows = parse_warc_response_bytes(seg)
+    assert [r["status"].split("@")[0] for r in rows] == [
+        "malformed:warc-date",  # not a date at all
+        "malformed:warc-date",  # calendar-invalid
+        "malformed:warc-date",  # 9-digit fraction exceeds micros resolution
+        "ok",
+    ]
+    # and the Spark stage parses the surviving fractional-seconds date
+    import pandas as pd
+
+    parsed = parse_warc_segments(
+        spark.createDataFrame(
+            pd.DataFrame([(0, seg)], columns=["seg", "payload"])
+        )
+    )
+    out = warc_to_pages(parsed).collect()
+    assert len(out) == 1 and out[0]["warc_ts"] is not None
+
+
 def test_warc_to_pages_feeds_extraction(spark):
     import pandas as pd
 
