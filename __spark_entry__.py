@@ -153,6 +153,7 @@ _WINDOW = (
     "crawl_recrawl_candidates",
     "crawl_acquisition_pipeline",
     "warc_response_roundtrip",
+    "crawl_robots_parse",  # new r04: robots.txt text -> rules roundtrip
     "dedup_containment",
     "sample_domain_mix",
     "url_holdout_split",
@@ -171,7 +172,6 @@ _WINDOW = (
     "events_asof_profile",
     "events_interval_overlap",
     "emb_neardup_multiprobe",
-    "dedup_components_star",
 )
 
 # Names with a green driver row in some prior round (union of

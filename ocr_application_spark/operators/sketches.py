@@ -627,7 +627,10 @@ with toks as (
 ),
 cells as ({_cms_cells_sql("toks")}),
 state as (
-  select row_idx, col_idx, sum(w) as cnt from cells group by 1, 2
+  -- cast: sum(BIGINT) -> HUGEINT propagates into est_cnt, and the
+  -- driver's pandas bridge renders HUGEINT as float64 (hash mismatch;
+  -- caught by the local dtype-parity guard)
+  select row_idx, col_idx, cast(sum(w) as bigint) as cnt from cells group by 1, 2
 ),
 probes as (select distinct token, 1::bigint as w from toks),
 pcells as ({_cms_cells_sql("probes")}),

@@ -722,6 +722,303 @@ def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_filter(frontier, rules)
 
 
+# --- robots.txt PARSER (fetched bytes -> the rules table) --------------------
+#
+# robots_filter consumes (host, prefix, allow) rows; THIS op produces
+# them from raw fetched robots.txt text — the missing first half of the
+# REP gate. RFC 9309 grammar, the parts that decide real crawls:
+#   * lines are `field: value`, case-insensitive field names, optional
+#     whitespace around the colon, '#' comments stripped anywhere;
+#   * consecutive User-agent lines form ONE group header (the rules
+#     after them bind to every listed agent); a User-agent line after
+#     at least one rule starts a NEW group;
+#   * unknown fields (Crawl-delay, Sitemap, ...) are ignored and must
+#     NOT split a group;
+#   * an empty Allow/Disallow value is a no-op rule (dropped);
+#   * the crawler picks the group(s) whose user-agent token matches
+#     its own most specifically — match = '*' (specificity 0) or the
+#     rule's token is a case-insensitive PREFIX of the crawler's
+#     product token (specificity = token length); ALL groups tied at
+#     the max specificity are combined (RFC 9309 §2.2.1: groups with
+#     identical matched agents merge); no matching group at all means
+#     no restrictions.
+#
+# Scale shape: one posexplode over per-host text (a robots.txt is
+# RFC-capped at 500 KiB, typically < 10 KB — per-host line counts are
+# BOUNDED, so the per-host windows here are politeness-class, never
+# corpus-class), two host-partitioned windows (lag to find group
+# starts, running sum to number them), then tiny per-host aggregates
+# for agent selection. Output feeds robots_filter's broadcast side
+# directly.
+
+
+def robots_parse(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host_id",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse raw robots.txt text into the (host, prefix, allow) rules
+    robots_filter consumes, for the given crawler product token.
+
+    ``agent`` must be the bare lowercase product token (e.g.
+    ``sparkbot``), not a full UA string. Returns one row per effective
+    rule: (host_col, src_line, prefix, allow) — src_line is the
+    1-based line number in the file, kept so output rows are unique
+    and auditable back to the source bytes.
+    """
+    if agent != agent.lower():
+        raise ValueError("agent must be a lowercase product token")
+    h, t = F.col(host_col), F.col(text_col)
+    lines = robots.select(
+        h.alias("_host"),
+        F.posexplode(F.split(t, "\r\n")).alias("_p", "_raw"),
+    ).select(
+        "_host",
+        (F.col("_p") + 1).alias("src_line"),
+        F.trim(F.regexp_replace("_raw", "#.*$", "")).alias("_line"),
+    )
+    rec = lines.select(
+        "_host",
+        "src_line",
+        F.lower(F.regexp_extract("_line", r"^([A-Za-z-]+)\s*:", 1)).alias("_field"),
+        F.trim(F.regexp_extract("_line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1)).alias(
+            "_value"
+        ),
+    ).filter(F.col("_field").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("_host").orderBy("src_line")
+    marks = rec.withColumn(
+        "_new_grp",
+        (
+            (F.col("_field") == "user-agent")
+            & (F.coalesce(F.lag("_field").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    )
+    grp = marks.withColumn(
+        "_grp",
+        F.sum("_new_grp").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # Agent selection stays INSIDE the host-partitioned stream: group
+    # spec and host max-spec are windows whose partition keys extend the
+    # exchange the grouping windows already paid (hash(host) satisfies
+    # clustering on (host, grp)), so the whole parse is ONE exchange,
+    # zero joins, a single pass over the bytes — a spec/best join
+    # formulation (how the oracle states it) re-parsed the file three
+    # times. Rules with _grp = 0 (before any user-agent line) bind to
+    # nothing: their group has no UA rows, _spec stays NULL, filtered.
+    ua_spec = F.when(F.col("_field") != "user-agent", F.lit(None)).otherwise(
+        F.when(F.col("_value") == "*", F.lit(0)).when(
+            F.lit(agent).startswith(F.lower("_value")), F.length("_value")
+        )
+    )
+    wg = Window.partitionBy("_host", "_grp")
+    wh = Window.partitionBy("_host")
+    scored = grp.select(
+        "_host",
+        "src_line",
+        "_field",
+        "_value",
+        F.max(ua_spec).over(wg).alias("_spec"),
+    ).withColumn("_host_spec", F.max("_spec").over(wh))
+    return (
+        scored.filter(
+            F.col("_field").isin("allow", "disallow")
+            & (F.col("_value") != "")
+            & F.col("_spec").isNotNull()
+            & (F.col("_spec") == F.col("_host_spec"))
+        )
+        .select(
+            F.col("_host").alias(host_col),
+            "src_line",
+            F.col("_value").alias("prefix"),
+            (F.col("_field") == "allow").alias("allow"),
+        )
+    )
+
+
+# Deterministic per-host robots.txt fixture (host_id = doc_id % 16),
+# built as an EXACT string twin in both engines then parsed back — the
+# roundtrip pins the PARSER, same discipline as url_sitemap_extract.
+# Host classes exercise every decision path for agent 'sparkbot':
+#   * every host: a '*' group (/private/ ban + /private/pub/ allow) and
+#     a 'sparkbot-news' group (whole-host ban) that must NOT match
+#     ('sparkbot' is not prefixed by 'sparkbot-news');
+#   * h % 4 != 3: a two-agent group (SparkBot + OtherBot; mixed-case
+#     field names) with a wildcard ban, an ignored Crawl-delay line,
+#     an allow, and an EMPTY Disallow (dropped);
+#   * h % 2 == 0: a SECOND SparkBot group — ties the max specificity,
+#     so RFC group-combining must union both groups' rules;
+#   * h % 4 == 3: NO sparkbot group at all — the host falls back to
+#     the '*' group and the per-doc tail rules (which land in the
+#     sparkbot-news group) must NOT appear;
+#   * per-doc tail lines appended to the LAST group: an end-anchored
+#     ban (doc%3=0), an allow (doc%3=1), or a pure comment (doc%3=2).
+_ROBOTS_TXT_HDR_SQL = """
+    '# robots for host' || cast(host_id as varchar) || chr(13) || chr(10)
+    || 'User-agent: *' || chr(13) || chr(10)
+    || 'Disallow: /private/' || chr(13) || chr(10)
+    || 'Allow: /private/pub/' || chr(13) || chr(10)
+    || chr(13) || chr(10)
+    || 'user-agent: sparkbot-news' || chr(13) || chr(10)
+    || 'Disallow: /' || chr(13) || chr(10)
+    || case when host_id % 4 <> 3 then
+         chr(13) || chr(10)
+         || 'USER-AGENT: SparkBot' || chr(13) || chr(10)
+         || 'User-agent: OtherBot' || chr(13) || chr(10)
+         || 'Disallow: /*?sessionid=' || chr(13) || chr(10)
+         || 'Crawl-delay: 5' || chr(13) || chr(10)
+         || 'Allow: /dl/' || chr(13) || chr(10)
+         || 'Disallow:' || chr(13) || chr(10)
+       else '' end
+    || case when host_id % 2 = 0 then
+         chr(13) || chr(10)
+         || 'User-agent: SparkBot' || chr(13) || chr(10)
+         || 'Disallow: /extra/' || chr(13) || chr(10)
+       else '' end
+"""
+
+_ROBOTS_TXT_DOCLINE_SQL = """
+    case cast(doc_id % 3 as integer)
+      when 0 then 'Disallow: /gen/' || cast(doc_id as varchar) || '$'
+      when 1 then 'Allow: /gen/' || cast(doc_id as varchar) || '/pub'
+      else '# note ' || cast(doc_id as varchar) end
+    || chr(13) || chr(10)
+"""
+
+_ROBOTS_PARSE_ORACLE = f"""
+with doc_lines as (
+  select doc_id % 16 as host_id, doc_id, {_ROBOTS_TXT_DOCLINE_SQL} as dl
+  from documents
+),
+files as (
+  select host_id,
+         {_ROBOTS_TXT_HDR_SQL} || string_agg(dl, '' order by doc_id) as txt
+  from doc_lines group by host_id
+),
+ls as (
+  select host_id, string_split(txt, chr(13) || chr(10)) as l from files
+),
+lines as (
+  select host_id, generate_subscripts(l, 1) as idx,
+         trim(regexp_replace(unnest(l), '#.*$', '')) as line
+  from ls
+),
+rec as (
+  select host_id, idx,
+         lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) as field,
+         trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)) as value
+  from lines
+  where lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+        in ('user-agent','allow','disallow')
+),
+marks as (
+  select *, case when field = 'user-agent'
+                  and coalesce(lag(field) over (partition by host_id order by idx), '')
+                      <> 'user-agent'
+                 then 1 else 0 end as new_grp
+  from rec
+),
+grp as (
+  select *, sum(new_grp) over (partition by host_id order by idx
+                rows between unbounded preceding and current row) as group_id
+  from marks
+),
+spec as (
+  select host_id, group_id,
+         max(case when value = '*' then 0
+                  when starts_with('sparkbot', lower(value)) then length(value)
+             end) as spec
+  from grp where field = 'user-agent'
+  group by 1, 2
+),
+best as (
+  select host_id, max(spec) as host_spec from spec group by 1
+)
+select cast(g.host_id as bigint) as host_id,
+       cast(g.idx as bigint) as src_line,
+       g.value as prefix,
+       g.field = 'allow' as allow
+from grp g
+join spec s using (host_id, group_id)
+join best b using (host_id)
+where g.field in ('allow','disallow') and g.value <> ''
+  and s.spec is not null and s.spec = b.host_spec
+"""
+
+
+@_q("crawl_robots_parse", _ROBOTS_PARSE_ORACLE)
+def crawl_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roundtrip fixture for robots_parse: build the per-host robots.txt
+    files above deterministically from `documents` (exact string twin in
+    both engines), parse them back for agent 'sparkbot', return the
+    effective rules table. Agreement with the oracle pins every grammar
+    path: grouping, case folding, comments, unknown fields, empty
+    values, specificity selection, multi-group combining, '*' fallback.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    crlf = F.lit("\r\n")
+    hid = F.col("host_id")
+    hdr = F.concat(
+        F.lit("# robots for host"), hid.cast("string"), crlf,
+        F.lit("User-agent: *"), crlf,
+        F.lit("Disallow: /private/"), crlf,
+        F.lit("Allow: /private/pub/"), crlf,
+        crlf,
+        F.lit("user-agent: sparkbot-news"), crlf,
+        F.lit("Disallow: /"), crlf,
+        F.when(
+            hid % 4 != 3,
+            F.concat(
+                crlf,
+                F.lit("USER-AGENT: SparkBot"), crlf,
+                F.lit("User-agent: OtherBot"), crlf,
+                F.lit("Disallow: /*?sessionid="), crlf,
+                F.lit("Crawl-delay: 5"), crlf,
+                F.lit("Allow: /dl/"), crlf,
+                F.lit("Disallow:"), crlf,
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            hid % 2 == 0,
+            F.concat(
+                crlf,
+                F.lit("User-agent: SparkBot"), crlf,
+                F.lit("Disallow: /extra/"), crlf,
+            ),
+        ).otherwise(F.lit("")),
+    )
+    dm = F.col("doc_id") % 3
+    dl = F.concat(
+        F.when(
+            dm == 0,
+            F.concat(F.lit("Disallow: /gen/"), F.col("doc_id").cast("string"), F.lit("$")),
+        )
+        .when(
+            dm == 1,
+            F.concat(F.lit("Allow: /gen/"), F.col("doc_id").cast("string"), F.lit("/pub")),
+        )
+        .otherwise(F.concat(F.lit("# note "), F.col("doc_id").cast("string"))),
+        crlf,
+    )
+    files = (
+        d.select((F.col("doc_id") % 16).alias("host_id"), "doc_id", dl.alias("dl"))
+        .groupBy("host_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "dl"))),
+                    lambda s: s["dl"],
+                ),
+                "",
+            ).alias("tail")
+        )
+        .select("host_id", F.concat(hdr, F.col("tail")).alias("robots_txt"))
+    )
+    return robots_parse(files, "sparkbot")
+
+
 # --- SURT keys + the CDX lookup index ----------------------------------------
 #
 # Common Crawl's per-url lookup layer is the CDX index: every capture

@@ -635,6 +635,23 @@ def test_robots_filter_broadcasts_rules_and_avoids_window(spark):
     assert len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)) <= 2, plan
 
 
+def test_robots_parse_single_pass_host_partitioned(spark):
+    # the whole parse is ONE exchange (hash(host) paid once; the group/
+    # spec/host-max windows all extend it) and ZERO joins — a spec/best
+    # join formulation re-parsed the file three times. Windows partition
+    # by host: per-host line counts are RFC-bounded (500 KiB), never
+    # corpus-sized.
+    plan = plan_of(spark, "crawl_robots_parse")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert "EvalPython" not in plan, plan
+    # every window is host-partitioned — an unpartitioned window would
+    # serialize the corpus through one task
+    for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^,]*),", plan):
+        assert "_host" in m.group(1), m.group(0)
+
+
 def test_dsir_topk_take_ordered_no_window_no_python(spark):
     # selection is TakeOrderedAndProject (never a global sort), the
     # B-bounded log-ratio table broadcasts, and everything stays JVM-side

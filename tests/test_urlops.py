@@ -174,6 +174,78 @@ def test_robots_filter_rfc9309_wildcards(spark):
     assert len(out) == 8
 
 
+def test_robots_parse_grammar_edges(spark):
+    """Parser paths the roundtrip fixture can't isolate: rules BEFORE
+    any user-agent line are ignored (RFC: rules outside a group bind to
+    nothing), UA token matching folds case on BOTH sides, a later
+    same-agent group merges with the earlier one, and a file whose only
+    groups don't match (and no '*') yields zero rules."""
+    import pytest as _pytest
+
+    from ocr_application_spark.operators.urlops import robots_parse
+
+    txt = (
+        "Disallow: /orphan/\r\n"  # before any group: ignored
+        "User-agent: SPARKBOT\r\n"  # uppercase token must still match
+        "Disallow: /a/\r\n"
+        "User-agent: Sparkbot\r\n"  # same agent again: groups merge
+        "Allow: /a/b/\r\n"
+    )
+    df = spark.createDataFrame([(1, txt)], ["host_id", "robots_txt"])
+    rules = {
+        (r.prefix, r.allow) for r in robots_parse(df, "sparkbot").collect()
+    }
+    assert rules == {("/a/", False), ("/a/b/", True)}
+
+    nomatch = "User-agent: otherbot\r\nDisallow: /\r\n"
+    df2 = spark.createDataFrame([(1, nomatch)], ["host_id", "robots_txt"])
+    assert robots_parse(df2, "sparkbot").count() == 0
+
+    with _pytest.raises(ValueError, match="lowercase"):
+        robots_parse(df, "SparkBot")
+
+
+def test_robots_parse_feeds_robots_filter(spark):
+    """End-to-end REP gate: raw robots.txt bytes -> robots_parse ->
+    robots_filter, wildcards included — the two halves compose on the
+    (host, prefix, allow) contract."""
+    from ocr_application_spark.operators.urlops import robots_filter, robots_parse
+
+    txt = (
+        "User-agent: *\r\n"
+        "Disallow: /private/\r\n"
+        "\r\n"
+        "User-agent: sparkbot\r\n"
+        "Disallow: /*?sessionid=\r\n"
+        "Allow: /private/pub/\r\n"
+        "Disallow: /private/\r\n"
+    )
+    robots = spark.createDataFrame([("h", txt)], ["host", "robots_txt"])
+    rules = robots_parse(robots, "sparkbot", host_col="host").select(
+        "host", "prefix", "allow"
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("h", "/private/x"),
+            ("h", "/private/pub/ok"),
+            ("h", "/page?sessionid=1"),
+            ("h", "/open"),
+        ],
+        ["host", "path"],
+    )
+    out = {
+        r.path: r.allowed for r in robots_filter(frontier, rules).collect()
+    }
+    # the sparkbot group won (specificity 8 > '*'), so its allow/deny
+    # card applies — including the wildcard ban
+    assert out == {
+        "/private/x": False,
+        "/private/pub/ok": True,
+        "/page?sessionid=1": False,
+        "/open": True,
+    }
+
+
 # --- SURT keys + the CDX index ------------------------------------------------
 
 SURT_CASES = [
