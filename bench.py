@@ -22,6 +22,24 @@ import shutil
 import sys
 import time
 
+#: extraction task sizing: docs per task at the measured throughput
+#: knee. One task wave (coalesce(cpus)) is fastest ONLY while per-task
+#: docs stay near this budget — at 48k docs / 32 cores (1.5k docs/task)
+#: one wave measured ~1.6x faster than natural splits (dispatch
+#: overhead amortization, PERF.md §3), but at 480k docs the same
+#: coalesce(32) puts 15k docs in each task and throughput COLLAPSES
+#: 12.7k docs/sec vs 83.9k at ~1.9k docs/task (sf1 soak, PERF.md §7:
+#: monotonic across 32/64/96/128/256 tasks). So: never fewer tasks than
+#: cores, roughly _TASK_DOC_BUDGET docs per task above that.
+_TASK_DOC_BUDGET = 1500
+
+
+def extract_tasks(n_docs: int, cpus: int) -> int:
+    """Task count for the extraction stage: full parallelism, capped
+    per-task doc count (see _TASK_DOC_BUDGET)."""
+    waves = max(1, round(n_docs / _TASK_DOC_BUDGET / cpus))
+    return cpus * waves
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,13 +75,14 @@ def main() -> None:
     shutil.rmtree(pages_path, ignore_errors=True)
     try:
         synth_pages(spark, n_docs, slices=max(64, 4 * cpus)).write.parquet(pages_path)
-        # one task wave, sized to cores: at this corpus size per-task
-        # dispatch overhead (~12 ms JVM->python round trip) rivals
-        # per-task compute, so 2 waves of half-size tasks measured ~40%
-        # slower (1.47 s vs 1.02 s at 48k docs / 32 cores). At 100 TB the
-        # natural file splits dwarf dispatch cost and no coalesce is
-        # needed — this is measurement hygiene, not a scale tactic.
-        pages = spark.read.parquet(pages_path).coalesce(cpus)
+        # task count = full parallelism at ~_TASK_DOC_BUDGET docs/task.
+        # At the default sf0.1 this is exactly one wave (the r03
+        # measurement: waves of sub-1.5k-doc tasks eat ~12 ms JVM->python
+        # dispatch each and measured ~40% slower), but one wave is NOT a
+        # scale tactic — the sf1 soak measured coalesce(cpus) collapsing
+        # 7x once tasks carry 15k docs (PERF.md §7), so the budget caps
+        # per-task size instead of pinning one wave.
+        pages = spark.read.parquet(pages_path).coalesce(extract_tasks(n_docs, cpus))
         extract_job = extract_pages(pages).filter(F.col("status") == "success")
         extract_job.count()  # warm (spawn python workers, JIT scan paths)
 

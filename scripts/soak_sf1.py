@@ -71,7 +71,9 @@ def main() -> None:
     gen_secs = time.monotonic() - t0
     emit({"stage": "synth_pages", "n_docs": n_docs, "secs": round(gen_secs, 2)})
 
-    pages = spark.read.parquet(pages_path).coalesce(cpus)
+    from bench import extract_tasks
+
+    pages = spark.read.parquet(pages_path).coalesce(extract_tasks(n_docs, cpus))
     job = extract_pages(pages).filter(F.col("status") == "success")
     job.count()  # warm python workers
     trials = []
