@@ -42,6 +42,8 @@ def _modules():
         heavyhitters,
         kernels_entry,
         lm,
+        pagemeta,
+        param_mining,
         quantile_sketch,
         reference_ops,
         similarity,
@@ -85,6 +87,8 @@ def _modules():
         unicode_norm,
         quantile_sketch,
         charset_sniff,
+        pagemeta,
+        param_mining,
         tpch,
         # groupstats and heavyhitters sit OUTSIDE the driver's 50-slot
         # window by design, like the TPC-H demonstrators: exact
@@ -154,6 +158,9 @@ _WINDOW = (
     "crawl_acquisition_pipeline",
     "warc_response_roundtrip",
     "crawl_robots_parse",  # new r04: robots.txt text -> rules roundtrip
+    "page_meta_extract",  # new r04: head metadata (title/lang/canonical)
+    "page_index_gate",  # new r04: page-level REP verdict (meta + header)
+    "url_param_mining",  # new r04: learned content-neutral param keys
     "dedup_containment",
     "sample_domain_mix",
     "url_holdout_split",
@@ -169,9 +176,6 @@ _WINDOW = (
     "sketch_kmv_merged",
     "link_host_pagerank",
     "forecast_arima_like",
-    "events_asof_profile",
-    "events_interval_overlap",
-    "emb_neardup_multiprobe",
 )
 
 # Names with a green driver row in some prior round (union of

@@ -748,3 +748,29 @@ def test_acquisition_chain_broadcasts_dims_one_politeness_window(spark):
     # the broadcast sides — the data-sized exchange budget is 4
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_ex <= 4, (n_ex, plan)
+
+
+def test_pagemeta_zero_shuffle_scan_fused(spark):
+    # head-metadata extraction and the REP gate are narrow regexp
+    # projections: zero exchanges, no python, fused into the scan —
+    # the property that makes them free at 100 TB
+    for name in ("page_meta_extract", "page_index_gate"):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, (name, plan)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (name, plan)
+        assert "codegen id" in plan, (name, plan)
+
+
+def test_param_mining_three_designed_exchanges(spark):
+    # explode fans out map-side; the dual count-distinct over
+    # (key, residual) plans as Expand + two exchanges (Spark's exact
+    # multi-distinct strategy, each half partially aggregated before
+    # its shuffle), then one tiny per-key exchange. No python, no
+    # window, no join, and every exchange is fed by a partial
+    # HashAggregate (map-side combine).
+    plan = plan_of(spark, "url_param_mining")
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Expand" in plan, plan
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex == 3, (n_ex, plan)
