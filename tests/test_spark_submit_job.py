@@ -485,3 +485,38 @@ def test_spark_submit_warc_input_mode(spark, tmpdir_scratch):
         ]
     )
     assert "committed 0 buckets" in out2
+
+
+def test_spark_submit_export_job(spark, tmpdir_scratch):
+    """Packaged training-shard export via the real spark-submit + zip
+    artifact: summary line parses, manifest verifies against a fresh
+    read of the written shards, budget is honored in expectation."""
+    if not os.path.exists(_SPARK_SUBMIT):
+        pytest.skip("spark-submit binary not found")
+    subprocess.run(["bash", "scripts/package.sh"], cwd="/root/repo", check=True)
+    out = tmpdir_scratch + "/exported"
+    r = subprocess.run(
+        [
+            _SPARK_SUBMIT, "--master", "local[4]",
+            "--py-files", "dist/ocr_application_spark.zip",
+            "jobs/export_job.py",
+            "--input", "/root/testdata/sf0.001",
+            "--output", out,
+            "--shards", "4", "--seq-len", "256",
+            "--token-budget", "15000",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith('{"n_docs_in"')][-1]
+    )
+    assert summary["n_docs_in"] == 500
+    assert 15000 / 2 <= summary["n_tokens"] <= 15000 * 2
+    with open(out + "/manifest.json") as fh:
+        manifest = json.load(fh)
+    assert len(manifest["shards"]) == 4
+    from jobs.export_job import shard_manifest
+
+    reread = shard_manifest(spark.read.parquet(out + "/shards"))
+    assert reread == manifest["shards"]
