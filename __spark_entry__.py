@@ -50,6 +50,7 @@ def _modules():
         sketches,
         skew,
         snapshots_entry,
+        structdata,
         sweep_merge,
         tarification_entry,
         textfns,
@@ -69,6 +70,7 @@ def _modules():
         urlops,
         tarification_entry,
         snapshots_entry,
+        structdata,
         sweep_merge,
         ann_ivf,
         ann_pq,
@@ -161,6 +163,8 @@ _WINDOW = (
     "page_meta_extract",  # new r04: head metadata (title/lang/canonical)
     "page_index_gate",  # new r04: page-level REP verdict (meta + header)
     "url_param_mining",  # new r04: learned content-neutral param keys
+    "page_og_extract",  # new r04: Open Graph meta extraction
+    "page_jsonld_extract",  # new r04: JSON-LD structured-data extraction
     "dedup_containment",
     "sample_domain_mix",
     "url_holdout_split",
@@ -174,8 +178,6 @@ _WINDOW = (
     "snapshot_merge_upsert",
     "ann_ivf_exhaustive",
     "sketch_kmv_merged",
-    "link_host_pagerank",
-    "forecast_arima_like",
 )
 
 # Names with a green driver row in some prior round (union of

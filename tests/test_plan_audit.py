@@ -761,6 +761,16 @@ def test_pagemeta_zero_shuffle_scan_fused(spark):
         assert "codegen id" in plan, (name, plan)
 
 
+def test_structdata_zero_shuffle_scan_fused(spark):
+    # OG + JSON-LD extraction are narrow regexp/json-path projections:
+    # zero exchanges, no python, fused into the scan — free at 100 TB
+    for name in ("page_og_extract", "page_jsonld_extract"):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, (name, plan)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (name, plan)
+        assert "codegen id" in plan, (name, plan)
+
+
 def test_param_mining_three_designed_exchanges(spark):
     # explode fans out map-side; the dual count-distinct over
     # (key, residual) plans as Expand + two exchanges (Spark's exact
