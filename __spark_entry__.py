@@ -40,6 +40,7 @@ def _modules():
         forecast,
         groupstats,
         heavyhitters,
+        htmltables,
         kernels_entry,
         lm,
         pagemeta,
@@ -71,6 +72,7 @@ def _modules():
         tarification_entry,
         snapshots_entry,
         structdata,
+        htmltables,
         sweep_merge,
         ann_ivf,
         ann_pq,
@@ -165,6 +167,7 @@ _WINDOW = (
     "url_param_mining",  # new r04: learned content-neutral param keys
     "page_og_extract",  # new r04: Open Graph meta extraction
     "page_jsonld_extract",  # new r04: JSON-LD structured-data extraction
+    "html_table_extract",  # new r04: <table> markup -> cell rows (K3 analog)
     "dedup_containment",
     "sample_domain_mix",
     "url_holdout_split",
@@ -177,7 +180,6 @@ _WINDOW = (
     "tarification_pipeline",
     "snapshot_merge_upsert",
     "ann_ivf_exhaustive",
-    "sketch_kmv_merged",
 )
 
 # Names with a green driver row in some prior round (union of

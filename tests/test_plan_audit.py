@@ -771,6 +771,15 @@ def test_structdata_zero_shuffle_scan_fused(spark):
         assert "codegen id" in plan, (name, plan)
 
 
+def test_htmltables_zero_shuffle_generate_chain(spark):
+    # three posexplode levels are all narrow (Generate nodes): the cell
+    # fan-out costs rows, never a shuffle — zero exchanges, no python
+    plan = plan_of(spark, "html_table_extract")
+    assert "EvalPython" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 3, plan
+
+
 def test_param_mining_three_designed_exchanges(spark):
     # explode fans out map-side; the dual count-distinct over
     # (key, residual) plans as Expand + two exchanges (Spark's exact
