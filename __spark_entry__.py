@@ -33,6 +33,7 @@ def _modules():
         ann_pq,
         asof,
         buckets_entry,
+        cachehdr,
         charset_sniff,
         curation,
         dedup,
@@ -69,6 +70,7 @@ def _modules():
     return [
         kernels_entry,
         urlops,
+        cachehdr,
         tarification_entry,
         snapshots_entry,
         structdata,
@@ -168,6 +170,7 @@ _WINDOW = (
     "page_og_extract",  # new r04: Open Graph meta extraction
     "page_jsonld_extract",  # new r04: JSON-LD structured-data extraction
     "html_table_extract",  # new r04: <table> markup -> cell rows (K3 analog)
+    "crawl_cache_headers",  # new r04: RFC 9111 freshness -> next-fetch plan
     "dedup_containment",
     "sample_domain_mix",
     "url_holdout_split",
@@ -179,7 +182,6 @@ _WINDOW = (
     "kernel_normalize",
     "tarification_pipeline",
     "snapshot_merge_upsert",
-    "ann_ivf_exhaustive",
 )
 
 # Names with a green driver row in some prior round (union of

@@ -780,6 +780,15 @@ def test_htmltables_zero_shuffle_generate_chain(spark):
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 3, plan
 
 
+def test_cachehdr_zero_shuffle_scan_fused(spark):
+    # the freshness verdict is integer arithmetic + regex over the fetch
+    # log: zero exchanges, no python, fused into the scan
+    plan = plan_of(spark, "crawl_cache_headers")
+    assert "EvalPython" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "codegen id" in plan, plan
+
+
 def test_param_mining_three_designed_exchanges(spark):
     # explode fans out map-side; the dual count-distinct over
     # (key, residual) plans as Expand + two exchanges (Spark's exact
