@@ -47,6 +47,7 @@ def _modules():
         pagemeta,
         param_mining,
         quantile_sketch,
+        redirects,
         reference_ops,
         similarity,
         sketches,
@@ -71,6 +72,7 @@ def _modules():
         kernels_entry,
         urlops,
         cachehdr,
+        redirects,
         tarification_entry,
         snapshots_entry,
         structdata,
@@ -171,6 +173,7 @@ _WINDOW = (
     "page_jsonld_extract",  # new r04: JSON-LD structured-data extraction
     "html_table_extract",  # new r04: <table> markup -> cell rows (K3 analog)
     "crawl_cache_headers",  # new r04: RFC 9111 freshness -> next-fetch plan
+    "url_redirect_resolve",  # new r04: pointer-doubling redirect chains
     "dedup_containment",
     "sample_domain_mix",
     "url_holdout_split",
@@ -181,7 +184,6 @@ _WINDOW = (
     "classify_docwrap",
     "kernel_normalize",
     "tarification_pipeline",
-    "snapshot_merge_upsert",
 )
 
 # Names with a green driver row in some prior round (union of

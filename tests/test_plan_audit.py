@@ -789,6 +789,15 @@ def test_cachehdr_zero_shuffle_scan_fused(spark):
     assert "codegen id" in plan, plan
 
 
+def test_redirect_resolve_equijoins_only(spark):
+    # pointer doubling = seed + 3 composition rounds, all equi-joins a
+    # shuffle planner can hash — never a cartesian/BNLJ, no python
+    plan = plan_of(spark, "url_redirect_resolve")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_param_mining_three_designed_exchanges(spark):
     # explode fans out map-side; the dual count-distinct over
     # (key, residual) plans as Expand + two exchanges (Spark's exact
