@@ -38,6 +38,7 @@ def _modules():
         curation,
         dedup,
         entropy,
+        feeds,
         forecast,
         groupstats,
         heavyhitters,
@@ -73,6 +74,7 @@ def _modules():
         urlops,
         cachehdr,
         redirects,
+        feeds,
         tarification_entry,
         snapshots_entry,
         structdata,
@@ -174,6 +176,8 @@ _WINDOW = (
     "html_table_extract",  # new r04: <table> markup -> cell rows (K3 analog)
     "crawl_cache_headers",  # new r04: RFC 9111 freshness -> next-fetch plan
     "url_redirect_resolve",  # new r04: pointer-doubling redirect chains
+    "crawl_feed_discover",  # new r04: RSS/Atom <link> adverts in HTML heads
+    "crawl_feed_parse",  # new r04: feed XML -> entries (RFC-822/ISO dates)
     "dedup_containment",
     "sample_domain_mix",
     "url_holdout_split",
@@ -182,8 +186,6 @@ _WINDOW = (
     # fills (r03-green flagships; new r04 ops displace from the bottom up)
     "streaming_extract_digest",
     "classify_docwrap",
-    "kernel_normalize",
-    "tarification_pipeline",
 )
 
 # Names with a green driver row in some prior round (union of

@@ -811,3 +811,15 @@ def test_param_mining_three_designed_exchanges(spark):
     assert "Expand" in plan, plan
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_ex == 3, (n_ex, plan)
+
+
+def test_feeds_zero_shuffle_generate(spark):
+    # feed discovery and entry parsing are each scan + one posexplode
+    # (Generate) + narrow regex/date projections: zero exchanges, no
+    # python — fan-out proportional to feed links / entries, the only
+    # cost an explode should have at 100 TB
+    for name in ("crawl_feed_discover", "crawl_feed_parse"):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, (name, plan)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (name, plan)
+        assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, (name, plan)
