@@ -183,9 +183,9 @@ _WINDOW = (
     "url_holdout_split",
     "sketch_kmv_distinct",
     "warc_wet_roundtrip",
+    "warc_revisit_resolve",  # new r04: revisit-record parse + as-of digest resolve
     # fills (r03-green flagships; new r04 ops displace from the bottom up)
     "streaming_extract_digest",
-    "classify_docwrap",
 )
 
 # Names with a green driver row in some prior round (union of

@@ -168,3 +168,136 @@ def warc_response_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.col("body")).alias("body_hex"),
         "status",
     )
+
+
+# --- revisit records: the crawl-side dedup undo ---------------------------------
+# Common Crawl stores a payload ONCE and writes ``WARC-Type: revisit``
+# for every later capture with the same digest (WARC 1.1 §6.7.2). The
+# gate drives the whole loop: every doc becomes a response record; every
+# third doc gets a SECOND capture at a later date under a DIFFERENT url
+# (the URL-agnostic dedup case) carried as a revisit record whose
+# WARC-Payload-Digest is the sha-256 of the original body — except every
+# 17th, whose digest is corrupted (hash of body||'X') and must surface
+# as 'revisit:unresolved' with NULL payload facts, and every 2nd, which
+# omits the advisory WARC-Refers-To headers (the digest alone resolves).
+# The oracle rebuilds the logical capture set straight from documents —
+# digests never cross the engine boundary (each side's digest join is
+# internally consistent, and sha-256 equality == byte equality), so the
+# compare pins builder framing, the unified parse kernel, AND the
+# as-of digest-join resolution.
+
+_REVISIT_ORACLE = """
+    with resp as (
+      select doc_id,
+             'https://host' || cast(doc_id % 256 as varchar)
+               || '.example/doc/' || cast(doc_id as varchar) as url,
+             '2024-01-' || lpad(cast(1 + doc_id % 28 as varchar), 2, '0')
+               || 'T00:00:00Z' as warc_date,
+             substr(text, 1, 120) as body_s
+      from documents
+    ),
+    respd as (
+      select url, warc_date, body_s,
+             'sha-256:' || sha256(body_s) as digest
+      from resp
+    ),
+    rev as (
+      select url || '?ref=feed' as url,
+             '2024-02-' || lpad(cast(1 + doc_id % 28 as varchar), 2, '0')
+               || 'T00:00:00Z' as warc_date,
+             case when doc_id % 17 = 0
+                  then 'sha-256:' || sha256(body_s || 'X')
+                  else 'sha-256:' || sha256(body_s) end as digest
+      from resp where doc_id % 3 = 0
+    ),
+    cand as (
+      select v.url, v.warc_date,
+             p.warc_date as p_date, p.url as p_url, p.body_s as p_body,
+             row_number() over (partition by v.url, v.warc_date
+                                order by p.warc_date desc, p.url desc) as rn
+      from rev v join respd p
+        on p.digest = v.digest and p.warc_date <= v.warc_date
+    )
+    select url, warc_date, 'response' as via, 200 as http_status,
+           'text/html; charset=utf-8' as content_type,
+           cast(octet_length(encode(body_s)) as bigint) as n_bytes,
+           hex(encode(body_s)) as body_hex,
+           cast(null as varchar) as src_url,
+           cast(null as varchar) as src_date
+    from respd
+    union all
+    select v.url, v.warc_date,
+           case when c.p_url is null then 'revisit:unresolved'
+                else 'revisit' end as via,
+           200 as http_status,
+           case when c.p_url is null then cast(null as varchar)
+                else 'text/html; charset=utf-8' end as content_type,
+           cast(octet_length(encode(c.p_body)) as bigint) as n_bytes,
+           hex(encode(c.p_body)) as body_hex,
+           c.p_url as src_url, c.p_date as src_date
+    from rev v left join (select * from cand where rn = 1) c
+      on c.url = v.url and c.warc_date = v.warc_date
+"""
+
+
+@_q("warc_revisit_resolve", _REVISIT_ORACLE)
+def warc_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> mixed response+revisit segments -> unified parse
+    kernel -> as-of digest-join resolution (see section comment)."""
+    from ocr_application_spark.sources.warc import (
+        pack_record_segments,
+        parse_warc_record_segments,
+        resolve_revisits,
+        warc_response_record_col,
+        warc_revisit_record_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://host"), (d % 256).cast("string"),
+        F.lit(".example/doc/"), d.cast("string"),
+    )
+    jan = F.concat(
+        F.lit("2024-01-"), F.lpad((1 + d % 28).cast("string"), 2, "0"),
+        F.lit("T00:00:00Z"),
+    )
+    feb = F.concat(
+        F.lit("2024-02-"), F.lpad((1 + d % 28).cast("string"), 2, "0"),
+        F.lit("T00:00:00Z"),
+    )
+    body = F.encode(F.substring("text", 1, 120), "UTF-8")
+    resp_recs = docs.select(
+        url.alias("url"),
+        warc_response_record_col(
+            url, jan, F.lit(200), F.lit("OK"),
+            F.lit("text/html; charset=utf-8"), body,
+        ).alias("rec"),
+    )
+    digest = F.concat(
+        F.lit("sha-256:"),
+        F.when(
+            d % 17 == 0,
+            F.sha2(F.concat(body, F.encode(F.lit("X"), "UTF-8")), 256),
+        ).otherwise(F.sha2(body, 256)),
+    )
+    rev_recs = docs.where(d % 3 == 0).select(
+        F.concat(url, F.lit("?ref=feed")).alias("url"),
+        warc_revisit_record_col(
+            F.concat(url, F.lit("?ref=feed")),
+            feb,
+            digest,
+            F.when(d % 2 != 0, url),
+            F.when(d % 2 != 0, jan),
+            F.lit(200),
+            F.lit("OK"),
+        ).alias("rec"),
+    )
+    segs = pack_record_segments(resp_recs.unionByName(rev_recs), n_segments=32)
+    out = resolve_revisits(parse_warc_record_segments(segs))
+    return out.select(
+        "url", "warc_date", "via", "http_status", "content_type",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.hex(F.col("body")).alias("body_hex"),
+        "src_url", "src_date",
+    )

@@ -823,3 +823,21 @@ def test_feeds_zero_shuffle_generate(spark):
         assert "EvalPython" not in plan, (name, plan)
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (name, plan)
         assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, (name, plan)
+
+
+def test_warc_revisit_resolve_digest_equijoin_no_cartesian(spark):
+    # the as-of resolution is ONE equi-join on the digest key (the date
+    # bound rides as a join residual, never a cartesian/BNLJ) followed
+    # by a partial-aggregable max_by struct — no window over the joined
+    # pairs. The parse kernel is referenced three times (pass-through,
+    # join pool, revisit side) so resolve_revisits localCheckpoints it:
+    # the resolve plan must read the materialized rows (no MapInPandas,
+    # no parquet re-scan) — the parse runs exactly once, in the
+    # checkpoint job
+    plan = plan_of(spark, "warc_revisit_resolve")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan, plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan

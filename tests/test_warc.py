@@ -342,3 +342,178 @@ def test_warc_to_pages_feeds_extraction(spark):
     assert row["warc_ts"] is not None
     out = extract_pages(pages).collect()
     assert len(out) == 1 and out[0]["status"] == "success"
+
+
+# --- revisit records: the crawl-side dedup undo ---------------------------------
+import hashlib  # noqa: E402
+
+from ocr_application_spark.sources.warc import (  # noqa: E402
+    pack_record_segments,
+    parse_warc_record_segments,
+    parse_warc_records,
+    resolve_revisits,
+)
+
+
+def _sha(b: bytes) -> str:
+    return "sha-256:" + hashlib.sha256(b).hexdigest()
+
+
+def _revisit_record(url, date, digest=None, *, refers_uri=None, refers_date=None,
+                    status=b"200 OK"):
+    """Independent hand-rolled revisit builder (never the Spark builder)."""
+    http = b"HTTP/1.1 " + status + b"\r\nContent-Length: 0\r\n\r\n"
+    hdrs = (b"WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: " + url
+            + b"\r\nWARC-Date: " + date
+            + b"\r\nWARC-Profile: "
+            + b"http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")
+    if digest is not None:
+        hdrs += b"\r\nWARC-Payload-Digest: " + digest
+    if refers_uri is not None:
+        hdrs += b"\r\nWARC-Refers-To-Target-URI: " + refers_uri
+    if refers_date is not None:
+        hdrs += b"\r\nWARC-Refers-To-Date: " + refers_date
+    return (hdrs + b"\r\nContent-Length: " + str(len(http)).encode()
+            + b"\r\n\r\n" + http + b"\r\n\r\n")
+
+
+def test_revisit_record_parses_and_is_invisible_to_response_view():
+    seg = (_resp_record(b"https://a", b"2024-01-01T00:00:00Z", b"hello")
+           + _revisit_record(b"https://b", b"2024-02-01T00:00:00Z",
+                             _sha(b"hello").encode(),
+                             refers_uri=b"https://a",
+                             refers_date=b"2024-01-01T00:00:00Z"))
+    rows = parse_warc_records(seg)
+    assert [r["rec_type"] for r in rows] == ["response", "revisit"]
+    rv = rows[1]
+    assert rv["status"] == "ok" and rv["payload_digest"] == _sha(b"hello")
+    assert rv["refers_to_uri"] == "https://a"
+    assert rv["refers_to_date"] == "2024-01-01T00:00:00Z"
+    assert rv["body"] is None and rv["n_bytes"] is None
+    assert rv["http_status"] == 200
+    # byte-identical response view: the revisit row never surfaces there
+    resp = parse_warc_response_bytes(seg)
+    assert [r["url"] for r in resp] == ["https://a"]
+
+
+def test_revisit_without_digest_quarantines_walk_continues():
+    seg = (_revisit_record(b"https://nodigest", b"2024-02-01T00:00:00Z", None)
+           + _resp_record(b"https://a", b"2024-01-01T00:00:00Z", b"hi"))
+    rows = parse_warc_records(seg)
+    assert rows[0]["status"].startswith("malformed:revisit-digest")
+    assert rows[0]["rec_type"] == "revisit"
+    assert rows[1]["status"] == "ok" and rows[1]["url"] == "https://a"
+    # the quarantined revisit belongs to the revisit view only
+    assert [r["url"] for r in parse_warc_response_bytes(seg)] == ["https://a"]
+
+
+def test_revisit_optional_refers_headers_are_null_not_required():
+    rows = parse_warc_records(
+        _revisit_record(b"https://r", b"2024-02-01T00:00:00Z", b"sha-256:ff")
+    )
+    assert rows[0]["status"] == "ok"
+    assert rows[0]["refers_to_uri"] is None and rows[0]["refers_to_date"] is None
+
+
+def test_revisit_bad_refers_date_nulls_field_keeps_record():
+    rows = parse_warc_records(
+        _revisit_record(b"https://r", b"2024-02-01T00:00:00Z", b"sha-256:ff",
+                        refers_date=b"NOT A DATE")
+    )
+    assert rows[0]["status"] == "ok" and rows[0]["refers_to_date"] is None
+
+
+def _parsed_df(spark, rows):
+    import pandas as pd
+
+    from ocr_application_spark.sources.warc import RECORDS_SCHEMA
+
+    cols = ["seg", "rec_type", "url", "warc_date", "http_status", "content_type",
+            "body", "n_bytes", "payload_digest", "refers_to_uri",
+            "refers_to_date", "status"]
+    base = {c: None for c in cols} | {"seg": 0, "status": "ok"}
+    return spark.createDataFrame(
+        pd.DataFrame([base | r for r in rows], columns=cols), schema=RECORDS_SCHEMA
+    )
+
+
+def test_resolve_revisits_asof_latest_not_future(spark):
+    body = b"same payload"
+    dg = _sha(body)
+    resp = [
+        {"rec_type": "response", "url": f"https://cap{i}", "body": body,
+         "n_bytes": len(body), "http_status": 200, "content_type": "text/html",
+         "warc_date": f"2024-01-0{i}T00:00:00Z"}
+        for i in (1, 2, 4)
+    ]
+    revs = [
+        # between captures 2 and 4: must pick 2, never the future 4
+        {"rec_type": "revisit", "url": "https://dup/mid", "http_status": 200,
+         "warc_date": "2024-01-03T00:00:00Z", "payload_digest": dg},
+        # before every capture: unresolved even though the digest exists
+        {"rec_type": "revisit", "url": "https://dup/early", "http_status": 200,
+         "warc_date": "2023-12-31T00:00:00Z", "payload_digest": dg},
+        # digest that matches nothing
+        {"rec_type": "revisit", "url": "https://dup/dangling", "http_status": 200,
+         "warc_date": "2024-01-03T00:00:00Z", "payload_digest": _sha(b"other")},
+    ]
+    out = {r["url"]: r for r in resolve_revisits(_parsed_df(spark, resp + revs)).collect()}
+    assert len(out) == 6
+    mid = out["https://dup/mid"]
+    assert mid["via"] == "revisit" and mid["src_url"] == "https://cap2"
+    assert bytes(mid["body"]) == body and mid["n_bytes"] == len(body)
+    assert out["https://dup/early"]["via"] == "revisit:unresolved"
+    assert out["https://dup/early"]["body"] is None
+    assert out["https://dup/dangling"]["via"] == "revisit:unresolved"
+    assert all(out[f"https://cap{i}"]["via"] == "response" for i in (1, 2, 4))
+
+
+def test_resolve_revisits_tie_breaks_by_url(spark):
+    body = b"tie"
+    resp = [
+        {"rec_type": "response", "url": u, "body": body, "n_bytes": len(body),
+         "http_status": 200, "content_type": "text/html",
+         "warc_date": "2024-01-01T00:00:00Z"}
+        for u in ("https://a", "https://z", "https://m")
+    ]
+    revs = [{"rec_type": "revisit", "url": "https://dup", "http_status": 200,
+             "warc_date": "2024-02-01T00:00:00Z", "payload_digest": _sha(body)}]
+    out = {r["url"]: r for r in resolve_revisits(_parsed_df(spark, resp + revs)).collect()}
+    assert out["https://dup"]["src_url"] == "https://z"
+
+
+def test_revisit_spark_kernel_matches_python_spec(spark):
+    import pandas as pd
+
+    body = "<html>revisit me</html>".encode()
+    seg = (_resp_record(b"https://orig", b"2024-01-01T00:00:00Z", body)
+           + _revisit_record(b"https://again", b"2024-03-01T00:00:00Z",
+                             _sha(body).encode(), refers_uri=b"https://orig")
+           + _revisit_record(b"https://broken", b"2024-03-01T00:00:00Z", None))
+    expected = parse_warc_records(seg)
+    got = (
+        parse_warc_record_segments(
+            spark.createDataFrame(pd.DataFrame([(0, seg)], columns=["seg", "payload"]))
+        )
+        .orderBy("url")
+        .collect()
+    )
+    assert len(got) == len(expected) == 3
+    exp_sorted = sorted(expected, key=lambda r: (r["url"] is None, r["url"] or ""))
+    got_sorted = sorted(got, key=lambda r: (r["url"] is None, r["url"] or ""))
+    for g, e in zip(got_sorted, exp_sorted):
+        for k in ("rec_type", "url", "warc_date", "http_status", "payload_digest",
+                  "refers_to_uri", "status"):
+            assert g[k] == e[k], (k, g[k], e[k])
+
+
+def test_pack_record_segments_rejects_null_record(spark):
+    import pandas as pd
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        pd.DataFrame([("https://a", None)], columns=["url", "rec"])
+    ).selectExpr("url", "cast(rec as binary) as rec")
+    with _pytest.raises(Exception, match="NULL record"):
+        pack_record_segments(df, n_segments=1).collect()
