@@ -184,8 +184,7 @@ _WINDOW = (
     "sketch_kmv_distinct",
     "warc_wet_roundtrip",
     "warc_revisit_resolve",  # new r04: revisit-record parse + as-of digest resolve
-    # fills (r03-green flagships; new r04 ops displace from the bottom up)
-    "streaming_extract_digest",
+    "text_lang_segments",  # new r04: per-line langid -> same-language islands
 )
 
 # Names with a green driver row in some prior round (union of

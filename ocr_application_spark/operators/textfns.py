@@ -112,6 +112,122 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-line language segmentation ---------------------------------------------
+# CCNet classifies language below the document level (per paragraph)
+# because web pages routinely interleave languages — nav chrome in one,
+# body in another — and a doc-level label either drops the page or
+# keeps the wrong half. This op labels every LINE with the stopword
+# heuristic (integer comparison 100*n_stop >= 8*n_tok — the exact-ratio
+# discipline: never a cross-engine float compare) and collapses
+# consecutive same-language lines into segments (gaps-and-islands), so
+# a curation pass can keep the en-like islands of a mixed page.
+#
+# Scale shape: ZERO exchanges — langs/starts/segments are built
+# array-side per row (the winnowing rewrite's discipline) and the only
+# plan node beyond the pruned scan is one narrow Generate (posexplode
+# of the per-doc segment array). Each line is touched O(1) times: the
+# boundary list drives disjoint slices, never a per-line prefix scan.
+# The oracle deliberately uses the explode + lag-window formulation, so
+# agreement checks the islands SEMANTICS, not the plan.
+
+_LANGSEG_ORACLE = f"""
+    with t as (
+      select doc_id, string_split(text, chr(10)) as ls
+      from documents where text is not null
+    ),
+    lines as (
+      select doc_id, u.idx - 1 as line_idx, u.line as line
+      from (
+        select doc_id,
+               unnest(list_transform(ls, (x, i) -> {{'idx': i, 'line': x}})) as u
+        from t
+      )
+    ),
+    lng as (
+      select doc_id, line_idx, line,
+             case when 100 * len(list_filter(string_split(line, ' '),
+                                             x -> x in {_STOPWORDS}))
+                       >= 8 * len(string_split(line, ' '))
+                  then 'en-like' else 'other' end as lang
+      from lines
+    ),
+    flags as (
+      select doc_id, line_idx, line, lang,
+             case when lag(lang) over w is null
+                       or lag(lang) over w != lang then 1 else 0 end as chg
+      from lng window w as (partition by doc_id order by line_idx)
+    ),
+    segs as (
+      select doc_id, line_idx, line, lang,
+             cast(sum(chg) over (partition by doc_id order by line_idx
+                                 rows unbounded preceding) as bigint) - 1 as seg_idx
+      from flags
+    )
+    select doc_id, seg_idx, lang,
+           cast(min(line_idx) as bigint) as start_line,
+           cast(count(*) as bigint) as n_lines,
+           cast(sum(length(line)) as bigint) as n_chars
+    from segs group by doc_id, seg_idx, lang
+"""
+
+
+def lang_segments(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text) -> one row per contiguous same-language
+    line run: (doc_id, seg_idx, lang, start_line, n_lines, n_chars).
+    See section comment for semantics and the zero-exchange shape."""
+    ls = F.split(F.col("text"), "\n")
+    t = docs.where(F.col("text").isNotNull()).select("doc_id", ls.alias("ls"))
+    lang_of = lambda x: (  # noqa: E731
+        F.when(
+            F.size(F.filter(F.split(x, " "), lambda w: w.isin(*_STOPWORDS))) * 100
+            >= F.size(F.split(x, " ")) * 8,
+            F.lit("en-like"),
+        ).otherwise(F.lit("other"))
+    )
+    t = t.select("doc_id", "ls", F.transform("ls", lang_of).alias("langs"))
+    # 0-based boundary indices: line 0, plus every lang flip
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size("ls") - 1),
+        lambda i: (i == 0)
+        | (F.element_at("langs", i + 1) != F.element_at("langs", i)),
+    )
+    t = t.select("doc_id", "ls", "langs", starts.alias("starts"))
+    # one struct per segment; the NEXT boundary (or the array end) closes it
+    seg = lambda s, k: F.struct(  # noqa: E731
+        k.cast("long").alias("seg_idx"),
+        F.element_at("langs", s + 1).alias("lang"),
+        s.cast("long").alias("start_line"),
+        (
+            F.when(k + 2 <= F.size("starts"), F.element_at("starts", k + 2))
+            .otherwise(F.size("ls"))
+            - s
+        )
+        .cast("long")
+        .alias("n_lines"),
+        F.aggregate(
+            F.slice(
+                "ls",
+                s + 1,
+                F.when(k + 2 <= F.size("starts"), F.element_at("starts", k + 2))
+                .otherwise(F.size("ls"))
+                - s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        ).alias("n_chars"),
+    )
+    segs = t.select("doc_id", F.explode(F.transform("starts", seg)).alias("s"))
+    return segs.select(
+        "doc_id", "s.seg_idx", "s.lang", "s.start_line", "s.n_lines", "s.n_chars"
+    )
+
+
+@_q("text_lang_segments", _LANGSEG_ORACLE)
+def text_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-line language ID -> contiguous same-language segments."""
+    return lang_segments(_docs(spark, sf_dir))
+
+
 # --- quality scoring ----------------------------------------------------------------
 @_q(
     "text_quality_score",

@@ -1,0 +1,73 @@
+"""Per-line language segmentation (textfns.lang_segments): islands
+semantics on hand-built mixed pages; the gate query's oracle parity
+runs in test_oracle_parity (both SFs at round close)."""
+
+import pandas as pd
+
+from ocr_application_spark.operators.textfns import lang_segments
+
+EN = "the cat sat of the mat and went to a nap"      # stopword-dense
+XX = "zzz qqq rrr sss ttt uuu vvv www"               # no stopwords
+
+
+def _segs(spark, texts):
+    docs = spark.createDataFrame(
+        pd.DataFrame([(i, t) for i, t in enumerate(texts)], columns=["doc_id", "text"])
+    )
+    out = {}
+    for r in lang_segments(docs).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["seg_idx"], r["lang"], r["start_line"], r["n_lines"], r["n_chars"])
+        )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_islands_collapse_and_boundaries(spark):
+    text = "\n".join([EN, EN, XX, XX, XX, EN])
+    segs = _segs(spark, [text])[0]
+    assert segs == [
+        (0, "en-like", 0, 2, 2 * len(EN)),
+        (1, "other", 2, 3, 3 * len(XX)),
+        (2, "en-like", 5, 1, len(EN)),
+    ]
+
+
+def test_single_language_page_is_one_segment(spark):
+    segs = _segs(spark, ["\n".join([EN] * 4)])[0]
+    assert segs == [(0, "en-like", 0, 4, 4 * len(EN))]
+
+
+def test_alternating_lines_one_segment_each(spark):
+    segs = _segs(spark, ["\n".join([EN, XX, EN, XX])])[0]
+    assert len(segs) == 4
+    assert [s[1] for s in segs] == ["en-like", "other", "en-like", "other"]
+    assert [s[3] for s in segs] == [1, 1, 1, 1]
+
+
+def test_empty_text_and_null_text(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame([(0, ""), (1, None), (2, EN)], columns=["doc_id", "text"])
+    )
+    rows = lang_segments(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # empty text = one empty 'other' line; NULL text emits nothing
+    assert len(by_doc[0]) == 1 and by_doc[0][0]["lang"] == "other"
+    assert by_doc[0][0]["n_chars"] == 0
+    assert 1 not in by_doc
+    assert by_doc[2][0]["lang"] == "en-like"
+
+
+def test_trailing_newline_yields_empty_tail_line(spark):
+    segs = _segs(spark, [EN + "\n"])[0]
+    # split keeps the empty tail: en-like line 0, other (empty) line 1
+    assert segs == [(0, "en-like", 0, 1, len(EN)), (1, "other", 1, 1, 0)]
+
+
+def test_line_threshold_is_eight_percent_exact(spark):
+    # exactly 8%: 2 stopwords in 25 tokens -> en-like (>=, not >)
+    at = " ".join(["the", "of"] + ["w"] * 23)
+    below = " ".join(["the", "of"] + ["w"] * 24)  # 2/26 < 8%
+    segs = _segs(spark, ["\n".join([at, below])])[0]
+    assert [s[1] for s in segs] == ["en-like", "other"]

@@ -841,3 +841,17 @@ def test_warc_revisit_resolve_digest_equijoin_no_cartesian(spark):
     assert "EvalPython" not in plan and "ArrowEval" not in plan
     assert "Scan parquet" not in plan, plan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_lang_segments_zero_exchange_one_generate(spark):
+    # langs/boundaries/segments are built array-side per row: the only
+    # plan nodes beyond the pruned scan are projections and ONE narrow
+    # Generate (posexplode of the per-doc segment array) — no exchange,
+    # no window, no Python
+    plan = plan_of(spark, "text_lang_segments")
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id", "text"}
