@@ -238,6 +238,14 @@ _PRIOR_DRIVER_GREEN = (
 # pytest already pins each one.
 _ROWS_ONLY_BY_DESIGN = ("text_compression_ratio", "ann_pq_topk", "ann_ivf_topk")
 
+# New r04 ops that landed AFTER the 50-slot window filled (every slot is
+# held by an anchor, a this-round oracle fix, one of the 28 rotate-ins,
+# or an earlier r04 op). Each runs the driver-identical oracle compare
+# at sf0.001 (test_oracle_parity) AND at the driver's sf0.01
+# (test_oracle_parity_sf01 STALE_OUTSIDE) every pytest run; rotate them
+# into the r05 window.
+_NEW_R04_OUTSIDE = ("url_sitemap_index",)
+
 
 def _rotate(entries: dict) -> dict:
     front = {n: entries[n] for n in _WINDOW if n in entries}

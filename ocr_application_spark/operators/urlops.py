@@ -1318,6 +1318,196 @@ def url_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sitemap INDEX nesting (sitemaps.org two-level layout) ----------------------
+# Real sitemaps nest: the 50k-entry/50MB caps force large sites to ship
+# a <sitemapindex> of child sitemap files, so discovery is a two-level
+# walk — parse the index, fetch each child, parse its <urlset>. The
+# fixture builds both levels deterministically from `documents`
+# (host = doc_id % 256, child section = doc_id % 4; the child's
+# index-advertised lastmod is the max of its entries), then walks them
+# back: index parse -> child-url equi-join -> entry parse. Every fifth
+# host's index also advertises a child that does NOT exist (the fetch
+# that 404'd) — it must surface as one 'missing-child' row, never
+# vanish (explode_outer / left-join discipline), because a crawler
+# that silently drops dead children under-counts its frontier.
+# Build-then-parse in BOTH engines: agreement pins the two parsers and
+# the resolve join, not the fixture. Scale shape: two keyed
+# aggregations + one equi-join on child_url (globally unique, no skew);
+# regexp work is per-row, plan-asserted no cartesian / no Python.
+
+_SITEMAP_INDEX_ORACLE = f"""
+    with e as (
+      select doc_id, doc_id % 256 as host_id, doc_id % 4 as sec,
+             {_SMAP_ENTRY_SQL} as entry, {_LASTMOD_SQL} as lastmod
+      from documents
+    ),
+    ch as (
+      select host_id, sec,
+             'https://host' || cast(host_id as varchar) || '.example/sitemap-'
+               || cast(sec as varchar) || '.xml' as child_url,
+             '<?xml version="1.0"?><urlset>'
+               || string_agg(entry, '' order by doc_id) || '</urlset>' as xml,
+             max(lastmod) as child_lastmod
+      from e group by host_id, sec
+    ),
+    ix as (
+      select host_id,
+             '<?xml version="1.0"?><sitemapindex>'
+             || string_agg('<sitemap><loc>' || child_url || '</loc><lastmod>'
+                           || child_lastmod || '</lastmod></sitemap>',
+                           '' order by sec)
+             || case when host_id % 5 = 0
+                     then '<sitemap><loc>https://host' || cast(host_id as varchar)
+                          || '.example/sitemap-9.xml</loc>'
+                          || '<lastmod>2024-01-01</lastmod></sitemap>'
+                     else '' end
+             || '</sitemapindex>' as ixml
+      from ch group by host_id
+    ),
+    refp as (
+      select host_id,
+             regexp_extract(r, '<loc>(.*?)</loc>', 1) as child_url,
+             regexp_extract(r, '<lastmod>(.*?)</lastmod>', 1) as child_lastmod
+      from (
+        select host_id,
+               unnest(regexp_extract_all(ixml, '<sitemap>(.*?)</sitemap>', 1)) as r
+        from ix
+      )
+    ),
+    joined as (
+      select rp.host_id, rp.child_url, rp.child_lastmod, ch.xml
+      from refp rp left join ch on ch.child_url = rp.child_url
+    )
+    select cast(host_id as bigint) as host_id, child_url, child_lastmod,
+           regexp_extract(u, '<loc>(.*?)</loc>', 1) as url,
+           regexp_extract(u, '<lastmod>(.*?)</lastmod>', 1) as lastmod,
+           'ok' as status
+    from (
+      select host_id, child_url, child_lastmod,
+             unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) as u
+      from joined where xml is not null
+    )
+    union all
+    select cast(host_id as bigint), child_url, child_lastmod,
+           cast(null as varchar), cast(null as varchar), 'missing-child'
+    from joined where xml is null
+"""
+
+
+@_q("url_sitemap_index", _SITEMAP_INDEX_ORACLE)
+def url_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sitemap discovery: <sitemapindex> -> child <urlset>s
+    -> one row per page url, with dead child refs surfaced as
+    'missing-child' rows (see section comment)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc>https://host"),
+        (did % 256).cast("string"),
+        F.lit(".example/doc/"),
+        did.cast("string"),
+        F.lit("</loc><lastmod>"),
+        _lastmod_grid(),
+        F.lit("</lastmod><priority>0."),
+        (did % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    e = d.select(
+        did.alias("doc_id"),
+        (did % 256).alias("host_id"),
+        (did % 4).alias("sec"),
+        entry.alias("entry"),
+        _lastmod_grid().alias("lastmod"),
+    )
+    ch = (
+        e.groupBy("host_id", "sec")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                        lambda s: s["entry"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+            F.max("lastmod").alias("child_lastmod"),
+        )
+        .withColumn(
+            "child_url",
+            F.concat(
+                F.lit("https://host"),
+                F.col("host_id").cast("string"),
+                F.lit(".example/sitemap-"),
+                F.col("sec").cast("string"),
+                F.lit(".xml"),
+            ),
+        )
+    )
+    ref = F.concat(
+        F.lit("<sitemap><loc>"), F.col("child_url"),
+        F.lit("</loc><lastmod>"), F.col("child_lastmod"),
+        F.lit("</lastmod></sitemap>"),
+    )
+    ix = (
+        ch.select("host_id", "sec", ref.alias("ref"))
+        .groupBy("host_id")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><sitemapindex>'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("sec", "ref"))),
+                        lambda s: s["ref"],
+                    ),
+                    "",
+                ),
+                F.when(
+                    F.col("host_id") % 5 == 0,
+                    F.concat(
+                        F.lit("<sitemap><loc>https://host"),
+                        F.col("host_id").cast("string"),
+                        F.lit(".example/sitemap-9.xml</loc>"),
+                        F.lit("<lastmod>2024-01-01</lastmod></sitemap>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("</sitemapindex>"),
+            ).alias("ixml")
+        )
+    )
+    refp = ix.select(
+        "host_id",
+        F.explode(
+            F.regexp_extract_all("ixml", F.lit("<sitemap>(.*?)</sitemap>"), 1)
+        ).alias("r"),
+    ).select(
+        "host_id",
+        F.regexp_extract("r", "<loc>(.*?)</loc>", 1).alias("child_url"),
+        F.regexp_extract("r", "<lastmod>(.*?)</lastmod>", 1).alias("child_lastmod"),
+    )
+    joined = refp.join(ch.select("child_url", "xml"), "child_url", "left")
+    out = joined.select(
+        F.col("host_id").cast("long").alias("host_id"),
+        "child_url",
+        "child_lastmod",
+        F.explode_outer(
+            F.regexp_extract_all("xml", F.lit("<url>(.*?)</url>"), 1)
+        ).alias("u"),
+    )
+    return out.select(
+        "host_id",
+        "child_url",
+        "child_lastmod",
+        F.regexp_extract("u", "<loc>(.*?)</loc>", 1).alias("url"),
+        F.regexp_extract("u", "<lastmod>(.*?)</lastmod>", 1).alias("lastmod"),
+        F.when(F.col("u").isNull(), F.lit("missing-child"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+
+
 # --- lastmod-driven recrawl selection -----------------------------------------
 # Closes the acquisition loop the three ops above open: sitemap says
 # when a page last changed (lastmod), the crawl store says when we last

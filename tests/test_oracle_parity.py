@@ -109,8 +109,14 @@ def test_driver_window_covers_flagships_and_new_ops():
         demonstrators
         | set(entrymod._PRIOR_DRIVER_GREEN)
         | set(entrymod._ROWS_ONLY_BY_DESIGN)
+        | set(entrymod._NEW_R04_OUTSIDE)
     )
     assert outside <= allowed_outside, outside - allowed_outside
+    # a post-window-freeze op must carry the sf0.01 gate the window
+    # would have given it (STALE_OUTSIDE in test_oracle_parity_sf01)
+    from tests.test_oracle_parity_sf01 import STALE_OUTSIDE
+
+    assert set(entrymod._NEW_R04_OUTSIDE) <= set(STALE_OUTSIDE)
 
 
 def test_digest_oracle_survives_adversarial_text(spark, tmpdir_scratch):

@@ -18,8 +18,10 @@ from tests.oracle_harness import compare, duck_con
 SF_DIR = "/root/testdata/sf0.01"
 
 # out-of-window ops whose implementation/oracle changed after their last
-# driver-green row (currently none: every r04-touched oracle is in-window)
-STALE_OUTSIDE = []
+# driver-green row, plus ops NEW this round that landed after the window
+# froze (entrymod._NEW_R04_OUTSIDE — they get here what a slot would
+# have given them: the driver-identical compare at the driver's SF)
+STALE_OUTSIDE = ["url_sitemap_index"]
 
 _QUERIES = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()

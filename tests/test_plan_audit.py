@@ -855,3 +855,17 @@ def test_lang_segments_zero_exchange_one_generate(spark):
     assert "EvalPython" not in plan and "ArrowEval" not in plan
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id", "text"}
+
+
+def test_sitemap_index_equijoin_pruned_scan_no_python(spark):
+    # two keyed aggregations (child build, index build) + ONE equi-join
+    # on the globally-unique child_url; regexp parsing is per-row; the
+    # fixture needs only doc_id (never text)
+    plan = plan_of(spark, "url_sitemap_index")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 5, f"{n_exchanges} exchanges:\n{plan}"
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id"}
