@@ -241,3 +241,166 @@ def page_index_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_index_gate(meta).select(
         "doc_id", "robots_content", "x_robots_tag", "indexable", "followable"
     )
+
+
+# --- hreflang language-variant clusters ---------------------------------------
+#
+# Multilingual sites advertise their language variants with
+# <link rel="alternate" hreflang="L" href="H"> head tags; a curation
+# pass that dedups without them keeps N near-translations of the same
+# page (or drops the one language it wanted). This op extracts each
+# page's variant set and derives the CLUSTER identity locally — the
+# x-default href when advertised, else the lexicographically smallest
+# alternate href — which needs no join at all, because every compliant
+# member lists the full set (Google's hreflang contract: annotations
+# must be reciprocal). The only exchange in the plan is the window
+# that counts how many crawled pages actually landed in each cluster.
+#
+# Fixture (shared SQL string, F.expr twin): docs group in threes
+# (en/fr/de); doc_id%2 swaps attribute order, %11 drops the de
+# annotation (a real-world partial-annotation page: its min-href
+# fallback may then disagree with its siblings — deterministic in both
+# engines, exactly how inconsistent annotations split real clusters),
+# %7 omits x-default (forcing the fallback), %13 adds a
+# rel="stylesheet" decoy carrying hreflang that the rel filter must
+# drop.
+
+_HL_TAG_PAT = r"(?i)<link[^>]*hreflang[^>]*>"
+_HL_REL_PAT = r"(?i)rel=[\"']?alternate"
+_HL_LANG_PAT = r"(?i)hreflang=[\"']?([a-zA-Z-]+)"
+_HL_HREF_PAT = r"(?i)href=[\"']?([^\"' >]+)"
+
+_HL_LANG_SQL = "case cast(doc_id % 3 as int) when 0 then 'en' when 1 then 'fr' else 'de' end"
+
+
+def _hl_href_sql(lang_sql: str) -> str:
+    return (
+        "'https://h' || cast((doc_id - doc_id % 3) % 100 as varchar)"
+        f" || '.example/' || {lang_sql} || '/'"
+        " || cast(doc_id - doc_id % 3 as varchar)"
+    )
+
+
+def _hl_tag_sql(lang_sql: str) -> str:
+    href = _hl_href_sql(lang_sql)
+    return (
+        "case when doc_id % 2 = 0 then"
+        f" '<link rel=\"alternate\" hreflang=\"' || {lang_sql}"
+        f" || '\" href=\"' || {href} || '\">'"
+        f" else '<link href=''' || {href} || ''' hreflang=''' || {lang_sql}"
+        " || ''' rel=''alternate''>' end"
+    )
+
+
+_HL_LINKS_SQL = (
+    _hl_tag_sql("'en'")
+    + " || " + _hl_tag_sql("'fr'")
+    + " || case when doc_id % 11 = 0 then '' else " + _hl_tag_sql("'de'") + " end"
+    + " || case when doc_id % 7 = 0 then '' else "
+    + _hl_tag_sql("'x-default'").replace(
+        _hl_href_sql("'x-default'"), _hl_href_sql("'en'")
+    )
+    + " end"
+    + " || case when doc_id % 13 = 0 then"
+    " '<link rel=\"stylesheet\" hreflang=\"en\" href=\"/style.css\">'"
+    " else '' end"
+)
+
+_HL_FIXTURE_SQL = f"""
+    select doc_id,
+           {_hl_href_sql(_HL_LANG_SQL)} as url,
+           '<html lang="' || {_HL_LANG_SQL} || '"><head>' || {_HL_LINKS_SQL}
+             || '</head>' as html_text
+    from documents
+"""
+
+
+def hreflang_clusters(df: DataFrame, html_col: str = "html_text",
+                      url_col: str = "url") -> DataFrame:
+    """(.., url, html) -> (doc_id, url, cluster_id, n_alts, is_head,
+    cluster_size): the page's language-variant cluster, derived locally
+    from its own annotations (see section comment)."""
+    from pyspark.sql import Window
+
+    tags = F.regexp_extract_all(F.col(html_col), F.lit(_HL_TAG_PAT), 0)
+    alts = F.filter(tags, lambda t: t.rlike(_HL_REL_PAT))
+    pairs = F.transform(
+        alts,
+        lambda t: F.struct(
+            F.regexp_extract(t, _HL_LANG_PAT, 1).alias("lang"),
+            F.regexp_extract(t, _HL_HREF_PAT, 1).alias("href"),
+        ),
+    )
+    rl = F.filter(pairs, lambda s: s["lang"] != "x-default")
+    xd = F.try_element_at(
+        F.filter(pairs, lambda s: s["lang"] == "x-default"), F.lit(1)
+    )["href"]
+    row = df.select(
+        "doc_id",
+        url_col,
+        F.coalesce(
+            xd, F.array_min(F.transform(rl, lambda s: s["href"]))
+        ).alias("cluster_id"),
+        F.size(rl).cast("long").alias("n_alts"),
+    )
+    return row.select(
+        "doc_id",
+        url_col,
+        "cluster_id",
+        "n_alts",
+        (F.col(url_col) == F.col("cluster_id")).alias("is_head"),
+        F.count("*")
+        .over(Window.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("cluster_size"),
+    )
+
+
+def _hl_lambda_sql() -> str:
+    lang = f"regexp_extract(t, {_sql_quote(_HL_LANG_PAT)}, 1)"
+    href = f"regexp_extract(t, {_sql_quote(_HL_HREF_PAT)}, 1)"
+    return f"t -> {{'lang': {lang}, 'href': {href}}}"
+
+
+_HL_ORACLE = f"""
+    with fx as ({_HL_FIXTURE_SQL}),
+    p as (
+      select doc_id, url,
+             list_transform(
+               list_filter(
+                 regexp_extract_all(html_text, {_sql_quote(_HL_TAG_PAT)}, 0),
+                 t -> regexp_matches(t, {_sql_quote(_HL_REL_PAT)})),
+               {_hl_lambda_sql()}) as prs
+      from fx
+    ),
+    c as (
+      select doc_id, url,
+             list_filter(prs, s -> s.lang != 'x-default') as rl,
+             (list_filter(prs, s -> s.lang = 'x-default'))[1].href as xd
+      from p
+    ),
+    r as (
+      select doc_id, url,
+             coalesce(xd, list_min(list_transform(rl, s -> s.href))) as cluster_id,
+             cast(len(rl) as bigint) as n_alts
+      from c
+    )
+    select doc_id, url, cluster_id, n_alts,
+           url = cluster_id as is_head,
+           cast(count(*) over (partition by cluster_id) as bigint) as cluster_size
+    from r
+"""
+
+
+@_q("page_hreflang_clusters", _HL_ORACLE)
+def page_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fx = docs.select(
+        "doc_id",
+        F.expr(_hl_href_sql(_HL_LANG_SQL).replace("as varchar", "as string")).alias("url"),
+        F.expr(
+            f"""'<html lang="' || {_HL_LANG_SQL} || '"><head>' || {_HL_LINKS_SQL}
+             || '</head>'""".replace("as varchar", "as string")
+        ).alias("html_text"),
+    )
+    return hreflang_clusters(fx)

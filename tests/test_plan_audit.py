@@ -869,3 +869,16 @@ def test_sitemap_index_equijoin_pruned_scan_no_python(spark):
     assert n_exchanges <= 5, f"{n_exchanges} exchanges:\n{plan}"
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id"}
+
+
+def test_hreflang_clusters_single_window_exchange_pruned_scan(spark):
+    # variant extraction and cluster identity are per-row array work
+    # (reciprocal annotations make the cluster id computable locally);
+    # the ONLY exchange is the cluster_size window, and the scan needs
+    # just doc_id
+    plan = plan_of(spark, "page_hreflang_clusters")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id"}
