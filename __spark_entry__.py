@@ -244,7 +244,11 @@ _ROWS_ONLY_BY_DESIGN = ("text_compression_ratio", "ann_pq_topk", "ann_ivf_topk")
 # at sf0.001 (test_oracle_parity) AND at the driver's sf0.01
 # (test_oracle_parity_sf01 STALE_OUTSIDE) every pytest run; rotate them
 # into the r05 window.
-_NEW_R04_OUTSIDE = ("url_sitemap_index", "page_hreflang_clusters")
+_NEW_R04_OUTSIDE = (
+    "url_sitemap_index",
+    "page_hreflang_clusters",
+    "page_pagination_series",
+)
 
 
 def _rotate(entries: dict) -> dict:

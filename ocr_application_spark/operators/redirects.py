@@ -168,3 +168,133 @@ def url_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_NEXT_SQL.replace("as varchar", "as string")).alias("dst"),
     )
     return resolve_redirects(nodes, edges)
+
+
+# --- pagination series (rel=next chains) ---------------------------------------
+#
+# Multi-page articles advertise <link rel="next" href> chains; training
+# data wants the pages REASSEMBLED (or at least co-shuffled) per
+# series, which needs each page's series head and position. Finding
+# the head is the redirect walk RUN BACKWARD: reverse the next-edges
+# and resolve — same pointer doubling, same cap semantics (a crawler
+# bounds pagination depth exactly like redirect depth; pages deeper
+# than MAX_HOPS land in 'chain_too_deep', the honest verdict when the
+# walk was cut). Before reversing, multiple pages claiming the SAME
+# next page (hostile/malformed annotation) are determinized to the
+# lexicographically smallest predecessor — the reversed relation must
+# be functional or the doubling join would fan out.
+#
+# Extraction reuses the head-link discipline (both attribute orders,
+# quote styles; a rel="prev" decoy must not match). Fixture: series of
+# 12 (pos = doc_id % 12, next -> doc_id+1 while pos < 11), so every
+# class appears: heads (page_no 1), ok at exactly the cap, and
+# pos 9..11 beyond it. The oracle walks backward hop-by-hop with a
+# recursive CTE — agreement again proves the doubling algebra.
+
+_NEXT_RH_PAT = r'(?i)<link[^>]*rel=["\']?next["\']?[^>]*href=["\']?([^"\' >]+)'
+_NEXT_HR_PAT = r'(?i)<link[^>]*href=["\']?([^"\' >]+)["\']?[^>]*rel=["\']?next'
+
+
+def extract_next_links(pages: DataFrame, html_col: str = "html_text",
+                       url_col: str = "url") -> DataFrame:
+    """(url, html) -> next-link edges (src, dst); pages without a
+    rel=next annotation emit no edge."""
+    h = F.col(html_col)
+    nxt = F.coalesce(
+        F.nullif(F.regexp_extract(h, _NEXT_RH_PAT, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, _NEXT_HR_PAT, 1), F.lit("")),
+    )
+    return (
+        pages.select(F.col(url_col).alias("src"), nxt.alias("dst"))
+        .where(F.col("dst").isNotNull())
+    )
+
+
+def pagination_series(nodes: DataFrame, next_edges: DataFrame) -> DataFrame:
+    """nodes(url) + next_edges(src, dst) -> (url, series_id, page_no,
+    status): the series head and 1-based position per page (see section
+    comment). status 'ok' | 'chain_too_deep'."""
+    rev = next_edges.groupBy(F.col("dst").alias("src")).agg(
+        F.min("src").alias("dst")
+    )
+    r = resolve_redirects(nodes, rev)
+    return r.select(
+        "url",
+        F.col("final_url").alias("series_id"),
+        (F.col("n_hops") + 1).alias("page_no"),
+        F.when(F.col("status") == "ok", F.lit("ok"))
+        .otherwise(F.lit("chain_too_deep"))
+        .alias("status"),
+    )
+
+
+_PG_URL_SQL = (
+    "'https://s' || cast(doc_id % 7 as varchar) || '.example.com/a/'"
+    " || cast(doc_id as varchar)"
+)
+
+
+def _pg_url_of(expr: str) -> str:
+    return _PG_URL_SQL.replace("doc_id", f"({expr})")
+
+
+# head html: a rel=prev decoy always; the next link only while pos < 11,
+# with doc_id%2 swapping attribute order and quote style
+_PG_HTML_SQL = f"""
+    '<head><link rel="prev" href="' || {_pg_url_of('doc_id - 1')} || '">'
+    || case
+         when doc_id % 12 = 11 then ''
+         when doc_id % 2 = 0 then
+           '<link rel="next" href="' || {_pg_url_of('doc_id + 1')} || '">'
+         else
+           '<link href=''' || {_pg_url_of('doc_id + 1')} || ''' rel=''next''>'
+       end
+    || '</head>'
+"""
+
+_PG_ORACLE = f"""
+    with recursive fx as (
+      select doc_id, {_PG_URL_SQL} as url, {_PG_HTML_SQL} as html_text
+      from documents
+    ),
+    edges as (
+      select url as src,
+             coalesce(
+               nullif(regexp_extract(html_text,
+                 '(?i)<link[^>]*rel=["'']?next["'']?[^>]*href=["'']?([^"'' >]+)', 1), ''),
+               nullif(regexp_extract(html_text,
+                 '(?i)<link[^>]*href=["'']?([^"'' >]+)["'']?[^>]*rel=["'']?next', 1), '')
+             ) as dst
+      from fx
+    ),
+    redges as (
+      select dst as src, min(src) as dst
+      from edges where dst is not null group by dst
+    ),
+    walk(url, cur, hops) as (
+      select url, url, 0 from fx
+      union all
+      select w.url, e.dst, w.hops + 1
+      from walk w join redges e on w.cur = e.src
+      where w.hops < {MAX_HOPS}
+    ),
+    deepest as (
+      select url, max_by(cur, hops) as series_id,
+             cast(max(hops) as bigint) + 1 as page_no
+      from walk group by url
+    )
+    select d.url, d.series_id, d.page_no,
+      case when e.src is not null then 'chain_too_deep' else 'ok' end as status
+    from deepest d
+    left join (select distinct src from redges) e on d.series_id = e.src
+"""
+
+
+@_q("page_pagination_series", _PG_ORACLE)
+def page_pagination_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fx = docs.select(
+        F.expr(_PG_URL_SQL.replace("as varchar", "as string")).alias("url"),
+        F.expr(_PG_HTML_SQL.replace("as varchar", "as string")).alias("html_text"),
+    )
+    return pagination_series(fx.select("url"), extract_next_links(fx))

@@ -21,7 +21,11 @@ SF_DIR = "/root/testdata/sf0.01"
 # driver-green row, plus ops NEW this round that landed after the window
 # froze (entrymod._NEW_R04_OUTSIDE — they get here what a slot would
 # have given them: the driver-identical compare at the driver's SF)
-STALE_OUTSIDE = ["url_sitemap_index", "page_hreflang_clusters"]
+STALE_OUTSIDE = [
+    "url_sitemap_index",
+    "page_hreflang_clusters",
+    "page_pagination_series",
+]
 
 _QUERIES = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()

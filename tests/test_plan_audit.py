@@ -882,3 +882,16 @@ def test_hreflang_clusters_single_window_exchange_pruned_scan(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id"}
+
+
+def test_pagination_series_equijoins_only(spark):
+    # reversed-edge determinization (one aggregate) + the doubling
+    # walk's equi-joins; nothing cartesian, nothing Python, and the
+    # fixture scan needs only doc_id
+    plan = plan_of(spark, "page_pagination_series")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    cols = {c for s in schemas for c in re.findall(r"(\w+):", s)}
+    assert cols <= {"struct", "doc_id"}, cols

@@ -67,3 +67,80 @@ def test_two_sources_share_a_tail(spark):
     assert out["a2"] == ("t", 2, "ok")
     assert out["m"] == ("t", 1, "ok")
     assert out["t"] == ("t", 0, "ok")
+
+
+# --- pagination series (rel=next chains, reversed walk) -------------------------
+import pandas as pd  # noqa: E402
+
+from ocr_application_spark.operators.redirects import (  # noqa: E402
+    extract_next_links,
+    pagination_series,
+)
+
+
+def _series(spark, pages, extra_edges=()):
+    df = spark.createDataFrame(pd.DataFrame(pages, columns=["url", "html_text"]))
+    edges = extract_next_links(df)
+    if extra_edges:
+        edges = edges.union(
+            spark.createDataFrame(pd.DataFrame(list(extra_edges), columns=["src", "dst"]))
+        )
+    return {r["url"]: r for r in pagination_series(df.select("url"), edges).collect()}
+
+
+def _chain(n, prefix="https://s/p"):
+    pages = []
+    for i in range(n):
+        nxt = (
+            f'<link rel="next" href="{prefix}{i + 1}">' if i + 1 < n else ""
+        )
+        pages.append((f"{prefix}{i}", f"<head>{nxt}</head>"))
+    return pages
+
+
+def test_positions_head_and_cap(spark):
+    out = _series(spark, _chain(12))
+    assert out["https://s/p0"]["page_no"] == 1
+    assert out["https://s/p0"]["status"] == "ok"
+    # position 8 = exactly MAX_HOPS back: still ok
+    assert out["https://s/p8"]["page_no"] == 9
+    assert out["https://s/p8"]["status"] == "ok"
+    assert all(out[f"https://s/p{i}"]["series_id"] == "https://s/p0" for i in range(9))
+    # beyond the cap: honest verdict, never a wrong head
+    assert out["https://s/p9"]["status"] == "chain_too_deep"
+    assert out["https://s/p11"]["status"] == "chain_too_deep"
+
+
+def test_prev_decoy_and_attr_orders(spark):
+    pages = [
+        ("https://a/1", '<head><link rel="prev" href="https://a/0">'
+                        "<link href='https://a/2' rel='next'></head>"),
+        ("https://a/2", '<head><link rel="prev" href="https://a/1"></head>'),
+    ]
+    out = _series(spark, pages)
+    assert out["https://a/2"]["series_id"] == "https://a/1"
+    assert out["https://a/2"]["page_no"] == 2
+    # rel=prev alone creates no edge: page 1 is its own head
+    assert out["https://a/1"]["page_no"] == 1
+
+
+def test_duplicate_next_claims_determinize_to_min_predecessor(spark):
+    # two pages claim the same next page: the reversed relation picks
+    # the lexicographically smallest claimant, never fans out
+    pages = [
+        ("https://a/x", '<head><link rel="next" href="https://a/t"></head>'),
+        ("https://a/b", '<head><link rel="next" href="https://a/t"></head>'),
+        ("https://a/t", "<head></head>"),
+    ]
+    out = _series(spark, pages)
+    assert out["https://a/t"]["series_id"] == "https://a/b"
+    assert out["https://a/t"]["page_no"] == 2
+    assert len(out) == 3
+
+
+def test_next_pointing_outside_crawled_set_stays_resolvable(spark):
+    # the advertised next page was never crawled: existing pages still
+    # resolve (walk domain is nodes ∪ endpoints)
+    pages = [("https://a/1", '<head><link rel="next" href="https://a/ghost"></head>')]
+    out = _series(spark, pages)
+    assert out["https://a/1"]["page_no"] == 1 and out["https://a/1"]["status"] == "ok"
