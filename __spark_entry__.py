@@ -248,6 +248,7 @@ _NEW_R04_OUTSIDE = (
     "url_sitemap_index",
     "page_hreflang_clusters",
     "page_pagination_series",
+    "text_word_blocklist",
 )
 
 

@@ -1306,6 +1306,70 @@ QUERIES["text_gopher_quality"] = text_gopher_quality
 ORACLES["text_gopher_quality"] = _GOPHERQ_ORACLE
 
 
+# --- C4 word-blocklist gate (Raffel et al. 2020 §2.2's other document
+# rule: drop any page containing a term from a curated "bad words"
+# list — C4 used the LDNOOBW list). The TERMS here are a neutral
+# PLACEHOLDER set chosen to hit the synthetic vocabulary (a deployment
+# swaps in the real list; the machinery is term-agnostic): matching is
+# token-exact over lowercased alphanumeric tokens — never substring
+# (the classic blocklist bug where 'class' matches inside a longer
+# word), which the fixture vocabulary exercises both ways.
+#
+# Scale shape: split -> filter -> measure is a zero-shuffle scan
+# projection fused into codegen; the term set is a literal in the plan
+# (a real 400-term list still folds to one array constant — no join,
+# no broadcast needed below ~thousands of terms).
+
+_BLOCK_TERMS = ("slow", "crash", "jackpot", "casino")
+_WORDSPLIT_PAT = "[^a-z0-9]+"
+
+_BLOCKLIST_ORACLE = f"""
+with t as (
+  select doc_id,
+         list_filter(string_split_regex(lower(text), '{_WORDSPLIT_PAT}'),
+                     x -> x != '') as toks
+  from documents where text is not null
+),
+f as (
+  select doc_id, list_filter(toks, x -> x in {_BLOCK_TERMS}) as hits from t
+)
+select doc_id,
+       cast(len(hits) as bigint) as n_flagged,
+       coalesce(array_to_string(list_sort(list_distinct(hits)), ','), '')
+         as flagged_terms,
+       len(hits) = 0 as keep
+from f
+"""
+
+
+def word_blocklist_gate(docs: DataFrame, terms=_BLOCK_TERMS) -> DataFrame:
+    """documents(doc_id, text) -> (doc_id, n_flagged, flagged_terms,
+    keep): token-exact blocklist screening (see section comment)."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), _WORDSPLIT_PAT), lambda x: x != ""
+    )
+    t = docs.where(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
+    hits = F.filter(F.col("toks"), lambda x: x.isin(*terms))
+    f = t.select("doc_id", hits.alias("hits"))
+    return f.select(
+        "doc_id",
+        F.size("hits").cast("long").alias("n_flagged"),
+        F.array_join(F.array_sort(F.array_distinct("hits")), ",").alias(
+            "flagged_terms"
+        ),
+        (F.size("hits") == 0).alias("keep"),
+    )
+
+
+def text_word_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate over the documents table."""
+    return word_blocklist_gate(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+QUERIES["text_word_blocklist"] = text_word_blocklist
+ORACLES["text_word_blocklist"] = _BLOCKLIST_ORACLE
+
+
 # --- C4 line-level filter (Raffel et al. 2020, section 2.2): the
 # line-rule pass that built C4 from Common Crawl. A line survives iff
 # it (1) ends in a terminal punctuation mark, (2) has >= 5 words, and

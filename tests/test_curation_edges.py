@@ -64,3 +64,32 @@ def test_seq_pack_clamped_expr_agrees_on_zero_token_shard_head(spark):
     assert got == [d[0] for d in duck]
     # and the shard-head zero-token doc lands in sequence 0, not -1
     assert got[0] == 0
+
+
+# --- word-blocklist gate ---------------------------------------------------------
+def test_word_blocklist_token_exact_never_substring(spark):
+    import pandas as pd
+
+    from ocr_application_spark.operators.curation import word_blocklist_gate
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "a slow query"),               # exact hit
+                (1, "slowly sorted slowdown"),     # substring only: clean
+                (2, "SLOW, crash! slow."),         # case-fold + punct split
+                (3, "totally clean text"),
+                (4, None),                          # null text: no row
+                (5, ""),                            # empty: clean
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r["doc_id"]: r for r in word_blocklist_gate(docs).collect()}
+    assert out[0]["n_flagged"] == 1 and not out[0]["keep"]
+    assert out[1]["n_flagged"] == 0 and out[1]["keep"]
+    assert out[2]["n_flagged"] == 3
+    assert out[2]["flagged_terms"] == "crash,slow"
+    assert out[3]["keep"] and out[3]["flagged_terms"] == ""
+    assert 4 not in out
+    assert out[5]["keep"]

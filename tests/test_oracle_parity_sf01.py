@@ -25,6 +25,7 @@ STALE_OUTSIDE = [
     "url_sitemap_index",
     "page_hreflang_clusters",
     "page_pagination_series",
+    "text_word_blocklist",
 ]
 
 _QUERIES = entrymod.queries()

@@ -895,3 +895,13 @@ def test_pagination_series_equijoins_only(spark):
     schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
     cols = {c for s in schemas for c in re.findall(r"(\w+):", s)}
     assert cols <= {"struct", "doc_id"}, cols
+
+
+def test_word_blocklist_zero_exchange_pruned_scan(spark):
+    # split -> filter -> measure fuses into the scan stage: no shuffle,
+    # no Python, scan reads (doc_id, text) only
+    plan = plan_of(spark, "text_word_blocklist")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id", "text"}
