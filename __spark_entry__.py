@@ -249,6 +249,7 @@ _NEW_R04_OUTSIDE = (
     "page_hreflang_clusters",
     "page_pagination_series",
     "text_word_blocklist",
+    "text_sentence_split",
 )
 
 

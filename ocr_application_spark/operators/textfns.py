@@ -228,6 +228,73 @@ def text_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_segments(_docs(spark, sf_dir))
 
 
+# --- sentence segmentation -------------------------------------------------------
+# Training pipelines need sentence boundaries (sentence-level dedup /
+# decontamination, packing that respects sentence edges). Rule-based
+# splitter in the dialect intersection (RE2-safe: no lookaround — the
+# boundary is found with CAPTURE + sentinel-REPLACE + split, never a
+# lookbehind): a sentence ends at [.!?] (plus optional closing
+# quote/paren) followed by spaces and an upper/digit start; a guarded
+# abbreviation list (titles, vs, etc, No) is protected first by
+# swapping its dot for \x02 and restored after the split. Newlines are
+# NOT boundaries here — line structure belongs to the line ops.
+# Replacement syntax is the one place the twin strings must differ
+# (Java says $1, RE2 says \1) — the PATTERNS stay shared constants.
+#
+# Scale shape: three regexp_replace + one split + one posexplode, all
+# per-row, zero exchanges (plan-asserted).
+
+_SENT_ABBR_PAT = r"\b(Mr|Mrs|Ms|Dr|Prof|St|vs|etc|No)\."
+_SENT_SPLIT_PAT = "([.!?][\"')]*) +([A-Z0-9])"
+_PROT = "\x02"  # protected abbreviation dot
+_SEP = "\x1f"   # sentence sentinel
+
+
+def split_sentences(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text) -> (doc_id, sent_idx, sentence)."""
+    t = F.regexp_replace(F.col("text"), _SENT_ABBR_PAT, "$1" + _PROT)
+    t = F.regexp_replace(t, _SENT_SPLIT_PAT, "$1" + _SEP + "$2")
+    d = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.split(t, _SEP).alias("ss")
+    )
+    e = d.select("doc_id", F.posexplode("ss").alias("sent_idx", "s"))
+    return e.select(
+        "doc_id",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.replace(F.col("s"), F.lit(_PROT), F.lit(".")).alias("sentence"),
+    )
+
+
+_SENT_ORACLE = f"""
+    with prot as (
+      select doc_id,
+             regexp_replace(text, '{_SENT_ABBR_PAT}', '\\1' || chr(2), 'g') as t
+      from documents where text is not null
+    ),
+    marked as (
+      select doc_id,
+             regexp_replace(t, '([.!?]["'')]*) +([A-Z0-9])',
+                            '\\1' || chr(31) || '\\2', 'g') as t
+      from prot
+    ),
+    s as (
+      select doc_id,
+             unnest(list_transform(string_split(t, chr(31)),
+                                   (x, i) -> {{'i': i, 'x': x}})) as u
+      from marked
+    )
+    select doc_id, cast(u.i - 1 as bigint) as sent_idx,
+           replace(u.x, chr(2), '.') as sentence
+    from s
+"""
+
+
+@_q("text_sentence_split", _SENT_ORACLE)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based sentence segmentation over the documents table."""
+    return split_sentences(_docs(spark, sf_dir))
+
+
 # --- quality scoring ----------------------------------------------------------------
 @_q(
     "text_quality_score",

@@ -71,3 +71,47 @@ def test_line_threshold_is_eight_percent_exact(spark):
     below = " ".join(["the", "of"] + ["w"] * 24)  # 2/26 < 8%
     segs = _segs(spark, ["\n".join([at, below])])[0]
     assert [s[1] for s in segs] == ["en-like", "other"]
+
+
+# --- sentence segmentation (textfns.split_sentences) -----------------------------
+from ocr_application_spark.operators.textfns import split_sentences  # noqa: E402
+
+
+def _sents(spark, text):
+    docs = spark.createDataFrame(pd.DataFrame([(0, text)], columns=["doc_id", "text"]))
+    rows = sorted(split_sentences(docs).collect(), key=lambda r: r["sent_idx"])
+    return [r["sentence"] for r in rows]
+
+
+def test_basic_boundaries_and_indexing(spark):
+    assert _sents(spark, "One here. Two there! Three? Four") == [
+        "One here.", "Two there!", "Three?", "Four",
+    ]
+
+
+def test_abbreviations_do_not_split(spark):
+    assert _sents(spark, "Dr. Smith met Mr. Jones. They left.") == [
+        "Dr. Smith met Mr. Jones.", "They left.",
+    ]
+    # the protected dot is RESTORED in the output byte-for-byte
+    assert _sents(spark, "See No. 5 vs. No. 7.") == ["See No. 5 vs. No. 7."]
+
+
+def test_closing_quote_and_decimal_numbers(spark):
+    assert _sents(spark, 'He said "stop." Then left.') == [
+        'He said "stop."', "Then left.",
+    ]
+    # a decimal point is never followed by space+capital: no split
+    assert _sents(spark, "Pi is 3.14 about. Next one.") == [
+        "Pi is 3.14 about.", "Next one.",
+    ]
+
+
+def test_lowercase_continuation_not_split(spark):
+    assert _sents(spark, "e.g. this stays. and lowercase too") == [
+        "e.g. this stays. and lowercase too",
+    ]
+
+
+def test_newlines_are_not_boundaries(spark):
+    assert _sents(spark, "Line one.\nLine two.") == ["Line one.\nLine two."]

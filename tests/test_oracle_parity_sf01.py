@@ -26,6 +26,7 @@ STALE_OUTSIDE = [
     "page_hreflang_clusters",
     "page_pagination_series",
     "text_word_blocklist",
+    "text_sentence_split",
 ]
 
 _QUERIES = entrymod.queries()

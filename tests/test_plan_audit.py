@@ -905,3 +905,14 @@ def test_word_blocklist_zero_exchange_pruned_scan(spark):
     assert "EvalPython" not in plan and "ArrowEval" not in plan
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id", "text"}
+
+
+def test_sentence_split_zero_exchange(spark):
+    # three per-row regexp passes + split + ONE posexplode: no shuffle,
+    # no Python, scan reads (doc_id, text)
+    plan = plan_of(spark, "text_sentence_split")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id", "text"}
