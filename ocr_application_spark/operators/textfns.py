@@ -265,11 +265,29 @@ def split_sentences(docs: DataFrame) -> DataFrame:
     )
 
 
+# the raw synthetic text is lowercase prose with no sentence structure
+# (zero boundaries -> a trivially-agreeing oracle), so the gate fixture
+# DERIVES sentence-ful text per doc: abbreviations, quoted terminals,
+# decimal points, bare terminals, and an unterminated tail, varied by
+# doc_id so every split path is value-checked cross-engine
+_SENT_FIX_SQL = """
+    case when doc_id % 3 = 0 then 'Dr. Who saw No. ' || cast(doc_id % 9 as varchar)
+              || '. ' else 'Start here. ' end
+    || 'He said "stop." Then v' || cast(doc_id % 7 as varchar)
+    || ' was 3.14 exact! Is it? '
+    || case when doc_id % 2 = 0 then 'Yes. ' else '' end
+    || 'Tail ' || substr(text, 1, 40)
+"""
+
 _SENT_ORACLE = f"""
-    with prot as (
+    with fx as (
+      select doc_id, {_SENT_FIX_SQL} as text
+      from documents where text is not null
+    ),
+    prot as (
       select doc_id,
              regexp_replace(text, '{_SENT_ABBR_PAT}', '\\1' || chr(2), 'g') as t
-      from documents where text is not null
+      from fx
     ),
     marked as (
       select doc_id,
@@ -291,8 +309,14 @@ _SENT_ORACLE = f"""
 
 @_q("text_sentence_split", _SENT_ORACLE)
 def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rule-based sentence segmentation over the documents table."""
-    return split_sentences(_docs(spark, sf_dir))
+    """Rule-based sentence segmentation over derived sentence-ful text
+    (see _SENT_FIX_SQL note)."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    fx = d.select(
+        "doc_id",
+        F.expr(_SENT_FIX_SQL.replace("as varchar", "as string")).alias("text"),
+    )
+    return split_sentences(fx)
 
 
 # --- quality scoring ----------------------------------------------------------------
