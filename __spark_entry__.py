@@ -250,6 +250,7 @@ _NEW_R04_OUTSIDE = (
     "page_pagination_series",
     "text_word_blocklist",
     "text_sentence_split",
+    "text_fk_readability",
 )
 
 

@@ -319,6 +319,88 @@ def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(fx)
 
 
+# --- readability (Flesch-Kincaid grade) -------------------------------------------
+# The classic readability signal quality filters bucket on. Exactness
+# discipline: the three counts are plain integers (whitespace words,
+# sentinel-split sentences via the splitter above, [aeiouy]+ runs as
+# the syllable heuristic) and the grade ships in integer MICRO-units
+# computed with integer division only —
+#   grade_micro = 390000*words // sents + 11800000*syll // words
+#                 - 15590000
+# — never a cross-engine float ratio. Same derived sentence-ful fixture
+# as the splitter (raw synthetic text has no sentence structure).
+# Zero exchanges, scan-fused (plan-asserted with the splitter's case).
+
+_FK_ORACLE = f"""
+    with fx as (
+      select doc_id, {_SENT_FIX_SQL} as text
+      from documents where text is not null
+    ),
+    prot as (
+      select doc_id, text,
+             regexp_replace(text, '{_SENT_ABBR_PAT}', '\\1' || chr(2), 'g') as t
+      from fx
+    ),
+    m as (
+      select doc_id, text,
+             len(string_split(regexp_replace(t, '([.!?]["'')]*) +([A-Z0-9])',
+                              '\\1' || chr(31) || '\\2', 'g'), chr(31))) as n_sents,
+             len(list_filter(string_split(text, ' '), x -> x != '')) as n_words,
+             len(regexp_extract_all(lower(text), '[aeiouy]+', 0)) as n_syll
+      from prot
+    )
+    select doc_id,
+           cast(n_words as bigint) as n_words,
+           cast(n_sents as bigint) as n_sents,
+           cast(n_syll as bigint) as n_syll,
+           cast(390000 * n_words // n_sents
+                + 11800000 * n_syll // n_words - 15590000 as bigint)
+             as fk_grade_micro
+    from m
+"""
+
+
+def fk_readability(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text) -> (doc_id, n_words, n_sents, n_syll,
+    fk_grade_micro); see section comment for the exact-integer form."""
+    t = F.regexp_replace(F.col("text"), _SENT_ABBR_PAT, "$1" + _PROT)
+    marked = F.regexp_replace(t, _SENT_SPLIT_PAT, "$1" + _SEP + "$2")
+    n_sents = F.size(F.split(marked, _SEP)).cast("long")
+    n_words = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ).cast("long")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    d = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    grade = (
+        F.expr("div(390000 * n_words, n_sents)")
+        + F.expr("div(11800000 * n_syll, n_words)")
+        - F.lit(15590000)
+    )
+    return d.select(
+        "doc_id", "n_words", "n_sents", "n_syll",
+        grade.cast("long").alias("fk_grade_micro"),
+    )
+
+
+@_q("text_fk_readability", _FK_ORACLE)
+def text_fk_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade in exact integer micro-units over the
+    derived sentence-ful fixture."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    fx = d.select(
+        "doc_id",
+        F.expr(_SENT_FIX_SQL.replace("as varchar", "as string")).alias("text"),
+    )
+    return fk_readability(fx)
+
+
 # --- quality scoring ----------------------------------------------------------------
 @_q(
     "text_quality_score",

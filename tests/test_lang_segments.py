@@ -115,3 +115,25 @@ def test_lowercase_continuation_not_split(spark):
 
 def test_newlines_are_not_boundaries(spark):
     assert _sents(spark, "Line one.\nLine two.") == ["Line one.\nLine two."]
+
+
+# --- FK readability (textfns.fk_readability) --------------------------------------
+from ocr_application_spark.operators.textfns import fk_readability  # noqa: E402
+
+
+def test_fk_counts_and_exact_integer_grade(spark):
+    text = "The cat sat here. The dog ran away. A bird flew by."
+    docs = spark.createDataFrame(pd.DataFrame([(0, text)], columns=["doc_id", "text"]))
+    r = fk_readability(docs).collect()[0]
+    assert r["n_sents"] == 3 and r["n_words"] == 12
+    # vowel-group runs: the(1) cat(1) sat(1) here(2) ... counted over text
+    assert r["n_syll"] == 13
+    assert r["fk_grade_micro"] == (
+        390000 * 12 // 3 + 11800000 * 13 // 12 - 15590000
+    )
+
+
+def test_fk_single_word_no_terminal(spark):
+    docs = spark.createDataFrame(pd.DataFrame([(0, "word")], columns=["doc_id", "text"]))
+    r = fk_readability(docs).collect()[0]
+    assert r["n_sents"] == 1 and r["n_words"] == 1 and r["n_syll"] == 1

@@ -27,6 +27,7 @@ STALE_OUTSIDE = [
     "page_pagination_series",
     "text_word_blocklist",
     "text_sentence_split",
+    "text_fk_readability",
 ]
 
 _QUERIES = entrymod.queries()

@@ -916,3 +916,11 @@ def test_sentence_split_zero_exchange(spark):
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id", "text"}
+
+
+def test_fk_readability_zero_exchange(spark):
+    plan = plan_of(spark, "text_fk_readability")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id", "text"}
