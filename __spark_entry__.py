@@ -251,6 +251,7 @@ _NEW_R04_OUTSIDE = (
     "text_word_blocklist",
     "text_sentence_split",
     "text_fk_readability",
+    "crawl_delay_directives",
 )
 
 

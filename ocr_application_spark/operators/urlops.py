@@ -838,6 +838,82 @@ def robots_parse(
     )
 
 
+def robots_group_directive(
+    robots: DataFrame,
+    agent: str,
+    directive: str,
+    host_col: str = "host_id",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Value of a group-scoped non-rule directive (``crawl-delay``,
+    ``request-rate``, ...) from the agent's WINNING group(s) — the same
+    specificity selection as ``robots_parse``, because a crawl-delay in
+    somebody else's group does not apply to us. When tied winning
+    groups both carry the directive, the first occurrence (lowest line)
+    wins. Returns (host_col, src_line, value) for hosts that have one;
+    absent hosts emit nothing (callers left-join their host domain).
+    Same single-exchange one-pass shape as robots_parse."""
+    if agent != agent.lower():
+        raise ValueError("agent must be a lowercase product token")
+    if directive in ("user-agent", "allow", "disallow"):
+        raise ValueError("directive must be a non-rule field")
+    h, t = F.col(host_col), F.col(text_col)
+    lines = robots.select(
+        h.alias("_host"),
+        F.posexplode(F.split(t, "\r\n")).alias("_p", "_raw"),
+    ).select(
+        "_host",
+        (F.col("_p") + 1).alias("src_line"),
+        F.trim(F.regexp_replace("_raw", "#.*$", "")).alias("_line"),
+    )
+    rec = lines.select(
+        "_host",
+        "src_line",
+        F.lower(F.regexp_extract("_line", r"^([A-Za-z-]+)\s*:", 1)).alias("_field"),
+        F.trim(F.regexp_extract("_line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1)).alias(
+            "_value"
+        ),
+    ).filter(F.col("_field").isin("user-agent", directive))
+    w = Window.partitionBy("_host").orderBy("src_line")
+    marks = rec.withColumn(
+        "_new_grp",
+        (
+            (F.col("_field") == "user-agent")
+            & (F.coalesce(F.lag("_field").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    )
+    grp = marks.withColumn(
+        "_grp",
+        F.sum("_new_grp").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ua_spec = F.when(F.col("_field") != "user-agent", F.lit(None)).otherwise(
+        F.when(F.col("_value") == "*", F.lit(0)).when(
+            F.lit(agent).startswith(F.lower("_value")), F.length("_value")
+        )
+    )
+    wg = Window.partitionBy("_host", "_grp")
+    wh = Window.partitionBy("_host")
+    scored = grp.select(
+        "_host",
+        "src_line",
+        "_field",
+        "_value",
+        F.max(ua_spec).over(wg).alias("_spec"),
+    ).withColumn("_host_spec", F.max("_spec").over(wh))
+    winners = scored.filter(
+        (F.col("_field") == directive)
+        & (F.col("_value") != "")
+        & F.col("_spec").isNotNull()
+        & (F.col("_spec") == F.col("_host_spec"))
+    )
+    return winners.groupBy(F.col("_host").alias(host_col)).agg(
+        F.min("src_line").alias("src_line"),
+        F.min_by("_value", "src_line").alias("value"),
+    )
+
+
 # Deterministic per-host robots.txt fixture (host_id = doc_id % 16),
 # built as an EXACT string twin in both engines then parsed back — the
 # roundtrip pins the PARSER, same discipline as url_sitemap_extract.
@@ -868,7 +944,10 @@ _ROBOTS_TXT_HDR_SQL = """
          || 'USER-AGENT: SparkBot' || chr(13) || chr(10)
          || 'User-agent: OtherBot' || chr(13) || chr(10)
          || 'Disallow: /*?sessionid=' || chr(13) || chr(10)
-         || 'Crawl-delay: 5' || chr(13) || chr(10)
+         || 'Crawl-delay: ' || case when host_id % 8 = 1 then 'fast'
+                                    when host_id % 8 = 5 then '0.5'
+                                    else cast(2 + host_id % 5 as varchar) end
+         || chr(13) || chr(10)
          || 'Allow: /dl/' || chr(13) || chr(10)
          || 'Disallow:' || chr(13) || chr(10)
        else '' end
@@ -948,15 +1027,10 @@ where g.field in ('allow','disallow') and g.value <> ''
 """
 
 
-@_q("crawl_robots_parse", _ROBOTS_PARSE_ORACLE)
-def crawl_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Roundtrip fixture for robots_parse: build the per-host robots.txt
-    files above deterministically from `documents` (exact string twin in
-    both engines), parse them back for agent 'sparkbot', return the
-    effective rules table. Agreement with the oracle pins every grammar
-    path: grouping, case folding, comments, unknown fields, empty
-    values, specificity selection, multi-group combining, '*' fallback.
-    """
+def _robots_fixture_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-host robots.txt fixture frame (host_id, robots_txt) —
+    shared by the parse and crawl-delay gate queries; the exact string
+    twin of the oracle-side {_ROBOTS_TXT_HDR_SQL} + doc-line tail."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     crlf = F.lit("\r\n")
     hid = F.col("host_id")
@@ -975,7 +1049,11 @@ def crawl_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("USER-AGENT: SparkBot"), crlf,
                 F.lit("User-agent: OtherBot"), crlf,
                 F.lit("Disallow: /*?sessionid="), crlf,
-                F.lit("Crawl-delay: 5"), crlf,
+                F.lit("Crawl-delay: "),
+                F.when(hid % 8 == 1, F.lit("fast"))
+                .when(hid % 8 == 5, F.lit("0.5"))
+                .otherwise((2 + hid % 5).cast("string")),
+                crlf,
                 F.lit("Allow: /dl/"), crlf,
                 F.lit("Disallow:"), crlf,
             ),
@@ -1016,7 +1094,126 @@ def crawl_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("host_id", F.concat(hdr, F.col("tail")).alias("robots_txt"))
     )
-    return robots_parse(files, "sparkbot")
+    return files
+
+
+@_q("crawl_robots_parse", _ROBOTS_PARSE_ORACLE)
+def crawl_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roundtrip fixture for robots_parse: build the per-host robots.txt
+    files above deterministically from `documents` (exact string twin in
+    both engines), parse them back for agent 'sparkbot', return the
+    effective rules table. Agreement with the oracle pins every grammar
+    path: grouping, case folding, comments, unknown fields, empty
+    values, specificity selection, multi-group combining, '*' fallback.
+    """
+    return robots_parse(_robots_fixture_files(spark, sf_dir), "sparkbot")
+
+
+# --- crawl-delay: the politeness directive in the winning group ------------------
+# Crawl-delay applies only when it sits in OUR group (a delay in
+# another crawler's group is not ours to obey), so extraction reuses
+# the full specificity selection. Value classes in the fixture:
+# integer seconds (obeyed), 'fast' and '0.5' (non-integer garbage a
+# real parser must NULL, not crash — try_cast twins), and hosts with
+# no sparkbot group at all (no row -> NULL via the host-domain left
+# join). This output is the per-host delay the politeness scheduler
+# (`crawl_politeness_schedule`) consumes in place of its default.
+
+_CRAWL_DELAY_ORACLE = f"""
+with doc_lines as (
+  select doc_id % 16 as host_id, doc_id, {_ROBOTS_TXT_DOCLINE_SQL} as dl
+  from documents
+),
+files as (
+  select host_id,
+         {_ROBOTS_TXT_HDR_SQL} || string_agg(dl, '' order by doc_id) as txt
+  from doc_lines group by host_id
+),
+ls as (
+  select host_id, string_split(txt, chr(13) || chr(10)) as l from files
+),
+lines as (
+  select host_id, generate_subscripts(l, 1) as idx,
+         trim(regexp_replace(unnest(l), '#.*$', '')) as line
+  from ls
+),
+rec as (
+  select host_id, idx,
+         lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) as field,
+         trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)) as value
+  from lines
+  where lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+        in ('user-agent','crawl-delay')
+),
+marks as (
+  select *, case when field = 'user-agent'
+                  and coalesce(lag(field) over (partition by host_id order by idx), '')
+                      <> 'user-agent'
+                 then 1 else 0 end as new_grp
+  from rec
+),
+grp as (
+  select *, sum(new_grp) over (partition by host_id order by idx
+                rows between unbounded preceding and current row) as group_id
+  from marks
+),
+spec as (
+  select host_id, group_id,
+         max(case when value = '*' then 0
+                  when starts_with('sparkbot', lower(value)) then length(value)
+             end) as spec
+  from grp where field = 'user-agent'
+  group by 1, 2
+),
+best as (
+  select host_id, max(spec) as host_spec from spec group by 1
+),
+found as (
+  select g.host_id,
+         min_by(g.value, g.idx) as value
+  from grp g
+  join spec s using (host_id, group_id)
+  join best b using (host_id)
+  where g.field = 'crawl-delay' and g.value <> ''
+    and s.spec is not null and s.spec = b.host_spec
+  group by g.host_id
+)
+select cast(f.host_id as bigint) as host_id,
+       case when regexp_matches(fo.value, '^[0-9]+$')
+            then cast(fo.value as bigint) end as crawl_delay_s
+from (select distinct host_id from files) f
+left join found fo on fo.host_id = f.host_id
+"""
+# ^ the integer-pattern guard is load-bearing: DuckDB CASTS '0.5' to
+# bigint by ROUNDING (-> 1) while Spark's try_cast nulls it — only an
+# explicit digits-only test gives both engines (and the RFC's
+# "seconds" reading) the same semantics.
+
+
+@_q("crawl_delay_directives", _CRAWL_DELAY_ORACLE)
+def crawl_delay_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-delay from the winning robots group: integer
+    seconds, NULL for garbage values or hosts without a matching
+    group (see section comment)."""
+    files = _robots_fixture_files(spark, sf_dir)
+    found = robots_group_directive(files, "sparkbot", "crawl-delay")
+    return (
+        files.select(F.col("host_id").cast("long").alias("host_id"))
+        .distinct()
+        .join(
+            found.select(
+                F.col("host_id").cast("long").alias("host_id"),
+                # digits-only guard, NOT try_cast: DuckDB would round
+                # '0.5' where Spark nulls it (see oracle note)
+                F.when(
+                    F.col("value").rlike("^[0-9]+$"),
+                    F.col("value").cast("long"),
+                ).alias("crawl_delay_s"),
+            ),
+            "host_id",
+            "left",
+        )
+    )
 
 
 # --- SURT keys + the CDX lookup index ----------------------------------------

@@ -28,6 +28,7 @@ STALE_OUTSIDE = [
     "text_word_blocklist",
     "text_sentence_split",
     "text_fk_readability",
+    "crawl_delay_directives",
 ]
 
 _QUERIES = entrymod.queries()

@@ -378,3 +378,53 @@ def test_cdx_index_lookup_matches_bruteforce_and_prunes(spark, tmpdir_scratch):
 
     with _pytest.raises(ValueError):
         surt_prefix_range("ドメイン")
+
+
+# --- crawl-delay directive extraction -------------------------------------------
+def test_crawl_delay_winning_group_only_and_garbage_nulls(spark):
+    import pandas as pd
+
+    from ocr_application_spark.operators.urlops import robots_group_directive
+
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                # delay in OUR group
+                (0, "User-agent: sparkbot\r\nCrawl-delay: 7\r\nDisallow: /x"),
+                # delay only in somebody else's group: not ours
+                (1, "User-agent: otherbot\r\nCrawl-delay: 9\r\n\r\n"
+                    "User-agent: sparkbot\r\nDisallow: /y"),
+                # tied winning groups: first occurrence (lowest line) wins
+                (2, "User-agent: sparkbot\r\nCrawl-delay: 3\r\n\r\n"
+                    "User-agent: sparkbot\r\nCrawl-delay: 8"),
+                # '*' fallback group carries the delay
+                (3, "User-agent: *\r\nCrawl-delay: 4"),
+                # no groups at all
+                (4, "Disallow: /pre-group-noise"),
+            ],
+            columns=["host_id", "robots_txt"],
+        )
+    )
+    out = {
+        r["host_id"]: r["value"]
+        for r in robots_group_directive(files, "sparkbot", "crawl-delay").collect()
+    }
+    assert out == {0: "7", 1: None, 2: "3", 3: "4"} or out == {0: "7", 2: "3", 3: "4"}
+    # host 1's delay is in otherbot's group, host 4 has none: no rows
+    assert 4 not in out and out.get(1) is None
+
+
+def test_robots_group_directive_rejects_rule_fields(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from ocr_application_spark.operators.urlops import robots_group_directive
+
+    files = spark.createDataFrame(
+        pd.DataFrame([(0, "User-agent: *\r\nDisallow: /")],
+                     columns=["host_id", "robots_txt"])
+    )
+    with _pytest.raises(ValueError):
+        robots_group_directive(files, "sparkbot", "disallow")
+    with _pytest.raises(ValueError):
+        robots_group_directive(files, "SparkBot", "crawl-delay")
