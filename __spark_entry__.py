@@ -252,6 +252,7 @@ _NEW_R04_OUTSIDE = (
     "text_sentence_split",
     "text_fk_readability",
     "crawl_delay_directives",
+    "host_quality_report",
 )
 
 

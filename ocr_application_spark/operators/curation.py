@@ -1370,6 +1370,91 @@ QUERIES["text_word_blocklist"] = text_word_blocklist
 ORACLES["text_word_blocklist"] = _BLOCKLIST_ORACLE
 
 
+# --- per-host corpus report card -------------------------------------------------
+# The dashboard a curation operator actually reads: every quality
+# signal this engine computes per document, rolled up per host (the
+# `source` column — the unit crawl budgets, spam decisions, and domain
+# mixes are made at). Exactness discipline: every ratio ships in basis
+# points via integer division, every sum is cast to bigint in the
+# oracle (the r03 HUGEINT lesson), the en-like test is the integer
+# 100*n_stop >= 8*n_tok compare (the same stopword set as
+# textfns.text_langid_heuristic). ONE exchange (the host groupBy, with
+# map-side partial aggregation); per-doc signals are array-side
+# scan-fused projections.
+
+_STOPLIST = ("the", "a", "of", "and", "to")
+
+_REPORT_ORACLE = f"""
+with sig as (
+  select source,
+         length(text) as n_chars,
+         len(list_filter(string_split(text, ' '), x -> x != '')) as n_tokens,
+         case when 100 * len(list_filter(string_split(text, ' '),
+                                         x -> x in {_STOPLIST}))
+                   >= 8 * len(string_split(text, ' '))
+              then 1 else 0 end as is_en,
+         case when len(list_filter(
+                        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x != ''),
+                        x -> x in {_BLOCK_TERMS})) > 0
+              then 1 else 0 end as blocked
+  from documents where text is not null
+)
+select source,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_tokens) as bigint) as total_tokens,
+       cast(sum(n_chars) as bigint) as total_chars,
+       cast(sum(n_chars) as bigint) // count(*) as mean_chars,
+       cast(sum(is_en) as bigint) as en_docs,
+       cast(10000 * sum(is_en) as bigint) // count(*) as en_share_bp,
+       cast(sum(blocked) as bigint) as blocked_docs
+from sig group by source
+"""
+
+
+def host_quality_report(docs: DataFrame) -> DataFrame:
+    """documents(source, text) -> one corpus-health row per host (see
+    section comment)."""
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    stops = F.filter(
+        F.split(F.col("text"), " "), lambda x: x.isin(*_STOPLIST)
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), _WORDSPLIT_PAT), lambda x: x != ""
+    )
+    hits = F.filter(toks, lambda x: x.isin(*_BLOCK_TERMS))
+    sig = docs.where(F.col("text").isNotNull()).select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(words).cast("long").alias("n_tokens"),
+        F.when(
+            F.size(stops) * 100 >= F.size(F.split(F.col("text"), " ")) * 8, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_en"),
+        F.when(F.size(hits) > 0, 1).otherwise(0).cast("long").alias("blocked"),
+    )
+    n = F.count("*")
+    return sig.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("div(sum(n_chars), count(*))").alias("mean_chars"),
+        F.sum("is_en").alias("en_docs"),
+        F.expr("div(10000 * sum(is_en), count(*))").alias("en_share_bp"),
+        F.sum("blocked").alias("blocked_docs"),
+    )
+
+
+def host_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return host_quality_report(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+QUERIES["host_quality_report"] = host_quality_report_q
+ORACLES["host_quality_report"] = _REPORT_ORACLE
+
+
 # --- C4 line-level filter (Raffel et al. 2020, section 2.2): the
 # line-rule pass that built C4 from Common Crawl. A line survives iff
 # it (1) ends in a terminal punctuation mark, (2) has >= 5 words, and

@@ -29,6 +29,7 @@ STALE_OUTSIDE = [
     "text_sentence_split",
     "text_fk_readability",
     "crawl_delay_directives",
+    "host_quality_report",
 ]
 
 _QUERIES = entrymod.queries()

@@ -924,3 +924,15 @@ def test_fk_readability_zero_exchange(spark):
     assert "EvalPython" not in plan and "ArrowEval" not in plan
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id", "text"}
+
+
+def test_host_report_single_exchange_partial_agg(spark):
+    # one host-keyed exchange with map-side partial aggregation; all
+    # per-doc signals array-side (no Python, no second shuffle)
+    plan = plan_of(spark, "host_quality_report")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan  # partial+final
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "source", "text"}
