@@ -253,6 +253,7 @@ _NEW_R04_OUTSIDE = (
     "text_fk_readability",
     "crawl_delay_directives",
     "host_quality_report",
+    "page_heading_outline",
 )
 
 

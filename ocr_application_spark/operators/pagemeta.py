@@ -392,6 +392,155 @@ _HL_ORACLE = f"""
 """
 
 
+# --- heading outline (the document's section skeleton) ------------------------
+#
+# <h1>-<h6> headings with hierarchical section numbers ("2.1.3") — the
+# primitive behind structure-aware chunking of web text for LLM
+# training (split on sections, keep each chunk's breadcrumb) and TOC
+# reconstruction. Matching is text-only by design: a heading with
+# inline markup (<h2>a <b>b</b></h2>) is skipped identically in both
+# engines ([^<]* cannot cross a tag), pinned in tests; <h7> is not a
+# heading. Numbering semantics: counter c_k (k = 1..3) counts level-k
+# headings and RESETS at every heading of a smaller level; a heading's
+# path is c1 / c1.c2 / c1.c2.c3 for levels 1 / 2 / >=3 (h4-h6 carry
+# their enclosing numbered section's path — outline depth caps at 3,
+# like every real TOC). A level-2 heading before any level-1 yields a
+# "0." prefix — deterministic, and a real signal (fragment pages).
+#
+# Scale shape: the reset counters are running sums + a running max over
+# ONE window (partition doc_id, order pos, rows unbounded..current):
+# c_k = s_k - max(s_k at rows where level < k), using that s_k is
+# nondecreasing (a running max needs no ignorenulls semantics, which
+# differ across engines). One exchange total, everything else
+# scan-fused; per-doc state is bounded by the doc's heading count.
+
+_H_PAT = r"(?i)<h([1-6])[^>]*>([^<]*)</h[1-6]>"
+
+# fixture variants (doc_id % 4): 0 = two h1 sections (h2 counter must
+# reset); 1 = starts at h2 (0-prefix) + UPPERCASE tags + skipped level
+# (h3 right after h1 -> "1.0.1"); 2 = no headings (doc absent from
+# output); 3 = h4 before any h1 ("0.0.0"), h6 under h1 ("1.0.0"),
+# <h7> decoy, inline-markup heading dropped.
+_OUT_HEAD_SQL = """
+    case cast(doc_id % 4 as int)
+      when 0 then '<h1>' || source || ' overview</h1>'
+        || '<h2>Part ' || cast(doc_id % 7 as varchar) || '</h2>'
+        || '<h2>Methods</h2><h1>Appendix</h1><h2>Data</h2><h3>Tables</h3>'
+      when 1 then '<H2 CLASS="lead">Summary ' || cast(doc_id as varchar)
+        || '</H2><H3>Detail</H3><h1>' || source || '</h1><h3>Skip</h3>'
+      when 2 then '<p>' || source || ' has no headings</p>'
+      else '<h4>Deep</h4><h1>Top ' || source || '</h1><h6>Tiny</h6>'
+        || '<h7>NotAHeading</h7><h2>Rich <b>markup</b> dropped</h2>'
+        || '<h2>Kept ' || cast(doc_id % 5 as varchar) || '</h2>'
+    end
+"""
+
+
+def extract_headings(df: DataFrame, html_col: str = "html_text") -> DataFrame:
+    """(doc_id, html) -> one row per text-only heading:
+    (doc_id, pos, level, heading), pos = document order."""
+    ms = F.regexp_extract_all(F.col(html_col), F.lit(_H_PAT), 0)
+    ex = df.select("doc_id", F.posexplode(ms).alias("pos", "m"))
+    return ex.select(
+        "doc_id",
+        "pos",
+        F.regexp_extract("m", _H_PAT, 1).cast("int").alias("level"),
+        F.regexp_extract("m", _H_PAT, 2).alias("heading"),
+    )
+
+
+def heading_outline(df: DataFrame) -> DataFrame:
+    """Append the hierarchical section path (see section comment) to an
+    ``extract_headings`` frame."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lvl = F.col("level")
+    s = df.withColumns(
+        {
+            "s1": F.sum(F.when(lvl == 1, 1).otherwise(0)).over(w),
+            "s2": F.sum(F.when(lvl == 2, 1).otherwise(0)).over(w),
+            "s3": F.sum(F.when(lvl == 3, 1).otherwise(0)).over(w),
+        }
+    )
+    r = s.withColumns(
+        {
+            "r2": F.max(F.when(lvl < 2, F.col("s2"))).over(w),
+            "r3": F.max(F.when(lvl < 3, F.col("s3"))).over(w),
+        }
+    )
+    c1 = F.col("s1").cast("string")
+    c2 = (F.col("s2") - F.coalesce(F.col("r2"), F.lit(0))).cast("string")
+    c3 = (F.col("s3") - F.coalesce(F.col("r3"), F.lit(0))).cast("string")
+    path = (
+        F.when(lvl == 1, c1)
+        .when(lvl == 2, F.concat_ws(".", c1, c2))
+        .otherwise(F.concat_ws(".", c1, c2, c3))
+    )
+    return r.select("doc_id", "pos", "level", "heading", path.alias("sec_path"))
+
+
+_OUTLINE_ORACLE = f"""
+    with fx as (select doc_id, {_OUT_HEAD_SQL} as html_text from documents),
+    m as (
+      select doc_id,
+             cast(generate_subscripts(ms, 1) - 1 as int) as pos,
+             unnest(ms) as m
+      from (select doc_id,
+                   regexp_extract_all(html_text, {_sql_quote(_H_PAT)}, 0) as ms
+            from fx)
+    ),
+    h as (
+      select doc_id, pos,
+             cast(regexp_extract(m, {_sql_quote(_H_PAT)}, 1) as int) as level,
+             regexp_extract(m, {_sql_quote(_H_PAT)}, 2) as heading
+      from m
+    ),
+    s as (
+      select *,
+             sum(case when level = 1 then 1 else 0 end) over w as s1,
+             sum(case when level = 2 then 1 else 0 end) over w as s2,
+             sum(case when level = 3 then 1 else 0 end) over w as s3
+      from h
+      window w as (partition by doc_id order by pos
+                   rows between unbounded preceding and current row)
+    ),
+    r as (
+      select *,
+             max(case when level < 2 then s2 end) over w as r2,
+             max(case when level < 3 then s3 end) over w as r3
+      from s
+      window w as (partition by doc_id order by pos
+                   rows between unbounded preceding and current row)
+    )
+    select doc_id, pos, level, heading,
+      case when level = 1 then cast(s1 as varchar)
+           when level = 2 then cast(s1 as varchar) || '.'
+                || cast(s2 - coalesce(r2, 0) as varchar)
+           else cast(s1 as varchar) || '.'
+                || cast(s2 - coalesce(r2, 0) as varchar) || '.'
+                || cast(s3 - coalesce(r3, 0) as varchar)
+      end as sec_path
+    from r
+"""
+
+
+@_q("page_heading_outline", _OUTLINE_ORACLE)
+def page_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fx = docs.select(
+        "doc_id",
+        F.expr(_OUT_HEAD_SQL.replace("as varchar", "as string")).alias(
+            "html_text"
+        ),
+    )
+    return heading_outline(extract_headings(fx))
+
+
 @_q("page_hreflang_clusters", _HL_ORACLE)
 def page_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

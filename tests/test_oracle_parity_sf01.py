@@ -30,6 +30,7 @@ STALE_OUTSIDE = [
     "text_fk_readability",
     "crawl_delay_directives",
     "host_quality_report",
+    "page_heading_outline",
 ]
 
 _QUERIES = entrymod.queries()

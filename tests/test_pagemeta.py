@@ -100,3 +100,63 @@ def test_canonical_feeds_urlops_canonicalizer(spark):
         .first()
     )
     assert out.c == "https://e.com/a?b=1"
+
+
+# --- heading outline ---------------------------------------------------------
+
+from ocr_application_spark.operators.pagemeta import (  # noqa: E402
+    extract_headings,
+    heading_outline,
+)
+
+
+def _outline(spark, html):
+    df = spark.createDataFrame([(1, html)], "doc_id long, html_text string")
+    rows = heading_outline(extract_headings(df)).orderBy("pos").collect()
+    return [(r.level, r.heading, r.sec_path) for r in rows]
+
+
+def test_outline_counters_reset_on_lower_level(spark):
+    out = _outline(
+        spark,
+        "<h1>A</h1><h2>B</h2><h2>C</h2><h1>D</h1><h2>E</h2><h3>F</h3>",
+    )
+    assert out == [
+        (1, "A", "1"),
+        (2, "B", "1.1"),
+        (2, "C", "1.2"),
+        (1, "D", "2"),
+        (2, "E", "2.1"),
+        (3, "F", "2.1.1"),
+    ]
+
+
+def test_outline_zero_prefix_and_skipped_level(spark):
+    # h2 before any h1 -> "0."; h3 directly under h1 -> c2 stays 0
+    out = _outline(spark, "<h2>S</h2><h1>T</h1><h3>U</h3>")
+    assert out == [(2, "S", "0.1"), (1, "T", "1"), (3, "U", "1.0.1")]
+
+
+def test_outline_depth_caps_at_three(spark):
+    # h4-h6 carry the enclosing numbered section's path, never a 4th part
+    out = _outline(spark, "<h1>A</h1><h2>B</h2><h3>C</h3><h4>D</h4><h6>E</h6>")
+    assert out[-2:] == [(4, "D", "1.1.1"), (6, "E", "1.1.1")]
+
+
+def test_outline_text_only_matching_and_decoys(spark):
+    # inline markup breaks the text-only match; <h7> is not a heading;
+    # attributes and tag case are tolerated
+    out = _outline(
+        spark,
+        '<H2 CLASS="x">Kept</H2><h2>Rich <b>b</b> dropped</h2><h7>No</h7>',
+    )
+    assert out == [(2, "Kept", "0.1")]
+
+
+def test_outline_headingless_doc_absent(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>plain</p>"), (2, "<h1>T</h1>")],
+        "doc_id long, html_text string",
+    )
+    rows = heading_outline(extract_headings(df)).collect()
+    assert [r.doc_id for r in rows] == [2]

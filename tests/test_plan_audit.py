@@ -936,3 +936,16 @@ def test_host_report_single_exchange_partial_agg(spark):
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan  # partial+final
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "source", "text"}
+
+
+def test_heading_outline_single_exchange_chained_windows(spark):
+    # the reset counters are two chained window layers over the SAME
+    # (doc_id, pos) spec: one exchange, one sort, no Python anywhere
+    plan = plan_of(spark, "page_heading_outline")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+    assert "Window" in plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id", "source"}
