@@ -126,10 +126,11 @@ def test_fk_counts_and_exact_integer_grade(spark):
     docs = spark.createDataFrame(pd.DataFrame([(0, text)], columns=["doc_id", "text"]))
     r = fk_readability(docs).collect()[0]
     assert r["n_sents"] == 3 and r["n_words"] == 12
-    # vowel-group runs: the(1) cat(1) sat(1) here(2) ... counted over text
-    assert r["n_syll"] == 13
+    # vowel-group runs: the(1) cat(1) sat(1) here(2) the(1) dog(1)
+    # ran(1) away(2: a|w|ay) a(1) bird(1) flew(1) by(1: y is a vowel)
+    assert r["n_syll"] == 14
     assert r["fk_grade_micro"] == (
-        390000 * 12 // 3 + 11800000 * 13 // 12 - 15590000
+        390000 * 12 // 3 + 11800000 * 14 // 12 - 15590000
     )
 
 
