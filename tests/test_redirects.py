@@ -88,7 +88,7 @@ def _series(spark, pages, extra_edges=()):
     return {r["url"]: r for r in pagination_series(df.select("url"), edges).collect()}
 
 
-def _chain(n, prefix="https://s/p"):
+def _page_chain(n, prefix="https://s/p"):
     pages = []
     for i in range(n):
         nxt = (
@@ -99,7 +99,7 @@ def _chain(n, prefix="https://s/p"):
 
 
 def test_positions_head_and_cap(spark):
-    out = _series(spark, _chain(12))
+    out = _series(spark, _page_chain(12))
     assert out["https://s/p0"]["page_no"] == 1
     assert out["https://s/p0"]["status"] == "ok"
     # position 8 = exactly MAX_HOPS back: still ok
