@@ -254,6 +254,7 @@ _NEW_R04_OUTSIDE = (
     "crawl_delay_directives",
     "host_quality_report",
     "page_heading_outline",
+    "page_section_chunks",
 )
 
 

@@ -209,6 +209,30 @@ def main() -> None:
             "sketch_hdr_quantiles",
             "extract_yield_report",
             "extract_charset_sniff",
+            # r04 additions
+            "crawl_robots_parse",
+            "page_meta_extract",
+            "page_index_gate",
+            "url_param_mining",
+            "page_og_extract",
+            "page_jsonld_extract",
+            "html_table_extract",
+            "crawl_cache_headers",
+            "url_redirect_resolve",
+            "crawl_feed_discover",
+            "crawl_feed_parse",
+            "warc_revisit_resolve",
+            "text_lang_segments",
+            "url_sitemap_index",
+            "page_hreflang_clusters",
+            "page_pagination_series",
+            "text_word_blocklist",
+            "text_sentence_split",
+            "text_fk_readability",
+            "crawl_delay_directives",
+            "host_quality_report",
+            "page_heading_outline",
+            "page_section_chunks",
         ]
 
         def run(name: str) -> None:

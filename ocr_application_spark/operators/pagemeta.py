@@ -449,9 +449,10 @@ def extract_headings(df: DataFrame, html_col: str = "html_text") -> DataFrame:
     )
 
 
-def heading_outline(df: DataFrame) -> DataFrame:
-    """Append the hierarchical section path (see section comment) to an
-    ``extract_headings`` frame."""
+def _with_sec_path(df: DataFrame) -> DataFrame:
+    """Append ``sec_path`` to any frame carrying (doc_id, pos, level);
+    every other column rides through untouched. One exchange, one sort
+    (two chained window layers over the same (doc_id, pos) spec)."""
     from pyspark.sql import Window
 
     w = (
@@ -481,8 +482,50 @@ def heading_outline(df: DataFrame) -> DataFrame:
         .when(lvl == 2, F.concat_ws(".", c1, c2))
         .otherwise(F.concat_ws(".", c1, c2, c3))
     )
-    return r.select("doc_id", "pos", "level", "heading", path.alias("sec_path"))
+    return r.withColumn("sec_path", path).drop("s1", "s2", "s3", "r2", "r3")
 
+
+def heading_outline(df: DataFrame) -> DataFrame:
+    """Append the hierarchical section path (see section comment) to an
+    ``extract_headings`` frame."""
+    return _with_sec_path(df).select(
+        "doc_id", "pos", "level", "heading", "sec_path"
+    )
+
+
+# the reset-counter + sec_path window block, shared by the outline and
+# section-chunk oracles (expects a CTE `h` carrying doc_id/pos/level
+# and any ride-through columns; yields CTE `p` with sec_path appended)
+_SEC_WINDOW_SQL = """
+    s as (
+      select *,
+             sum(case when level = 1 then 1 else 0 end) over w as s1,
+             sum(case when level = 2 then 1 else 0 end) over w as s2,
+             sum(case when level = 3 then 1 else 0 end) over w as s3
+      from h
+      window w as (partition by doc_id order by pos
+                   rows between unbounded preceding and current row)
+    ),
+    r as (
+      select *,
+             max(case when level < 2 then s2 end) over w as r2,
+             max(case when level < 3 then s3 end) over w as r3
+      from s
+      window w as (partition by doc_id order by pos
+                   rows between unbounded preceding and current row)
+    ),
+    p as (
+      select *,
+        case when level = 1 then cast(s1 as varchar)
+             when level = 2 then cast(s1 as varchar) || '.'
+                  || cast(s2 - coalesce(r2, 0) as varchar)
+             else cast(s1 as varchar) || '.'
+                  || cast(s2 - coalesce(r2, 0) as varchar) || '.'
+                  || cast(s3 - coalesce(r3, 0) as varchar)
+        end as sec_path
+      from r
+    )
+"""
 
 _OUTLINE_ORACLE = f"""
     with fx as (select doc_id, {_OUT_HEAD_SQL} as html_text from documents),
@@ -500,32 +543,9 @@ _OUTLINE_ORACLE = f"""
              regexp_extract(m, {_sql_quote(_H_PAT)}, 2) as heading
       from m
     ),
-    s as (
-      select *,
-             sum(case when level = 1 then 1 else 0 end) over w as s1,
-             sum(case when level = 2 then 1 else 0 end) over w as s2,
-             sum(case when level = 3 then 1 else 0 end) over w as s3
-      from h
-      window w as (partition by doc_id order by pos
-                   rows between unbounded preceding and current row)
-    ),
-    r as (
-      select *,
-             max(case when level < 2 then s2 end) over w as r2,
-             max(case when level < 3 then s3 end) over w as r3
-      from s
-      window w as (partition by doc_id order by pos
-                   rows between unbounded preceding and current row)
-    )
-    select doc_id, pos, level, heading,
-      case when level = 1 then cast(s1 as varchar)
-           when level = 2 then cast(s1 as varchar) || '.'
-                || cast(s2 - coalesce(r2, 0) as varchar)
-           else cast(s1 as varchar) || '.'
-                || cast(s2 - coalesce(r2, 0) as varchar) || '.'
-                || cast(s3 - coalesce(r3, 0) as varchar)
-      end as sec_path
-    from r
+    {_SEC_WINDOW_SQL}
+    select doc_id, pos, level, heading, sec_path
+    from p
 """
 
 
@@ -539,6 +559,129 @@ def page_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return heading_outline(extract_headings(fx))
+
+
+# --- section chunks (structure-aware chunking) --------------------------------
+#
+# The composition the outline exists for: split each page at its
+# headings and emit one chunk per SECTION — (sec_path, heading, body) —
+# the chunk shape LLM training pipelines want (split on structure, keep
+# the breadcrumb, never mid-sentence at an arbitrary byte offset).
+# body = the raw HTML between heading i and heading i+1, tag-stripped
+# and whitespace-collapsed. Both engines split with the SAME heading
+# pattern and both keep trailing empty segments (verified:
+# Java split(limit=-1) and DuckDB string_split_regex agree), so
+# len(parts) == len(matches) + 1 always and segment i+1 belongs to
+# heading i. Pre-heading preamble (parts[0]) is deliberately dropped:
+# content before the first heading is the boilerplate strip's job, not
+# the chunker's. The only cross-engine divergence is regexp_replace's
+# replace-all spelling (Spark: default; DuckDB: 'g' flag) — the
+# patterns themselves are shared constants.
+#
+# Scale shape: identical to the outline — posexplode + the one
+# sec_path window. The parts array rides through the explode; chunk
+# state is bounded by page size.
+
+_TAG_PAT = "<[^>]*>"
+_WS_PAT = "[ \t\r\n]+"
+
+# fixture (doc_id % 3): 0 = two h1 sections with <p>/<div> bodies and
+# an empty-body h2; 1 = preamble text (must be dropped) + a body with
+# chr(10)/chr(9) whitespace and a <br> tag; 2 = headingless (absent).
+_CHUNK_HEAD_SQL = """
+    case cast(doc_id % 3 as int)
+      when 0 then '<h1>' || source || ' guide</h1><p>'
+        || substr(coalesce(text, ''), 1, 60) || '</p><h2>Setup</h2>'
+        || '<p>install ' || cast(doc_id % 9 as varchar)
+        || ' steps</p><h2>Empty</h2><h1>FAQ</h1><div>'
+        || substr(coalesce(text, ''), 61, 40) || '</div>'
+      when 1 then 'Preamble is dropped. <h2>Notes '
+        || cast(doc_id as varchar) || '</h2>line one' || chr(10)
+        || 'line two' || chr(9) || '<br>tail'
+      else '<p>' || substr(coalesce(text, ''), 1, 30) || '</p>'
+    end
+"""
+
+
+def section_chunks(df: DataFrame, html_col: str = "html_text") -> DataFrame:
+    """(doc_id, html) -> one row per heading-delimited section:
+    (doc_id, pos, level, heading, sec_path, body, n_body_chars)."""
+    h = F.col(html_col)
+    ms = F.regexp_extract_all(h, F.lit(_H_PAT), 0)
+    ex = df.select(
+        "doc_id",
+        F.split(h, _H_PAT).alias("parts"),
+        F.posexplode(ms).alias("pos", "m"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.try_element_at("parts", F.col("pos") + F.lit(2)),
+                _TAG_PAT,
+                " ",
+            ),
+            _WS_PAT,
+            " ",
+        )
+    )
+    raw = ex.select(
+        "doc_id",
+        "pos",
+        F.regexp_extract("m", _H_PAT, 1).cast("int").alias("level"),
+        F.regexp_extract("m", _H_PAT, 2).alias("heading"),
+        clean.alias("body"),
+    )
+    out = _with_sec_path(raw)
+    return out.select(
+        "doc_id",
+        "pos",
+        "level",
+        "heading",
+        "sec_path",
+        "body",
+        F.length("body").cast("long").alias("n_body_chars"),
+    )
+
+
+_CHUNK_ORACLE = f"""
+    with fx as (select doc_id, {_CHUNK_HEAD_SQL} as html_text from documents),
+    t as (
+      select doc_id,
+             regexp_extract_all(html_text, {_sql_quote(_H_PAT)}, 0) as ms,
+             string_split_regex(html_text, {_sql_quote(_H_PAT)}) as parts
+      from fx
+    ),
+    m as (
+      select doc_id, cast(u.i - 1 as int) as pos,
+             ms[u.i] as m, parts[u.i + 1] as raw_body
+      from t, unnest(range(1, len(ms) + 1)) u(i)
+    ),
+    h as (
+      select doc_id, pos,
+             cast(regexp_extract(m, {_sql_quote(_H_PAT)}, 1) as int) as level,
+             regexp_extract(m, {_sql_quote(_H_PAT)}, 2) as heading,
+             trim(regexp_replace(regexp_replace(
+               raw_body, {_sql_quote(_TAG_PAT)}, ' ', 'g'),
+               {_sql_quote(_WS_PAT)}, ' ', 'g')) as body
+      from m
+    ),
+    {_SEC_WINDOW_SQL}
+    select doc_id, pos, level, heading, sec_path, body,
+           cast(length(body) as bigint) as n_body_chars
+    from p
+"""
+
+
+@_q("page_section_chunks", _CHUNK_ORACLE)
+def page_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fx = docs.select(
+        "doc_id",
+        F.expr(_CHUNK_HEAD_SQL.replace("as varchar", "as string")).alias(
+            "html_text"
+        ),
+    )
+    return section_chunks(fx)
 
 
 @_q("page_hreflang_clusters", _HL_ORACLE)

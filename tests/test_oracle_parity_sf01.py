@@ -31,6 +31,7 @@ STALE_OUTSIDE = [
     "crawl_delay_directives",
     "host_quality_report",
     "page_heading_outline",
+    "page_section_chunks",
 ]
 
 _QUERIES = entrymod.queries()

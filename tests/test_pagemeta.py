@@ -160,3 +160,46 @@ def test_outline_headingless_doc_absent(spark):
     )
     rows = heading_outline(extract_headings(df)).collect()
     assert [r.doc_id for r in rows] == [2]
+
+
+# --- section chunks ----------------------------------------------------------
+
+from ocr_application_spark.operators.pagemeta import section_chunks  # noqa: E402
+
+
+def _chunks(spark, html):
+    df = spark.createDataFrame([(1, html)], "doc_id long, html_text string")
+    rows = section_chunks(df).orderBy("pos").collect()
+    return [(r.sec_path, r.heading, r.body) for r in rows]
+
+
+def test_chunks_bodies_follow_their_headings(spark):
+    out = _chunks(
+        spark,
+        "<h1>A</h1><p>first body</p><h2>B</h2>second<h1>C</h1><div>third</div>",
+    )
+    assert out == [
+        ("1", "A", "first body"),
+        ("1.1", "B", "second"),
+        ("2", "C", "third"),
+    ]
+
+
+def test_chunks_preamble_dropped_and_whitespace_collapsed(spark):
+    out = _chunks(
+        spark,
+        "pre-heading text is not a chunk<h2>N</h2>line one\nline two\t<br>tail",
+    )
+    assert out == [("0.1", "N", "line one line two tail")]
+
+
+def test_chunks_trailing_and_empty_sections(spark):
+    # a heading at the very end of the page yields an empty body (the
+    # trailing split segment is kept, in both engines)
+    out = _chunks(spark, "<h1>A</h1>body<h2>End</h2>")
+    assert out == [("1", "A", "body"), ("1.1", "End", "")]
+
+
+def test_chunks_tag_stripping_keeps_text(spark):
+    out = _chunks(spark, '<h1>A</h1><ul><li>x</li><li class="z">y</li></ul>')
+    assert out == [("1", "A", "x y")]

@@ -949,3 +949,18 @@ def test_heading_outline_single_exchange_chained_windows(spark):
     assert "Window" in plan
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"struct", "doc_id", "source"}
+
+
+def test_section_chunks_single_exchange(spark):
+    # same shape as the outline: posexplode + one sec_path window; the
+    # parts array rides through the explode without a second shuffle
+    plan = plan_of(spark, "page_section_chunks")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+    assert "Window" in plan and "Generate" in plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {
+        "struct", "doc_id", "source", "text"
+    }
