@@ -35,6 +35,7 @@ def _modules():
         buckets_entry,
         cachehdr,
         charset_sniff,
+        clustering,
         curation,
         dedup,
         entropy,
@@ -91,6 +92,7 @@ def _modules():
         dedup,
         textfns,
         similarity,
+        clustering,
         forecast,
         skew,
         curation,
@@ -245,6 +247,8 @@ _ROWS_ONLY_BY_DESIGN = ("text_compression_ratio", "ann_pq_topk", "ann_ivf_topk")
 # (test_oracle_parity_sf01 STALE_OUTSIDE) every pytest run; rotate them
 # into the r05 window.
 _NEW_R04_OUTSIDE = (
+    "emb_kmeans_assign",
+    "emb_semdedup",
     "url_sitemap_index",
     "page_hreflang_clusters",
     "page_pagination_series",

@@ -233,6 +233,8 @@ def main() -> None:
             "host_quality_report",
             "page_heading_outline",
             "page_section_chunks",
+            "emb_kmeans_assign",
+            "emb_semdedup",
         ]
 
         def run(name: str) -> None:

@@ -22,6 +22,8 @@ SF_DIR = "/root/testdata/sf0.01"
 # froze (entrymod._NEW_R04_OUTSIDE — they get here what a slot would
 # have given them: the driver-identical compare at the driver's SF)
 STALE_OUTSIDE = [
+    "emb_kmeans_assign",
+    "emb_semdedup",
     "url_sitemap_index",
     "page_hreflang_clusters",
     "page_pagination_series",
