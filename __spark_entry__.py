@@ -34,6 +34,7 @@ def _modules():
         asof,
         buckets_entry,
         cachehdr,
+        cdc,
         charset_sniff,
         clustering,
         curation,
@@ -90,6 +91,7 @@ def _modules():
         entropy,
         reference_ops,
         dedup,
+        cdc,
         textfns,
         similarity,
         clustering,
@@ -247,6 +249,7 @@ _ROWS_ONLY_BY_DESIGN = ("text_compression_ratio", "ann_pq_topk", "ann_ivf_topk")
 # (test_oracle_parity_sf01 STALE_OUTSIDE) every pytest run; rotate them
 # into the r05 window.
 _NEW_R04_OUTSIDE = (
+    "dedup_cdc_chunks",
     "emb_kmeans_assign",
     "emb_semdedup",
     "url_sitemap_index",

@@ -235,6 +235,7 @@ def main() -> None:
             "page_section_chunks",
             "emb_kmeans_assign",
             "emb_semdedup",
+            "dedup_cdc_chunks",
         ]
 
         def run(name: str) -> None:
