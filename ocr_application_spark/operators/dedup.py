@@ -974,9 +974,20 @@ def propagate_components(
     loud RuntimeError instead (silent partial labels are never an
     option).
     """
+    # symmetrize via ONE explode, not a self-union: the union form
+    # evaluates the (potentially expensive) pairs plan twice while the
+    # persist materializes — for the LSH pair graph that was ~2s of the
+    # operator's sf0.1 cost, pure waste
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+                    F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .persist()
     )
     # Propagate ONLY over nodes the pair graph touches: at corpus scale
@@ -987,8 +998,6 @@ def propagate_components(
     labels = edges.select(F.col("u").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("rep")
     )
-    import gc
-
     prev = None
     # cap + 1: a diameter-D component needs D propagating supersteps
     # PLUS one changed==0 probe to observe convergence, so diameter ==
@@ -1028,11 +1037,13 @@ def propagate_components(
         # new one is materialized; release them deterministically
         # (df.unpersist() is a no-op for checkpoint storage — see
         # session.release_local_checkpoint) instead of retaining
-        # O(iterations x labels) until gc + ContextCleaner get around
+        # O(iterations x labels) until gc + ContextCleaner get around.
+        # (NO gc.collect() here: release_local_checkpoint already frees
+        # the JVM blocks; a full Python collection per superstep costs
+        # seconds in a long-lived session full of py4j refs — measured
+        # as most of the bench-vs-clean gap for this operator)
         if prev is not None:
             release_local_checkpoint(prev)
-            del prev
-            gc.collect()
         prev = upd
         labels = upd.select("doc_id", F.col("new_rep").alias("rep"))
         if changed == 0:
@@ -1139,8 +1150,6 @@ def propagate_components_star(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
     if edges.isEmpty():
         return nodes.select("doc_id", F.col("doc_id").alias("rep"))
-    import gc
-
     for _ in range(_STAR_MAX_ROUNDS):
         after_large = _canon_edges(_large_star(edges)).localCheckpoint(eager=True)
         after_small = _canon_edges(_small_star(after_large)).localCheckpoint(eager=True)
@@ -1150,11 +1159,10 @@ def propagate_components_star(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
             and after_small.exceptAll(edges).isEmpty()
         )
         # free the superseded rounds' checkpoint blocks deterministically
-        # (see the propagation loop's note)
+        # (see the propagation loop's note — and like there, no
+        # gc.collect(): the JVM blocks are already freed)
         release_local_checkpoint(edges)
         release_local_checkpoint(after_large)
-        del edges, after_large
-        gc.collect()
         edges = after_small
         if converged:
             break
