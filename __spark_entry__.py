@@ -250,6 +250,7 @@ _ROWS_ONLY_BY_DESIGN = ("text_compression_ratio", "ann_pq_topk", "ann_ivf_topk")
 # into the r05 window.
 _NEW_R04_OUTSIDE = (
     "dedup_cdc_chunks",
+    "text_script_mix",
     "emb_kmeans_assign",
     "emb_semdedup",
     "url_sitemap_index",

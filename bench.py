@@ -236,6 +236,7 @@ def main() -> None:
             "emb_kmeans_assign",
             "emb_semdedup",
             "dedup_cdc_chunks",
+            "text_script_mix",
         ]
 
         def run(name: str) -> None:

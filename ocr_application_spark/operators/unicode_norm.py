@@ -130,3 +130,136 @@ def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("nfc_text").alias("n_cp_nfc"),
         F.sha2("nfc_text", 256).alias("nfc_digest"),
     )
+
+
+# --- Unicode script mix (spam / wrong-langid signal) -------------------------
+#
+# Per-document histogram of characters by Unicode script block, the
+# dominant script, and a mixed-script flag (non-dominant share >= 5%).
+# Mixed-script text is a classic crawl-quality signal: confusable-
+# script spam, mis-decoded bytes, and boilerplate chrome around a
+# different-script body all light it up, and langid heuristics built
+# on Latin stopwords (text_langid_heuristic) need the guard.
+#
+# Counting is regexp_count with single-char classes over LITERAL BMP
+# range endpoints (the chars are embedded in the pattern from Python,
+# so Java regex and RE2 parse the identical class; astral planes are
+# deliberately excluded — Java strings split them into surrogates
+# where DuckDB sees codepoints, the repo's known explode landmine).
+# Zero shuffles: nine counts + argmax + flag all fuse into the scan.
+#
+# The corpus fixture is ASCII-heavy, so the GATE derives multilingual
+# text deterministically (the sentence-split precedent): four of five
+# docs get a literal non-Latin suffix chosen by doc_id % 5 — identical
+# concat in both engines — so every script path and the mixed flag are
+# exercised by real data.
+
+_SCRIPTS = [
+    ("latin", f"A-Za-z{chr(0xC0)}-{chr(0x24F)}"),
+    ("cyrillic", f"{chr(0x400)}-{chr(0x4FF)}"),
+    ("greek", f"{chr(0x370)}-{chr(0x3FF)}"),
+    ("arabic", f"{chr(0x600)}-{chr(0x6FF)}"),
+    ("hebrew", f"{chr(0x590)}-{chr(0x5FF)}"),
+    ("devanagari", f"{chr(0x900)}-{chr(0x97F)}"),
+    ("cjk", f"{chr(0x4E00)}-{chr(0x9FFF)}"),
+    ("kana", f"{chr(0x3040)}-{chr(0x30FF)}"),
+    ("hangul", f"{chr(0xAC00)}-{chr(0xD7AF)}"),
+]
+
+_SUFFIXES = {
+    1: " привет мир это тест",
+    2: " مرحبا بالعالم שלום עולם",
+    3: " 你好世界 こんにちは カタカナ",
+    4: " γειά σου नमस्ते 안녕하세요",
+}
+
+# docs with doc_id % 10 in 5..9 REPLACE their text with a repeated
+# non-Latin phrase, so dominance itself (not just the counts) flips:
+# cyrillic/arabic/cjk/hangul/hebrew each dominate a tenth of the corpus
+_REPLACERS = {
+    5: "привет мир это тест ",
+    6: "مرحبا بالعالم اختبار ",
+    7: "你好世界测试文本 ",
+    8: "안녕하세요 세계 테스트 ",
+    9: "שלום עולם בדיקה ",
+}
+
+
+def script_mix_cols(text):
+    """(counts dict, total, dominant, mixed) columns for a text col."""
+    counts = {
+        name: F.regexp_count(text, F.lit(f"[{rng}]")).cast("long")
+        for name, rng in _SCRIPTS
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    mx = F.greatest(*counts.values())
+    dominant = F.lit("none")
+    # first-in-fixed-order wins ties: build the case chain in reverse
+    for name, _ in reversed(_SCRIPTS):
+        dominant = F.when(
+            (mx > 0) & (counts[name] == mx), F.lit(name)
+        ).otherwise(dominant)
+    mixed = (total > 0) & (F.lit(20) * (total - mx) >= total)
+    return counts, total, dominant, mixed
+
+
+@_q(
+    "text_script_mix",
+    (
+        lambda: (
+            "with derived as (select doc_id, case "
+            + " ".join(
+                f"when doc_id % 10 = {k} then repeat('{ph}', 1 + cast(doc_id % 7 as int))"
+                for k, ph in _REPLACERS.items()
+            )
+            + " "
+            + " ".join(
+                f"when doc_id % 5 = {k} then text || '{sfx}'"
+                for k, sfx in _SUFFIXES.items()
+            )
+            + " else text end as t from documents), counted as (select doc_id, "
+            + ", ".join(
+                f"cast(len(regexp_extract_all(t, '[{rng}]')) as bigint) as n_{name}"
+                for name, rng in _SCRIPTS
+            )
+            + " from derived), tot as (select *, "
+            + " + ".join(f"n_{name}" for name, _ in _SCRIPTS)
+            + " as n_scripted, greatest("
+            + ", ".join(f"n_{name}" for name, _ in _SCRIPTS)
+            + ") as mx from counted) select doc_id, "
+            + ", ".join(f"n_{name}" for name, _ in _SCRIPTS)
+            + ", n_scripted, case when mx = 0 then 'none' "
+            + " ".join(
+                f"when n_{name} = mx then '{name}'" for name, _ in _SCRIPTS
+            )
+            + " end as dominant_script,"
+            + " (n_scripted > 0 and 20 * (n_scripted - mx) >= n_scripted)"
+            + "   as mixed_script from tot"
+        )
+    )(),
+)
+def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Unicode script histogram + dominant script + mixed-script
+    flag, scan-fused (no exchange, no UDF); the gate derives non-Latin
+    suffixes per doc_id % 5 so all nine script paths and both flag
+    branches run against real data."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    for k, sfx in _SUFFIXES.items():
+        t = F.when(F.col("doc_id") % 5 == k, F.concat(F.col("text"), F.lit(sfx))).otherwise(t)
+    for k, ph in _REPLACERS.items():
+        t = F.when(
+            F.col("doc_id") % 10 == k,
+            F.repeat(F.lit(ph), (F.lit(1) + F.col("doc_id") % 7).cast("int")),
+        ).otherwise(t)
+    d = docs.select("doc_id", t.alias("t"))
+    counts, total, dominant, mixed = script_mix_cols(F.col("t"))
+    return d.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        total.alias("n_scripted"),
+        dominant.alias("dominant_script"),
+        mixed.alias("mixed_script"),
+    )

@@ -23,6 +23,7 @@ SF_DIR = "/root/testdata/sf0.01"
 # have given them: the driver-identical compare at the driver's SF)
 STALE_OUTSIDE = [
     "dedup_cdc_chunks",
+    "text_script_mix",
     "emb_kmeans_assign",
     "emb_semdedup",
     "url_sitemap_index",

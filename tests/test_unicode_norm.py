@@ -59,3 +59,51 @@ def test_changed_flag_fires_and_lengths_shrink(spark):
         if r.changed == 0:
             assert r.n_cp_nfc == r.n_cp_raw
         assert len(r.nfc_digest) == 64
+
+
+# --- text_script_mix ---------------------------------------------------------
+
+
+def _mix_rows(spark, rows):
+    from ocr_application_spark.operators.unicode_norm import script_mix_cols
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    counts, total, dominant, mixed = script_mix_cols(F.col("t"))
+    out = df.select(
+        "doc_id",
+        total.alias("n_scripted"),
+        dominant.alias("dominant_script"),
+        mixed.alias("mixed_script"),
+        counts["latin"].alias("n_latin"),
+        counts["cyrillic"].alias("n_cyrillic"),
+    )
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_script_mix_flag_threshold_is_five_percent(spark):
+    # 19 latin + 1 cyrillic = 5.0% minority -> mixed (20*(20-19) >= 20)
+    # 20 latin + 1 cyrillic < 5% -> not mixed
+    got = _mix_rows(
+        spark,
+        [(1, "a" * 19 + "ж"), (2, "a" * 20 + "ж"), (3, "")],
+    )
+    assert got[1]["mixed_script"] is True
+    assert got[2]["mixed_script"] is False
+    assert got[3]["mixed_script"] is False  # empty: no scripts, not mixed
+
+
+def test_script_mix_tie_breaks_in_fixed_order(spark):
+    # equal latin and cyrillic counts -> latin (first in _SCRIPTS) wins
+    got = _mix_rows(spark, [(1, "abc жуй"), (2, "123 ...")])
+    assert got[1]["dominant_script"] == "latin"
+    assert got[2]["dominant_script"] == "none"  # nothing scripted
+    assert got[2]["n_scripted"] == 0
+
+
+def test_script_mix_counts_only_the_block(spark):
+    got = _mix_rows(spark, [(1, "añé ж 你 ア 한 א م अ γ")])
+    r = got[1]
+    assert r["n_latin"] == 3 and r["n_cyrillic"] == 1
+    # every named script contributed exactly one char besides latin's 3
+    assert r["n_scripted"] == 3 + 8
