@@ -49,6 +49,7 @@ def _modules():
         lm,
         pagemeta,
         param_mining,
+        phash,
         quantile_sketch,
         redirects,
         reference_ops,
@@ -103,6 +104,7 @@ def _modules():
         charset_sniff,
         pagemeta,
         param_mining,
+        phash,
         tpch,
         # groupstats and heavyhitters sit OUTSIDE the driver's 50-slot
         # window by design, like the TPC-H demonstrators: exact
@@ -250,6 +252,8 @@ _ROWS_ONLY_BY_DESIGN = ("text_compression_ratio", "ann_pq_topk", "ann_ivf_topk")
 # into the r05 window.
 _NEW_R04_OUTSIDE = (
     "dedup_cdc_chunks",
+    "multimodal_phash",
+    "multimodal_phash_pairs",
     "text_script_mix",
     "emb_kmeans_assign",
     "emb_semdedup",

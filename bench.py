@@ -237,6 +237,8 @@ def main() -> None:
             "emb_semdedup",
             "dedup_cdc_chunks",
             "text_script_mix",
+            "multimodal_phash",
+            "multimodal_phash_pairs",
         ]
 
         def run(name: str) -> None:
