@@ -47,6 +47,7 @@ def _modules():
         htmltables,
         kernels_entry,
         lm,
+        markdown,
         pagemeta,
         param_mining,
         phash,
@@ -99,6 +100,7 @@ def _modules():
         forecast,
         skew,
         curation,
+        markdown,
         unicode_norm,
         quantile_sketch,
         charset_sniff,
@@ -252,6 +254,7 @@ _ROWS_ONLY_BY_DESIGN = ("text_compression_ratio", "ann_pq_topk", "ann_ivf_topk")
 # into the r05 window.
 _NEW_R04_OUTSIDE = (
     "dedup_cdc_chunks",
+    "page_markdown",
     "multimodal_phash",
     "multimodal_phash_pairs",
     "text_script_mix",

@@ -239,6 +239,7 @@ def main() -> None:
             "text_script_mix",
             "multimodal_phash",
             "multimodal_phash_pairs",
+            "page_markdown",
         ]
 
         def run(name: str) -> None:

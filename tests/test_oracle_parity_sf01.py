@@ -23,6 +23,7 @@ SF_DIR = "/root/testdata/sf0.01"
 # have given them: the driver-identical compare at the driver's SF)
 STALE_OUTSIDE = [
     "dedup_cdc_chunks",
+    "page_markdown",
     "multimodal_phash",
     "multimodal_phash_pairs",
     "text_script_mix",
