@@ -240,6 +240,7 @@ def main() -> None:
             "multimodal_phash",
             "multimodal_phash_pairs",
             "page_markdown",
+            "crawl_frontier_priority",
         ]
 
         def run(name: str) -> None:

@@ -1925,3 +1925,144 @@ def crawl_acquisition_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "host", "lastmod", "priority_bp",
         "fetch_rank", "tick_idx", "scheduled_us",
     )
+
+
+# --- frontier prioritization (what to fetch FIRST) ---------------------------
+#
+# The missing step between recrawl selection (WHAT to fetch) and the
+# politeness scheduler (WHEN a host allows it): a total priority over
+# the frontier so the rate-limited slots go to the most valuable urls.
+# Signals, all exact integers:
+#   * host prior — any (host, score) table; production plugs in
+#     kernels/links.host_pagerank's integer ranks (same shape), the
+#     gate derives a frontier-mass prior (capped per-host url count)
+#     so the composition is self-contained;
+#   * staleness — days since last fetch vs the advertised lastmod,
+#     capped (a page 3 years stale is not 36x more urgent than one
+#     month);
+#   * depth penalty — deep paths are archive/pagination tails; shallow
+#     pages carry hub value.
+# priority_micro = host_score + 500*staleness - 250*depth, then the
+# standard per-host politeness window assigns slots in priority order.
+#
+# Scale shape: ONE hash agg for the prior (O(hosts) rows out), one
+# hash join back (host key — never broadcast-assumed: hosts are 10^8
+# at corpus scale), one per-host window (the politeness partition,
+# serial per host BY DESIGN). No driver-side data.
+
+_FP_STALE_CAP = 30
+_FP_STALE_W = 500
+_FP_DEPTH_W = 250
+_FP_HOST_CAP = 100
+_FP_HOST_W = 1000
+
+
+def frontier_priority(
+    frontier: DataFrame,
+    host_scores: DataFrame,
+    rate_per_tick: int = _SCHED_RATE,
+    t0_us: int = _SCHED_T0,
+    tick_us: int = _SCHED_TICK,
+) -> DataFrame:
+    """frontier(url, host, depth, last_fetch_day, lastmod_day) +
+    host_scores(host, host_score) -> politeness-scheduled frontier with
+    (priority_micro, fetch_rank, tick_idx, scheduled_us). Urls whose
+    host has no score row get prior 0 (a cold host is not a reason to
+    drop the url)."""
+    stale = F.greatest(
+        F.lit(0),
+        F.least(F.col("lastmod_day") - F.col("last_fetch_day"), F.lit(_FP_STALE_CAP)),
+    )
+    scored = (
+        frontier.join(host_scores, "host", "left")
+        .withColumn(
+            "priority_micro",
+            (
+                F.coalesce(F.col("host_score"), F.lit(0))
+                + F.lit(_FP_STALE_W) * stale
+                - F.lit(_FP_DEPTH_W) * F.col("depth")
+            ).cast("long"),
+        )
+        .drop("host_score")
+    )
+    return crawl_schedule(
+        scored,
+        host_col="host",
+        url_col="url",
+        priority_col="priority_micro",
+        rate_per_tick=rate_per_tick,
+        t0_us=t0_us,
+        tick_us=tick_us,
+    )
+
+
+_FP_ORACLE = f"""
+with frontier as (
+  select
+    'https://h' || cast(doc_id % 7 as varchar) || '/s'
+      || repeat('/x', cast(doc_id % 4 as int)) || '/p'
+      || cast(doc_id as varchar) as url,
+    'h' || cast(doc_id % 7 as varchar) as host,
+    cast(1 + doc_id % 4 as bigint) as depth,
+    cast(doc_id % 11 as bigint) as last_fetch_day,
+    cast(doc_id % 47 as bigint) as lastmod_day
+  from documents
+  where doc_id % 5 <> 0
+),
+prior as (
+  select host,
+         least(cast(count(*) as bigint), {_FP_HOST_CAP}) * {_FP_HOST_W}
+           as host_score
+  from frontier group by host
+),
+scored as (
+  select f.url, f.host, f.depth, f.last_fetch_day, f.lastmod_day,
+         cast(coalesce(p.host_score, 0)
+              + {_FP_STALE_W} * greatest(0, least(f.lastmod_day - f.last_fetch_day,
+                                                  {_FP_STALE_CAP}))
+              - {_FP_DEPTH_W} * f.depth as bigint) as priority_micro
+  from frontier f left join prior p using (host)
+),
+ranked as (
+  select url, host, priority_micro,
+         cast(row_number() over (partition by host
+                                 order by priority_micro desc, url) as bigint)
+           as fetch_rank
+  from scored
+)
+select url, host, priority_micro, fetch_rank,
+       (fetch_rank - 1) // {_SCHED_RATE} as tick_idx,
+       {_SCHED_T0} + ((fetch_rank - 1) // {_SCHED_RATE}) * {_SCHED_TICK}
+         as scheduled_us
+from ranked
+"""
+
+
+@_q("crawl_frontier_priority", _FP_ORACLE)
+def crawl_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: derive a 7-host frontier with varying depth and stale/
+    fresh day grids (doc_id%5==0 urls withheld so one host's mass
+    differs), build the capped frontier-mass prior, score, and run the
+    politeness window — (url, host, priority_micro, fetch_rank,
+    tick_idx, scheduled_us), bit-exact."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frontier = d.filter(F.col("doc_id") % 5 != 0).select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"), F.lit("/s"),
+            F.expr("repeat('/x', cast(doc_id % 4 as int))"),
+            F.lit("/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        (F.lit(1) + F.col("doc_id") % 4).cast("long").alias("depth"),
+        (F.col("doc_id") % 11).cast("long").alias("last_fetch_day"),
+        (F.col("doc_id") % 47).cast("long").alias("lastmod_day"),
+    )
+    prior = frontier.groupBy("host").agg(
+        (F.least(F.count("*").cast("long"), F.lit(_FP_HOST_CAP)) * _FP_HOST_W).alias(
+            "host_score"
+        )
+    )
+    out = frontier_priority(frontier, prior)
+    return out.select(
+        "url", "host", "priority_micro", "fetch_rank", "tick_idx", "scheduled_us"
+    )

@@ -428,3 +428,54 @@ def test_robots_group_directive_rejects_rule_fields(spark):
         robots_group_directive(files, "sparkbot", "disallow")
     with _pytest.raises(ValueError):
         robots_group_directive(files, "SparkBot", "crawl-delay")
+
+
+# --- frontier prioritization -------------------------------------------------
+
+
+def _fp(spark, frontier_rows, score_rows):
+    from ocr_application_spark.operators.urlops import frontier_priority
+
+    f = spark.createDataFrame(
+        frontier_rows,
+        "url string, host string, depth long, last_fetch_day long, lastmod_day long",
+    )
+    s = spark.createDataFrame(score_rows, "host string, host_score long")
+    return {r["url"]: r for r in frontier_priority(f, s).collect()}
+
+
+def test_frontier_cold_host_scores_zero_prior(spark):
+    got = _fp(
+        spark,
+        [("u1", "warm", 1, 0, 0), ("u2", "cold", 1, 0, 0)],
+        [("warm", 7000)],
+    )
+    assert got["u1"]["priority_micro"] == 7000 - 250
+    assert got["u2"]["priority_micro"] == -250  # prior 0, not a dropped row
+
+
+def test_frontier_staleness_caps_and_clamps(spark):
+    from ocr_application_spark.operators.urlops import _FP_STALE_CAP, _FP_STALE_W
+
+    got = _fp(
+        spark,
+        [
+            ("ancient", "h", 0, 0, 400),  # 400 days stale -> capped
+            ("fresh", "h", 0, 10, 10),  # zero staleness
+            ("future", "h", 0, 20, 10),  # lastmod BEFORE fetch -> clamp 0
+        ],
+        [],
+    )
+    assert got["ancient"]["priority_micro"] == _FP_STALE_W * _FP_STALE_CAP
+    assert got["fresh"]["priority_micro"] == 0
+    assert got["future"]["priority_micro"] == 0
+
+
+def test_frontier_depth_orders_within_host(spark):
+    got = _fp(
+        spark,
+        [("deep", "h", 9, 0, 0), ("shallow", "h", 1, 0, 0)],
+        [("h", 1000)],
+    )
+    assert got["shallow"]["fetch_rank"] < got["deep"]["fetch_rank"]
+    assert got["shallow"]["tick_idx"] == 0
