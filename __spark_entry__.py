@@ -256,6 +256,7 @@ _NEW_R04_OUTSIDE = (
     "crawl_frontier_priority",
     "dedup_cdc_chunks",
     "page_markdown",
+    "split_leakage_report",
     "multimodal_phash",
     "multimodal_phash_pairs",
     "text_script_mix",

@@ -241,6 +241,7 @@ def main() -> None:
             "multimodal_phash_pairs",
             "page_markdown",
             "crawl_frontier_priority",
+            "split_leakage_report",
         ]
 
         def run(name: str) -> None:

@@ -1893,3 +1893,111 @@ def sample_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sample_dsir_topk"] = sample_dsir_topk
 ORACLES["sample_dsir_topk"] = _DSIR_ORACLE
+
+
+# --- cross-split leakage audit ----------------------------------------------
+#
+# ``url_holdout_split`` guarantees URL-level separation (every crawl
+# variant of a canonical url lands in one split) — but urls cannot see
+# TEXT duplication: mirrors, syndicated articles, and boilerplate
+# shared across different canonical urls leak benchmark-grade n-grams
+# from train into valid/test anyway. This op AUDITS that residual
+# leakage with the decontamination machinery: for every valid/test
+# document, the share of its distinct 13-grams that also occur in some
+# TRAIN document. A pipeline gates on leak_bp before trusting its
+# eval numbers.
+#
+# Scale note vs ``decontaminate_13gram``: there the benchmark gram set
+# is tiny and BROADCASTS; here the train side is ~the whole corpus, so
+# the overlap join is a plain hash join on the gram key — O(grams)
+# shuffle, never a broadcast assumption. Ratios in exact basis points
+# (integer division of non-negative bigints).
+
+_LEAK_N = _N  # same gram size + tokenizer convention as decontamination
+
+
+def _leak_split_sql() -> str:
+    from ocr_application_spark.operators.urlops import (
+        _CANON_SQL,
+        _HOLDOUT_SQL_SPLIT,
+        _RAW_SQL,
+    )
+
+    canon = _CANON_SQL.format(u=f"({_RAW_SQL})")
+    return _HOLDOUT_SQL_SPLIT.format(c=f"({canon})")
+
+
+def _leak_oracle() -> str:
+    return f"""
+    with s as (
+      select doc_id, text, {_leak_split_sql()} as split from documents
+    ),
+    t as (select doc_id, split, string_split(text, ' ') as w from s),
+    g as (
+      select doc_id, split,
+             substr(md5(array_to_string(w[i+1 : i+{_LEAK_N}], ' ')), 1, 16) as h
+      from t, unnest(range(0, len(w) - {_LEAK_N - 1})) u(i)
+      where len(w) >= {_LEAK_N}
+    ),
+    d as (select distinct doc_id, split, h from g),
+    train as (select distinct h from d where split = 'train'),
+    ev as (
+      select doc_id, split,
+             cast(count(*) as bigint) as n_grams,
+             cast(count(t.h) as bigint) as n_leaked
+      from d left join train t using (h)
+      where split != 'train'
+      group by 1, 2
+    )
+    select doc_id, split, n_grams, n_leaked,
+           cast(10000 * n_leaked // n_grams as bigint) as leak_bp
+    from ev
+    """
+
+
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split, n_grams, n_leaked, leak_bp) for every valid/test
+    document with >= 13 tokens: how much of its distinct-13-gram mass
+    already sits in the train split."""
+    from ocr_application_spark.operators.urlops import _raw_url, canonical_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = F.substring(F.md5(canonical_url(_raw_url())), 1, 8)
+    split = (
+        F.when(u < "e6666666", "train").when(u < "f3333333", "valid").otherwise("test")
+    )
+    w = F.split(F.col("text"), " ")
+    grams = (
+        docs.select("doc_id", split.alias("split"), w.alias("w"))
+        .filter(F.size("w") >= _LEAK_N)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - _LEAK_N),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("w"), i + 1, _LEAK_N), " ")
+                    ).substr(1, 16),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    train = grams.filter(F.col("split") == "train").select("h").distinct()
+    ev = (
+        grams.filter(F.col("split") != "train")
+        .join(train.withColumn("hit", F.lit(1)), "h", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_leaked"),
+        )
+    )
+    return ev.withColumn(
+        "leak_bp", F.expr("cast(10000 * n_leaked div n_grams as bigint)")
+    )
+
+
+QUERIES["split_leakage_report"] = split_leakage_report
+ORACLES["split_leakage_report"] = _leak_oracle()

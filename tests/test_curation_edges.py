@@ -93,3 +93,48 @@ def test_word_blocklist_token_exact_never_substring(spark):
     assert out[3]["keep"] and out[3]["flagged_terms"] == ""
     assert 4 not in out
     assert out[5]["keep"]
+
+
+# --- split_leakage_report ----------------------------------------------------
+
+
+def test_split_leakage_detects_cross_split_mirror(spark, tmp_path):
+    """An identical text in train and valid must score leak_bp 10000 on
+    the valid side; a unique text scores 0; train docs emit no row."""
+    import pyspark.sql.functions as F
+
+    from ocr_application_spark.operators.curation import split_leakage_report
+
+    # phase 1: learn which doc_ids the url coin sends to which split
+    probe_rows = [(i, " ".join(f"w{i}t{j}" for j in range(20))) for i in range(120)]
+    p = str(tmp_path / "leak")
+    spark.createDataFrame(probe_rows, "doc_id long, text string").write.parquet(
+        p + "/documents.parquet"
+    )
+    out1 = split_leakage_report(spark, p)
+    splits = {r["doc_id"]: r["split"] for r in out1.collect()}
+    evals = [d for d, s in splits.items() if s in ("valid", "test")]
+    trains = [d for d in range(120) if d not in splits]  # train docs emit no row
+    assert evals and trains
+    mirror_eval, clean_eval = evals[0], evals[1]
+    mirror_train = trains[0]
+
+    # phase 2: craft texts — the mirror pair shares every 13-gram
+    shared = " ".join(f"common{j}" for j in range(25))
+    rows = []
+    for i in range(120):
+        if i == mirror_train or i == mirror_eval:
+            rows.append((i, shared))
+        else:
+            rows.append((i, " ".join(f"u{i}x{j}" for j in range(20))))
+    import shutil
+
+    shutil.rmtree(p)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        p + "/documents.parquet"
+    )
+    out2 = {r["doc_id"]: r for r in split_leakage_report(spark, p).collect()}
+    assert out2[mirror_eval]["leak_bp"] == 10000
+    assert out2[mirror_eval]["n_leaked"] == out2[mirror_eval]["n_grams"]
+    assert out2[clean_eval]["leak_bp"] == 0
+    assert mirror_train not in out2  # train side is audited against, not reported

@@ -25,6 +25,7 @@ STALE_OUTSIDE = [
     "crawl_frontier_priority",
     "dedup_cdc_chunks",
     "page_markdown",
+    "split_leakage_report",
     "multimodal_phash",
     "multimodal_phash_pairs",
     "text_script_mix",
