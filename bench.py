@@ -242,6 +242,7 @@ def main() -> None:
             "page_markdown",
             "crawl_frontier_priority",
             "split_leakage_report",
+            "classify_calibration_report",
         ]
 
         def run(name: str) -> None:

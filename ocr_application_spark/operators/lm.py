@@ -446,3 +446,65 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_micro_nats"), "w1", "w2")
         .limit(100)
     )
+
+
+# --- calibration report (model observability) --------------------------------
+#
+# A margin-gated corpus filter is only as good as the margin's
+# CALIBRATION: "keep if margin > tau" silently decays when the model
+# drifts from the corpus. This op is the observability roll-up a
+# pipeline runs per snapshot: eval-split documents bucketed by
+# prediction margin (400k-micro-nat-wide buckets, top bucket open),
+# with per-bucket accuracy in exact basis points. Read it like a
+# reliability diagram: accuracy should rise with margin; a flat or
+# inverted tail means the gate threshold is meaningless. (The shared-
+# vocabulary fixture keeps absolute accuracy near its lexical ceiling
+# ~0.36-0.44 — the REPORT is what's verified here; the model's ability
+# to learn a separable fixture is pinned in test_lm.py.)
+#
+# Scale: rides nb_langid's existing plan (broadcast model joins), adds
+# ONE tiny hash agg keyed by <= 8 buckets. Exact integers throughout.
+
+_CAL_BUCKET_W = 400_000  # micro-nats per margin bucket
+_CAL_TOP = 7  # buckets 0..7, top bucket open-ended
+
+
+_CAL_ORACLE = f"""
+    with nb as ({_NB_ORACLE}),
+    ev as (
+      select least(margin_micro // {_CAL_BUCKET_W}, {_CAL_TOP}) as margin_bucket,
+             cast(correct as int) as ok
+      from nb where not is_train
+    )
+    select margin_bucket,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(ok) as bigint) as n_correct,
+           cast(10000 * cast(sum(ok) as bigint) // count(*) as bigint) as acc_bp
+    from ev group by 1
+"""
+
+
+@_q("classify_calibration_report", _CAL_ORACLE)
+def classify_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(margin_bucket, n_docs, n_correct, acc_bp) over the eval split —
+    the reliability diagram a margin-thresholding corpus gate is tuned
+    against."""
+    s = nb_langid(spark.read.parquet(f"{sf_dir}/documents.parquet")).filter(
+        ~F.col("is_train")
+    )
+    return (
+        s.select(
+            F.least(
+                F.expr(f"margin_micro div {_CAL_BUCKET_W}"), F.lit(_CAL_TOP)
+            ).alias("margin_bucket"),
+            F.col("correct").cast("int").alias("ok"),
+        )
+        .groupBy("margin_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ok").cast("long").alias("n_correct"),
+        )
+        .withColumn(
+            "acc_bp", F.expr("cast(10000 * n_correct div n_docs as bigint)")
+        )
+    )

@@ -212,3 +212,28 @@ def test_nb_langid_matches_python_twin_and_learns_separable_vocab(spark):
     holdout = [d for d, w in want.items() if not w["is_train"]]
     assert holdout and len(holdout) < len(rows)
     assert all(want[d]["correct"] for d in holdout)
+
+
+def test_calibration_report_on_separable_fixture(spark, tmp_path):
+    """On a separable-vocabulary corpus every eval doc classifies
+    correctly, so EVERY populated margin bucket must report
+    acc_bp == 10000 and the bucket counts must sum to the eval size."""
+    from ocr_application_spark.operators.lm import (
+        classify_calibration_report,
+        nb_langid,
+    )
+
+    words = {"aa": "alpha beta gama", "bb": "delta eps zeta", "cc": "theta iota kapa"}
+    rows = []
+    for i in range(60):
+        lang = ("aa", "bb", "cc")[i % 3]
+        w = words[lang].split()
+        rows.append((i, lang, f"{w[i % 3]} shared {w[(i + 1) % 3]} {w[0]}"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang", "text"]))
+    p = str(tmp_path / "cal")
+    df.write.parquet(p + "/documents.parquet")
+    rep = classify_calibration_report(spark, p).collect()
+    assert rep, "no buckets"
+    assert all(r["acc_bp"] == 10000 for r in rep), rep
+    n_eval = nb_langid(df).filter("not is_train").count()
+    assert sum(r["n_docs"] for r in rep) == n_eval
