@@ -258,6 +258,7 @@ _NEW_R04_OUTSIDE = (
     "dedup_cdc_chunks",
     "page_markdown",
     "split_leakage_report",
+    "text_window_chunks",
     "multimodal_phash",
     "multimodal_phash_pairs",
     "text_script_mix",

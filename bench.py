@@ -243,6 +243,7 @@ def main() -> None:
             "crawl_frontier_priority",
             "split_leakage_report",
             "classify_calibration_report",
+            "text_window_chunks",
         ]
 
         def run(name: str) -> None:

@@ -2001,3 +2001,86 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["split_leakage_report"] = split_leakage_report
 ORACLES["split_leakage_report"] = _leak_oracle()
+
+
+# --- sliding-window token chunking -------------------------------------------
+#
+# The third chunking shape (after seq_pack's concat-and-chunk and
+# pagemeta's structure-aware sections): FIXED token windows with
+# overlap stride — the pretraining-context / RAG-passage cut. Window
+# W=64 tokens, stride S=48 (25% overlap): window k covers tokens
+# [k*S, k*S + W); the last window starts at the largest k*S < n, so
+# every token is covered and short docs emit exactly one window.
+# Window count = 1 + ceil(max(0, n - W) / S) — exact integer form
+# (non-negative, so floor/truncate agree across engines).
+#
+# Array-side like the winnowing/CDC ops: per-doc window starts, slices
+# and digests are built inside one projection; only real windows
+# become rows. Zero shuffles at any corpus size.
+
+_WIN_W = 64
+_WIN_S = 48
+
+
+def window_chunks(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, win_no, start_tok, n_win_tokens, win_digest): 1-based
+    window index in doc order; digest = md5 of the space-rejoined
+    token slice (16 hex chars). Docs with zero tokens emit nothing.
+    Tokens = single-space split, empties dropped (the lm.py
+    convention)."""
+    w, s = _WIN_W, _WIN_S
+    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                    lambda x: x != "")
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk")).filter(
+        F.size("tk") >= 1
+    )
+    nw = F.expr(f"1 + cast((greatest(size(tk) - {w}, 0) + {s} - 1) div {s} as int)")
+    wins = (
+        f"transform(sequence(0, n_win - 1), k -> struct("
+        f"k + 1 as win_no, "
+        f"cast(k * {s} as bigint) as start_tok, "
+        f"cast(size(slice(tk, k * {s} + 1, {w})) as bigint) as n_win_tokens, "
+        f"substring(md5(array_join(slice(tk, k * {s} + 1, {w}), ' ')), 1, 16)"
+        f" as win_digest))"
+    )
+    return (
+        d.withColumn("n_win", nw)
+        .select("doc_id", F.explode(F.expr(wins)).alias("wn"))
+        .select("doc_id", "wn.win_no", "wn.start_tok", "wn.n_win_tokens",
+                "wn.win_digest")
+    )
+
+
+_WINCHUNK_ORACLE = f"""
+    with t as (
+      select doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '), x -> x != '') as tk
+      from documents
+    ),
+    d as (select doc_id, tk, len(tk) as n from t where len(tk) >= 1),
+    w as (
+      select doc_id, u.k + 1 as win_no,
+             cast(u.k * {_WIN_S} as bigint) as start_tok,
+             cast(len(tk[u.k * {_WIN_S} + 1 : u.k * {_WIN_S} + {_WIN_W}]) as bigint)
+               as n_win_tokens,
+             substr(md5(array_to_string(
+               tk[u.k * {_WIN_S} + 1 : u.k * {_WIN_S} + {_WIN_W}], ' ')), 1, 16)
+               as win_digest
+      from d, unnest(range(0, 1 + (greatest(n - {_WIN_W}, 0) + {_WIN_S} - 1)
+                              // {_WIN_S})) u(k)
+    )
+    select doc_id, cast(win_no as int) as win_no, start_tok, n_win_tokens,
+           win_digest
+    from w
+"""
+
+
+def text_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry for :func:`window_chunks` over the documents table."""
+    return window_chunks(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+QUERIES["text_window_chunks"] = text_window_chunks
+ORACLES["text_window_chunks"] = _WINCHUNK_ORACLE

@@ -138,3 +138,49 @@ def test_split_leakage_detects_cross_split_mirror(spark, tmp_path):
     assert out2[mirror_eval]["n_leaked"] == out2[mirror_eval]["n_grams"]
     assert out2[clean_eval]["leak_bp"] == 0
     assert mirror_train not in out2  # train side is audited against, not reported
+
+
+# --- text_window_chunks ------------------------------------------------------
+
+
+def test_window_chunks_cover_every_token_with_stride_overlap(spark):
+    import pyspark.sql.functions as F
+
+    from ocr_application_spark.operators.curation import _WIN_S, _WIN_W, window_chunks
+
+    rows = [
+        (1, " ".join(f"t{j}" for j in range(200))),  # multi-window
+        (2, " ".join(f"s{j}" for j in range(64))),  # exactly W -> one window
+        (3, "one two"),  # short -> one window
+        (4, ""),  # empty -> absent
+        (5, " ".join(f"u{j}" for j in range(65))),  # W+1 -> two windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in window_chunks(df).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in out
+    assert len(out[2]) == 1 and out[2][0]["n_win_tokens"] == 64
+    assert len(out[3]) == 1 and out[3][0]["n_win_tokens"] == 2
+    assert len(out[5]) == 2  # tail window catches token 65
+    w1 = sorted(out[1], key=lambda r: r["win_no"])
+    # starts advance by the stride; coverage reaches the last token
+    assert [r["start_tok"] for r in w1] == [i * _WIN_S for i in range(len(w1))]
+    last = w1[-1]
+    assert last["start_tok"] + last["n_win_tokens"] == 200
+    # consecutive windows overlap by W - S tokens
+    for a, b in zip(w1, w1[1:]):
+        assert b["start_tok"] == a["start_tok"] + _WIN_S
+        assert a["start_tok"] + _WIN_W > b["start_tok"]
+
+
+def test_window_digest_pins_content_not_position(spark):
+    from ocr_application_spark.operators.curation import window_chunks
+
+    text = " ".join(f"w{j}" for j in range(64))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    got = window_chunks(df).collect()
+    digs = {r["doc_id"]: r["win_digest"] for r in got}
+    assert digs[1] == digs[2]  # identical content -> identical digest
