@@ -244,6 +244,7 @@ def main() -> None:
             "split_leakage_report",
             "classify_calibration_report",
             "text_window_chunks",
+            "crawl_sitemap_discovery",
         ]
 
         def run(name: str) -> None:

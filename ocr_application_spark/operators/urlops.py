@@ -2066,3 +2066,103 @@ def crawl_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "url", "host", "priority_micro", "fetch_rank", "tick_idx", "scheduled_us"
     )
+
+
+# --- sitemap discovery from robots.txt ---------------------------------------
+#
+# The missing hop in the acquisition chain: url_sitemap_extract parses
+# sitemap XML it is HANDED; real crawlers learn the sitemap urls from
+# robots.txt `Sitemap:` directives (sitemaps.org / RFC 9309 §2.3 —
+# a GLOBAL field: valid anywhere in the file, NOT scoped to any
+# user-agent group, so discovery deliberately bypasses the group
+# machinery robots_parse needs). Per host: every Sitemap line, in
+# file order, case-insensitive field name, comments stripped, bare
+# or whitespace-padded values tolerated, non-absolute values dropped
+# (the spec requires a full URL).
+#
+# Scale shape: one posexplode over per-host robots text (RFC-capped
+# files — politeness-class volume), a scan filter, zero joins, zero
+# windows.
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host_id", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, src_line, sitemap_url) for every valid Sitemap directive."""
+    h, t = F.col(host_col), F.col(text_col)
+    lines = robots.select(
+        h.alias(host_col),
+        F.posexplode(F.split(t, "\r\n")).alias("_p", "_raw"),
+    ).select(
+        host_col,
+        (F.col("_p") + 1).alias("src_line"),
+        F.trim(F.regexp_replace("_raw", "#.*$", "")).alias("_line"),
+    )
+    val = F.regexp_extract("_line", r"(?i)^sitemap[ \t]*:[ \t]*([^ \t]+)[ \t]*$", 1)
+    return (
+        lines.select(host_col, "src_line", val.alias("sitemap_url"))
+        .filter(F.col("sitemap_url").rlike("(?i)^https?://"))
+    )
+
+
+# fixture variants (host_id % 5): 0 = none; 1 = one plain directive;
+# 2 = two (second inside a UA group — global field, still discovered)
+# + a relative url that must be DROPPED; 3 = mixed case + padding +
+# trailing comment; 4 = uppercase field with query-carrying url
+_SMD_TXT_SQL = """
+    'User-agent: *' || chr(13) || chr(10)
+    || 'Disallow: /tmp/' || chr(13) || chr(10)
+    || case cast(host_id % 5 as int)
+         when 0 then ''
+         when 1 then 'Sitemap: https://h' || cast(host_id as varchar)
+           || '.example.com/sitemap.xml' || chr(13) || chr(10)
+         when 2 then 'Sitemap: https://h' || cast(host_id as varchar)
+           || '.example.com/sm-a.xml' || chr(13) || chr(10)
+           || 'User-agent: OtherBot' || chr(13) || chr(10)
+           || 'Sitemap: https://h' || cast(host_id as varchar)
+           || '.example.com/sm-b.xml' || chr(13) || chr(10)
+           || 'Sitemap: /relative-dropped.xml' || chr(13) || chr(10)
+         when 3 then '  siTemap :   https://h' || cast(host_id as varchar)
+           || '.example.com/deep/sm.xml   # primary' || chr(13) || chr(10)
+         else 'SITEMAP: http://h' || cast(host_id as varchar)
+           || '.example.com/sm.xml?v=2' || chr(13) || chr(10)
+       end
+"""
+
+_SMD_ORACLE = f"""
+    with hosts as (
+      select distinct cast(doc_id % 32 as bigint) as host_id from documents
+    ),
+    files as (select host_id, {_SMD_TXT_SQL} as robots_txt from hosts),
+    lines as (
+      select host_id, cast(u.i as bigint) as src_line,
+             trim(regexp_replace(string_split(robots_txt, chr(13) || chr(10))[i],
+                                 '#.*$', '')) as line
+      from files, unnest(range(1, len(string_split(robots_txt,
+                                                   chr(13) || chr(10))) + 1)) u(i)
+    )
+    select host_id, src_line,
+           regexp_extract(line, '(?i)^sitemap[ \t]*:[ \t]*([^ \t]+)[ \t]*$', 1)
+             as sitemap_url
+    from lines
+    where regexp_matches(
+            regexp_extract(line, '(?i)^sitemap[ \t]*:[ \t]*([^ \t]+)[ \t]*$', 1),
+            '(?i)^https?://')
+"""
+
+
+@_q("crawl_sitemap_discovery", _SMD_ORACLE)
+def crawl_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: 32 synthetic hosts' robots files (variants above) ->
+    discovered sitemap urls; whitespace-padded and mixed-case
+    directives survive, relative urls drop, group membership is
+    ignored (global field)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hosts = d.select((F.col("doc_id") % 32).cast("long").alias("host_id")).distinct()
+    files = hosts.select(
+        "host_id",
+        F.expr(_SMD_TXT_SQL.replace("as varchar", "as string")).alias("robots_txt"),
+    )
+    return robots_sitemaps(files).withColumn(
+        "src_line", F.col("src_line").cast("long")
+    )

@@ -479,3 +479,32 @@ def test_frontier_depth_orders_within_host(spark):
     )
     assert got["shallow"]["fetch_rank"] < got["deep"]["fetch_rank"]
     assert got["shallow"]["tick_idx"] == 0
+
+
+# --- sitemap discovery from robots.txt ---------------------------------------
+
+
+def test_robots_sitemaps_grammar(spark):
+    from ocr_application_spark.operators.urlops import robots_sitemaps
+
+    txt = "\r\n".join(
+        [
+            "User-agent: *",
+            "Disallow: /x/",
+            "Sitemap: https://a.com/s1.xml",
+            "User-agent: Other",  # group start must NOT stop discovery
+            "  sitemap :  https://a.com/s2.xml  # comment",
+            "SITEMAP: /relative.xml",  # not absolute -> dropped
+            "Sitemap: ftp://a.com/s3.xml",  # wrong scheme -> dropped
+            "Sitemapish: https://a.com/decoy.xml",  # not the field
+            "Sitemap: http://a.com/s4.xml?q=1",
+        ]
+    )
+    df = spark.createDataFrame([(1, txt)], "host_id long, robots_txt string")
+    got = [(r["src_line"], r["sitemap_url"]) for r in
+           robots_sitemaps(df).orderBy("src_line").collect()]
+    assert got == [
+        (3, "https://a.com/s1.xml"),
+        (5, "https://a.com/s2.xml"),
+        (9, "http://a.com/s4.xml?q=1"),
+    ]
