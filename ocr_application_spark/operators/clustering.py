@@ -247,8 +247,18 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact integer cross-multiplication; no float compare). The
     cluster equi-join bounds pairs at O(sum cluster_size^2): the
     K dial, not an N^2 self-join, is what meets a 10^12-vector corpus."""
-    asg = kmeans_assignments(spark, sf_dir).withColumn(
-        "nrm", _dot(F.col("qv"), F.col("qv"))
+    # the assignment is referenced three times below (both pair-join
+    # sides + the verdict join), so without materialization the whole
+    # k-means subtree triplicates in the plan. Measured at sf0.1:
+    # eager localCheckpoint 5.7s, nothing 7.7s, bounded_cache persist
+    # 8.6s (the columnar cache encode costs more than it saves here),
+    # so checkpoint wins; its blocks are O(vectors) and live until the
+    # session ends — long-lived sessions can free them with
+    # session.release_local_checkpoint once the result is consumed.
+    asg = (
+        kmeans_assignments(spark, sf_dir)
+        .withColumn("nrm", _dot(F.col("qv"), F.col("qv")))
+        .localCheckpoint(eager=True)
     )
     a = asg.select(
         F.col("cid"),
