@@ -253,6 +253,7 @@ _ROWS_ONLY_BY_DESIGN = ("text_compression_ratio", "ann_pq_topk", "ann_ivf_topk")
 # (test_oracle_parity_sf01 STALE_OUTSIDE) every pytest run; rotate them
 # into the r05 window.
 _NEW_R04_OUTSIDE = (
+    "cdc_incremental_ingest",
     "classify_calibration_report",
     "crawl_frontier_priority",
     "crawl_sitemap_discovery",

@@ -245,6 +245,7 @@ def main() -> None:
             "classify_calibration_report",
             "text_window_chunks",
             "crawl_sitemap_discovery",
+            "cdc_incremental_ingest",
         ]
 
         def run(name: str) -> None:

@@ -91,38 +91,46 @@ def cdc_chunks(
     )
 
 
-_CDC_SEL_SQL = f"""
-d as (
+def _cdc_sel_sql(src: str, tag: str = "") -> str:
+    """One source's CDC pipeline -> ``{tag}hashed`` CTE of
+    (doc_id, chunk_no, chunk_chars, chunk_hash) — the SAME boundary /
+    slicing / hashing spec as ``cdc_chunks``, parameterized by source
+    table (the winnowing-oracle convention)."""
+    return f"""
+{tag}d as (
   select doc_id, lower(coalesce(text, '')) as t
-  from documents where length(coalesce(text, '')) >= 1
+  from {src} where length(coalesce(text, '')) >= 1
 ),
-bl as (
+{tag}bl as (
   select doc_id, list(i + {_CDC_K} - 1 order by i) as bs
   from (
     select doc_id, i,
            ('0x' || substr(md5(substr(t, cast(i as int), {_CDC_K})), 1, 10))::bigint as h
-    from d, unnest(range(1, greatest(length(t) - {_CDC_K} + 2, 1))) u(i)
+    from {tag}d, unnest(range(1, greatest(length(t) - {_CDC_K} + 2, 1))) u(i)
   ) g
   where h % {_CDC_MASK} = 0
   group by doc_id
 ),
-segs as (
+{tag}segs as (
   select d.doc_id, d.t,
          list_prepend(1, list_transform(coalesce(bl.bs, []), e -> e + 1)) as ss,
          list_append(coalesce(bl.bs, []), cast(length(d.t) as bigint)) as es
-  from d left join bl using (doc_id)
+  from {tag}d d left join {tag}bl bl using (doc_id)
 ),
-chunks as (
+{tag}chunks as (
   select doc_id, u.i as chunk_no,
          substr(t, cast(ss[u.i] as int), cast(es[u.i] - ss[u.i] + 1 as int)) as c
-  from segs, unnest(range(1, len(ss) + 1)) u(i)
+  from {tag}segs, unnest(range(1, len(ss) + 1)) u(i)
   where es[u.i] - ss[u.i] + 1 > 0
 ),
-hashed as (
+{tag}hashed as (
   select doc_id, chunk_no, length(c) as chunk_chars,
          ('0x' || substr(md5(c), 1, 10))::bigint as chunk_hash
-  from chunks
+  from {tag}chunks
 )"""
+
+
+_CDC_SEL_SQL = _cdc_sel_sql("documents")
 
 
 _CDC_ORACLE = f"""
@@ -171,3 +179,165 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(10000 * shared_chars div total_chars as bigint)"),
         )
     )
+
+
+# --- chunk-store incremental ingest (storage dedup) --------------------------
+#
+# The fourth member of the incremental-ingest family (exact / minhash /
+# winnow verdicts live in dedup.py) and the one with a STORAGE story:
+# a content-addressed chunk store (the backup/rsync design) persists
+# every distinct chunk once; a recrawl increment only appends chunks
+# whose hash the store has never seen, and the per-doc report prices
+# the dedup — how many bytes the increment actually adds vs re-
+# references. O(increment) per ingest: the store is probed with a
+# hash join restricted to the increment's hashes; corpus chunks are
+# never re-read.
+#
+# Attribution is deterministic: a hash novel to the store is charged
+# to its FIRST holder in the increment (min (doc_id, chunk_no));
+# later holders count it as 'dup_in_increment', store hits as
+# 'known'. Replay-stable like the sibling ingests: re-ingesting the
+# same batch finds every hash in the store -> zero new bytes.
+
+def cdc_store_ingest(
+    spark: SparkSession,
+    store_path: str,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_label: str = "cdc-ingest",
+) -> tuple[DataFrame, int]:
+    """Ingest ``docs`` against the content-addressed chunk store at
+    ``store_path``; append never-seen (chunk_hash, chunk_chars) rows;
+    return (per-doc report, committed version). Report columns:
+    (doc_id, n_chunks, total_chars, n_known, n_dup_increment, n_novel,
+    novel_chars, saved_bp)."""
+    from ocr_application_spark.session import bounded_cache
+    from ocr_application_spark.sources.snapshots import (
+        commit,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    ch = bounded_cache(
+        cdc_chunks(docs, id_col, text_col), "cdc_store_ingest"
+    )  # reused by verdicts AND the novel-row commit
+    versions = snapshot_versions(store_path)
+    if versions:
+        store = (
+            read_snapshot(spark, store_path, version=versions[-1])
+            .select("chunk_hash")
+            # probe restricted to the increment's hash set: O(increment)
+            .join(ch.select("chunk_hash").distinct(), "chunk_hash", "left_semi")
+            .distinct()
+            .withColumn("in_store", F.lit(True))
+        )
+    else:
+        store = (
+            ch.filter(F.lit(False)).select("chunk_hash").withColumn("in_store", F.lit(True))
+        )
+    first = (
+        ch.groupBy("chunk_hash")
+        .agg(F.min(F.struct("doc_id", "chunk_no")).alias("o"))
+        .select("chunk_hash", F.col("o.doc_id").alias("own_doc"), F.col("o.chunk_no").alias("own_no"))
+    )
+    j = ch.join(store, "chunk_hash", "left").join(first, "chunk_hash")
+    verdict = (
+        F.when(F.col("in_store").isNotNull(), F.lit("known"))
+        .when(
+            (F.col("doc_id") == F.col("own_doc")) & (F.col("chunk_no") == F.col("own_no")),
+            F.lit("novel"),
+        )
+        .otherwise(F.lit("dup_in_increment"))
+    )
+    jj = j.withColumn("verdict", verdict)
+    report = (
+        jj.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("chunk_chars").cast("long").alias("total_chars"),
+            F.sum((F.col("verdict") == "known").cast("int")).cast("long").alias("n_known"),
+            F.sum((F.col("verdict") == "dup_in_increment").cast("int"))
+            .cast("long")
+            .alias("n_dup_increment"),
+            F.sum((F.col("verdict") == "novel").cast("int")).cast("long").alias("n_novel"),
+            F.sum(
+                F.when(F.col("verdict") == "novel", F.col("chunk_chars")).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel_chars"),
+        )
+        .withColumn(
+            "saved_bp",
+            F.expr("cast(10000 * (total_chars - novel_chars) div total_chars as bigint)"),
+        )
+    )
+    # exactly one row per novel hash (its attribution owner's row)
+    novel_rows = jj.filter(F.col("verdict") == "novel").select("chunk_hash", "chunk_chars")
+    version = commit(novel_rows, store_path, op_label=op_label)
+    return report, version
+
+
+_CDC_INGEST_ORACLE = f"""
+    with base as (
+      select doc_id, text from documents where doc_id % 3 != 0
+    ),
+    inc as (
+      select doc_id, text from documents where doc_id % 3 = 0
+      union all
+      select doc_id + 1000000 as doc_id, text from documents where doc_id % 7 = 0
+    ),
+    {_cdc_sel_sql("base", "b").lstrip()},
+    {_cdc_sel_sql("inc", "i").lstrip()},
+    store as (select distinct chunk_hash from bhashed),
+    first as (
+      select chunk_hash, doc_id as own_doc, chunk_no as own_no from (
+        select chunk_hash, doc_id, chunk_no,
+               row_number() over (partition by chunk_hash
+                                  order by doc_id, chunk_no) as rn
+        from ihashed) t
+      where rn = 1
+    ),
+    v as (
+      select h.doc_id, h.chunk_chars,
+             case when s.chunk_hash is not null then 'known'
+                  when h.doc_id = f.own_doc and h.chunk_no = f.own_no then 'novel'
+                  else 'dup_in_increment' end as verdict
+      from ihashed h
+      left join store s using (chunk_hash)
+      join first f using (chunk_hash)
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_chunks,
+           cast(sum(chunk_chars) as bigint) as total_chars,
+           cast(sum(case when verdict = 'known' then 1 else 0 end) as bigint) as n_known,
+           cast(sum(case when verdict = 'dup_in_increment' then 1 else 0 end) as bigint)
+             as n_dup_increment,
+           cast(sum(case when verdict = 'novel' then 1 else 0 end) as bigint) as n_novel,
+           cast(sum(case when verdict = 'novel' then chunk_chars else 0 end) as bigint)
+             as novel_chars,
+           cast(10000 * (cast(sum(chunk_chars) as bigint)
+                         - cast(sum(case when verdict = 'novel' then chunk_chars
+                                         else 0 end) as bigint))
+                // cast(sum(chunk_chars) as bigint) as bigint) as saved_bp
+    from v group by doc_id
+"""
+
+
+@_q("cdc_incremental_ingest", _CDC_INGEST_ORACLE)
+def cdc_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: bootstrap the chunk store from the base crawl (doc_id %
+    3 != 0), ingest the recrawl increment (remaining docs + shifted
+    clones of %7==0 docs — the shared ingest-family fixture), return
+    the increment's per-doc storage report. Clone docs re-reference
+    every chunk ('known', saved_bp 10000); genuinely new docs split
+    novel/dup by the fixture's own template overlap."""
+    from ocr_application_spark.operators.snapshots_entry import (
+        _base_inc,
+        _bootstrap_then_recrawl,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base, inc = _base_inc(docs, "doc_id")
+    return _bootstrap_then_recrawl(spark, cdc_store_ingest, "gate_cdc_store", base, inc)

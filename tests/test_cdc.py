@@ -102,3 +102,53 @@ def test_plan_no_cartesian_and_bounded_exchanges(spark):
     # chunk-hash distinct-agg (two-phase), the join side, and the doc
     # agg — all keyed O(chunks), never O(pairs)
     assert len(re.findall(r"\bExchange\b", plan)) <= 6, plan
+
+
+# --- chunk-store incremental ingest ------------------------------------------
+
+
+def test_cdc_store_replay_adds_zero_bytes(spark, tmp_path):
+    """Re-ingesting the same batch must find every chunk in the store:
+    all 'known', zero novel chars, saved_bp == 10000 — and the store
+    gains no rows."""
+    from ocr_application_spark.operators.cdc import cdc_store_ingest
+    from ocr_application_spark.sources.snapshots import read_snapshot
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} " + "shared template tail " * 4) for i in range(20)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "chunkstore")
+    r1, v1 = cdc_store_ingest(spark, store, docs)
+    r1.collect()
+    n_store_1 = read_snapshot(spark, store).count()
+    r2, v2 = cdc_store_ingest(spark, store, docs)
+    rows = r2.collect()
+    assert all(r["n_novel"] == 0 and r["novel_chars"] == 0 for r in rows)
+    assert all(r["saved_bp"] == 10000 for r in rows)
+    assert all(r["n_known"] == r["n_chunks"] for r in rows)
+    assert read_snapshot(spark, store).count() == n_store_1  # nothing appended
+    assert v2 > v1  # but the commit itself is still recorded
+
+
+def test_cdc_store_attribution_charges_first_holder(spark, tmp_path):
+    """A chunk novel to the store is charged to exactly ONE increment
+    doc; total novel chars across the report equals the store's
+    appended chunk bytes."""
+    import pyspark.sql.functions as F
+
+    from ocr_application_spark.operators.cdc import cdc_store_ingest
+    from ocr_application_spark.sources.snapshots import read_snapshot
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 6), (2, "alpha beta gamma delta " * 6),
+         (3, "completely different body text here " * 4)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "s2")
+    rep, _ = cdc_store_ingest(spark, store, docs)
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    # doc 2 duplicates doc 1: every one of its chunks is dup_in_increment
+    assert rows[2]["n_novel"] == 0 and rows[2]["n_dup_increment"] == rows[2]["n_chunks"]
+    stored = read_snapshot(spark, store).agg(F.sum("chunk_chars")).collect()[0][0]
+    assert stored == sum(r["novel_chars"] for r in rows.values())

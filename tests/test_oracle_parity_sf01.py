@@ -22,6 +22,7 @@ SF_DIR = "/root/testdata/sf0.01"
 # froze (entrymod._NEW_R04_OUTSIDE — they get here what a slot would
 # have given them: the driver-identical compare at the driver's SF)
 STALE_OUTSIDE = [
+    "cdc_incremental_ingest",
     "classify_calibration_report",
     "crawl_frontier_priority",
     "crawl_sitemap_discovery",
