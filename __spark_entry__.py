@@ -258,6 +258,7 @@ _NEW_R04_OUTSIDE = (
     "crawl_frontier_priority",
     "crawl_sitemap_discovery",
     "dedup_cdc_chunks",
+    "link_host_components",
     "page_markdown",
     "split_leakage_report",
     "text_window_chunks",

@@ -246,6 +246,7 @@ def main() -> None:
             "text_window_chunks",
             "crawl_sitemap_discovery",
             "cdc_incremental_ingest",
+            "link_host_components",
         ]
 
         def run(name: str) -> None:

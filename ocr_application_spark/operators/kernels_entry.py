@@ -883,3 +883,73 @@ def link_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("\n", F.sort_array(F.collect_list(line))), 256
         ).alias("anchors_digest"),
     )
+
+
+# --- host components (site-cluster mining) -----------------------------------
+#
+# The link-graph twin of the dedup cluster machinery: hosts joined by
+# links collapse into SITE CLUSTERS (CDNs, mirror farms, language
+# subdomains of one property), the unit a diversity-aware sampler
+# counts — 40 hosts of one cluster are one voice, not forty. Reuses
+# dedup.propagate_components verbatim (it is type-agnostic: min-label
+# over strings), proving the component machinery composes beyond
+# doc_id domains.
+#
+# Fixture: a DELIBERATELY disconnected host graph (the pagerank
+# multigraph is one giant component — useless for this op): hosts
+# h00..h95 with edges only INSIDE blocks of 8 (dst = block + (5*doc_id
+# + 3) % 8), plus h96..h99 which occur as nodes but never in an edge
+# -> 12 block clusters + 4 singletons, cluster id = lexicographically
+# smallest member.
+
+_HC_ORACLE = """
+    with recursive nodes as (
+      select distinct printf('h%02d', cast(doc_id % 100 as int)) as host
+      from documents
+    ),
+    p0 as (
+      select distinct
+             printf('h%02d', cast(doc_id % 96 as int)) as a,
+             printf('h%02d', cast((doc_id % 96) - (doc_id % 96) % 8
+                                  + (doc_id * 5 + 3) % 8 as int)) as b
+      from documents
+    ),
+    p as (select a, b from p0 where a != b),
+    edges as (
+      select a as u, b as v from p union all select b as u, a as v from p
+    ),
+    reach(u, v) as (
+      select host, host from nodes
+      union
+      select e.u, r.v from edges e join reach r on e.v = r.u
+    )
+    select u as host, min(v) as cluster_rep from reach group by u
+"""
+
+
+@_q("link_host_components", _HC_ORACLE)
+def link_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, cluster_rep) over the blocked host graph — every h00..h95
+    host labels with its block's smallest member, h96..h99 label
+    themselves. Oracle = recursive-CTE transitive closure, so the
+    min-label propagation (and its singleton rejoin) is value-checked
+    on a string-keyed domain too."""
+    from ocr_application_spark.operators.dedup import propagate_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srcn = F.col("doc_id") % 96
+    dstn = srcn - srcn % 8 + (F.col("doc_id") * 5 + 3) % 8
+    pairs = (
+        docs.select(
+            F.printf(F.lit("h%02d"), srcn.cast("int")).alias("doc_a"),
+            F.printf(F.lit("h%02d"), dstn.cast("int")).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    nodes = docs.select(
+        F.printf(F.lit("h%02d"), (F.col("doc_id") % 100).cast("int")).alias("doc_id")
+    ).distinct()
+    return propagate_components(pairs, nodes).select(
+        F.col("doc_id").alias("host"), F.col("rep").alias("cluster_rep")
+    )

@@ -206,3 +206,19 @@ def test_nonpositive_or_null_weights_fail_loud(spark):
             ),
             scale=10,
         )
+
+
+def test_host_components_blocks_and_singletons(spark):
+    """12 blocks of 8 + 4 edgeless singleton hosts; every member labels
+    with its block's smallest host."""
+    from ocr_application_spark.operators.kernels_entry import link_host_components
+
+    out = {r["host"]: r["cluster_rep"] for r in
+           link_host_components(spark, "/root/testdata/sf0.001").collect()}
+    assert len(out) == 100
+    for h, rep in out.items():
+        n = int(h[1:])
+        if n >= 96:
+            assert rep == h  # singleton
+        else:
+            assert rep == f"h{n - n % 8:02d}"

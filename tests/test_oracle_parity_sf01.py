@@ -27,6 +27,7 @@ STALE_OUTSIDE = [
     "crawl_frontier_priority",
     "crawl_sitemap_discovery",
     "dedup_cdc_chunks",
+    "link_host_components",
     "page_markdown",
     "split_leakage_report",
     "text_window_chunks",
