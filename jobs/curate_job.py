@@ -6,10 +6,13 @@ data. It composes the oracle-verified curation operators into the
 decision chain a real pretraining pipeline ships —
 
     clean (language + quality + exact-dup survivor)   operators/textfns.py
+    -> C4 word blocklist (opt-in)                     curation.word_blocklist_gate
+    -> mixed-script drop (opt-in)                     unicode_norm.script_mix_cols
     -> C4 line rules (opt-in, rebuilds text)          curation.text_c4_line_filter
     -> Gopher quality rule card (opt-in)              curation.text_gopher_quality
     -> Gopher repetition gates                        operators/curation.py
     -> frequency-rank (perplexity-analog) quality     operators/curation.py
+    -> CDC shared-chunk cap (opt-in)                  cdc.dedup_cdc_chunks
     -> PII scrub (email/phone/IPv4 redaction)         same regex trio as
                                                       curation.text_pii_scrub
     -> deterministic train/valid/test holdout         md5-hex coin, same
@@ -52,7 +55,10 @@ from pyspark.sql import functions as F
 #: corpus rather than eating a 100% kill rate on corpora they don't fit
 #: (exactly how C4/MassiveText/CCNet pipelines stage their own gates).
 DEFAULT_GATES = ("clean", "repetition", "rank")
-ALL_GATES = ("clean", "c4", "gopher_quality", "repetition", "rank", "lm")
+ALL_GATES = (
+    "clean", "blocklist", "script", "c4", "gopher_quality", "repetition",
+    "rank", "cdc", "lm",
+)
 
 
 def _lm_verdicts(spark, docs, keep_quantile: float):
@@ -98,6 +104,7 @@ def curate(
     n_shards: int = 8,
     dedup_index: str | None = None,
     lm_keep_quantile: float = 0.25,
+    cdc_max_shared_bp: int = 8000,
 ):
     """Return (curated DataFrame, stage-metrics list). ``input_dir``
     must contain documents.parquet (the input_hint documents shape).
@@ -173,6 +180,19 @@ def curate(
         cur = gate("clean_lang_quality_dedup",
                    corpus_clean_pipeline(spark, input_dir), cur,
                    keep_col="kept")
+    if "blocklist" in gates:
+        from ocr_application_spark.operators.curation import word_blocklist_gate
+
+        cur = gate("word_blocklist", word_blocklist_gate(docs), cur)
+    if "script" in gates:
+        from ocr_application_spark.operators.unicode_norm import script_mix_cols
+
+        _, _, _, mixed = script_mix_cols(F.col("text"))
+        cur = gate(
+            "script_mix",
+            docs.select("doc_id", (~mixed).alias("keep")),
+            cur,
+        )
     if "c4" in gates:
         cur = gate("c4_line_rules", text_c4_line_filter(spark, input_dir),
                    cur, keep_col="doc_keep")
@@ -184,6 +204,16 @@ def curate(
                    text_gopher_repetition(spark, input_dir), cur)
     if "rank" in gates:
         cur = gate("rank_quality", text_rank_quality(spark, input_dir), cur)
+    if "cdc" in gates:
+        from ocr_application_spark.operators.cdc import dedup_cdc_chunks
+
+        cur = gate(
+            "cdc_shared_chunks",
+            dedup_cdc_chunks(spark, input_dir).withColumn(
+                "keep", F.col("shared_bp") <= cdc_max_shared_bp
+            ),
+            cur,
+        )
     if "lm" in gates:
         cur = gate("lm_perplexity", _lm_verdicts(spark, docs, lm_keep_quantile),
                    cur)
@@ -277,6 +307,10 @@ def main() -> None:
     ap.add_argument("--lm-keep-quantile", type=float, default=0.25,
                     help="lm gate: drop docs whose per-bigram log-prob "
                          "rate is below this corpus percentile")
+    ap.add_argument("--cdc-max-shared-bp", type=int, default=8000,
+                    help="cdc gate: drop docs whose CDC shared-chunk "
+                         "ratio exceeds this many basis points "
+                         "(template-heavy near-copies)")
     ap.add_argument("--dedup-index", default=None,
                     help="persisted fingerprint-index path: dedupe this "
                          "batch against prior runs BEFORE the gates "
@@ -297,7 +331,8 @@ def main() -> None:
         curated, metrics = curate(spark, input_dir, gates=gates,
                                   n_shards=args.shards,
                                   dedup_index=args.dedup_index,
-                                  lm_keep_quantile=args.lm_keep_quantile)
+                                  lm_keep_quantile=args.lm_keep_quantile,
+                                  cdc_max_shared_bp=args.cdc_max_shared_bp)
         (
             curated.write.mode("overwrite")
             .partitionBy("split")

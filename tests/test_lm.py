@@ -237,3 +237,26 @@ def test_calibration_report_on_separable_fixture(spark, tmp_path):
     assert all(r["acc_bp"] == 10000 for r in rep), rep
     n_eval = nb_langid(df).filter("not is_train").count()
     assert sum(r["n_docs"] for r in rep) == n_eval
+
+
+def test_curate_funnel_new_gates_run_and_stay_monotone(spark):
+    """blocklist / script / cdc slot into the funnel: stages appear in
+    order, counts shrink monotonically, survivors carry curated
+    columns."""
+    from jobs.curate_job import curate
+
+    curated, metrics = curate(
+        spark,
+        "/root/testdata/sf0.001",
+        gates=("clean", "blocklist", "script", "rank", "cdc"),
+    )
+    names = [m["stage"] for m in metrics]
+    assert names == [
+        "clean_lang_quality_dedup", "word_blocklist", "script_mix",
+        "rank_quality", "cdc_shared_chunks",
+    ]
+    outs = [m["rows_out"] for m in metrics]
+    assert all(a >= b for a, b in zip(outs, outs[1:]))
+    assert all(m["rows_in"] - m["rows_out"] == m["dropped"] for m in metrics)
+    assert curated.count() == outs[-1]
+    assert {"doc_id", "text", "split", "shard"} <= set(curated.columns)
