@@ -255,6 +255,7 @@ _ROWS_ONLY_BY_DESIGN = ("text_compression_ratio", "ann_pq_topk", "ann_ivf_topk")
 _NEW_R04_OUTSIDE = (
     "cdc_incremental_ingest",
     "classify_calibration_report",
+    "corpus_zipf_report",
     "crawl_frontier_priority",
     "crawl_sitemap_discovery",
     "dedup_cdc_chunks",

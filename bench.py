@@ -247,6 +247,7 @@ def main() -> None:
             "crawl_sitemap_discovery",
             "cdc_incremental_ingest",
             "link_host_components",
+            "corpus_zipf_report",
         ]
 
         def run(name: str) -> None:

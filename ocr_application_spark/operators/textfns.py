@@ -839,3 +839,122 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by spec — see bm25_topk) -> per-query top-5 with a doc_id tiebreak."""
     qdf = spark.createDataFrame(list(_BM25_QUERIES), "query_id string, qtext string")
     return bm25_topk(_docs(spark, sf_dir), qdf, k=5)
+
+
+# --- Zipf corpus-health report -----------------------------------------------
+#
+# One-row observability for the token distribution: the log-log slope
+# of the top-100 rank-frequency curve (natural text sits near -1;
+# keyword-stuffed or machine-generated corpora flatten or steepen it)
+# plus total-token and vocabulary mass. The regression is EXACT where
+# it matters: ln(rank)/ln(tf) are quantized to integer milli-nats (the
+# PMI convention — same IEEE ln on identical integer inputs in both
+# engines, round-half-away identical), and the least-squares slope is
+# emitted as an exact integer numerator/denominator pair
+# (n*Sxy - Sx*Sy, n*Sxx - Sx*Sx) with the divided milli-slope as a
+# derived convenience column computed by the same canonical sequence.
+#
+# Scale: one token-count shuffle (map-side combined, O(vocab) out),
+# top-100 via TakeOrderedAndProject (never a global sort), the window
+# ranks 100 rows, totals ride a broadcast 1-row cross-join.
+
+_ZIPF_TOP = 100
+
+
+@_q(
+    "corpus_zipf_report",
+    f"""
+    with toks as (
+      select unnest(string_split(text, ' ')) as token from documents
+    ),
+    stats as (
+      select token, cast(count(*) as bigint) as tf
+      from toks where token != '' group by token
+    ),
+    totals as (
+      select cast(sum(tf) as bigint) as total_tokens,
+             cast(count(*) as bigint) as vocab_size
+      from stats
+    ),
+    top as (
+      select tf, row_number() over (order by tf desc, token) as rank
+      from stats
+      order by tf desc, token
+      limit {_ZIPF_TOP}
+    ),
+    pts as (
+      select cast(round(1000 * ln(cast(rank as double)), 0) as bigint) as x,
+             cast(round(1000 * ln(cast(tf as double)), 0) as bigint) as y
+      from top
+    ),
+    s as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+             cast(sum(x * x) as bigint) as sxx,
+             cast(sum(x * y) as bigint) as sxy
+      from pts
+    )
+    select s.n as n_top, t.total_tokens, t.vocab_size,
+           cast(s.n * s.sxy - s.sx * s.sy as bigint) as slope_num,
+           cast(s.n * s.sxx - s.sx * s.sx as bigint) as slope_den,
+           case when s.n * s.sxx - s.sx * s.sx > 0
+                then cast(round(1000.0 * cast(s.n * s.sxy - s.sx * s.sy as double)
+                                / cast(s.n * s.sxx - s.sx * s.sx as double), 0)
+                          as bigint)
+           end as slope_milli
+    from s cross join totals t
+    """,
+)
+def corpus_zipf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Zipf report: (n_top, total_tokens, vocab_size,
+    slope_num, slope_den, slope_milli)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias(
+            "token"
+        )
+    )
+    stats = toks.groupBy("token").agg(F.count("*").cast("long").alias("tf"))
+    totals = stats.agg(
+        F.sum("tf").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+    )
+    top = stats.orderBy(F.col("tf").desc(), "token").limit(_ZIPF_TOP)
+    # ranking 100 rows: the single-partition window is over the LIMIT'd
+    # frame, never the vocabulary
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("tf").desc(), "token")).cast("long"),
+    )
+    pts = ranked.select(
+        F.round(F.lit(1000) * F.log(F.col("rank").cast("double")), 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.lit(1000) * F.log(F.col("tf").cast("double")), 0)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.crossJoin(F.broadcast(totals)).select(
+        F.col("n").alias("n_top"),
+        "total_tokens",
+        "vocab_size",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(
+            den > 0,
+            F.round(
+                F.lit(1000.0) * num.cast("double") / den.cast("double"), 0
+            ).cast("long"),
+        ).alias("slope_milli"),
+    )

@@ -115,3 +115,34 @@ def test_checkpoint_tokens_dial_is_value_neutral(spark):
         map(tuple, bm25_topk(ddf, qdf, k=10, checkpoint_tokens=True).collect())
     )
     assert lazy == ckpt
+
+
+# --- corpus_zipf_report ------------------------------------------------------
+
+
+def test_zipf_slope_discriminates_zipfian_from_uniform(spark, tmp_path):
+    """A crafted corpus with tf ~ 1/rank must fit slope ~ -1000 milli;
+    a uniform-frequency corpus fits ~ 0. The report is what flags
+    machine-generated (flat) token distributions."""
+    from ocr_application_spark.operators.textfns import corpus_zipf_report
+
+    # zipfian: token w{r} appears ceil(600/r) times
+    words = []
+    for r in range(1, 41):
+        words += [f"w{r}"] * (600 // r)
+    zipf_doc = " ".join(words)
+    p1 = str(tmp_path / "zipf")
+    spark.createDataFrame([(1, zipf_doc)], "doc_id long, text string").write.parquet(
+        p1 + "/documents.parquet"
+    )
+    z = corpus_zipf_report(spark, p1).collect()[0]
+    assert -1100 <= z["slope_milli"] <= -900, z
+
+    uni_doc = " ".join([f"u{r}" for r in range(1, 41)] * 15)
+    p2 = str(tmp_path / "uni")
+    spark.createDataFrame([(1, uni_doc)], "doc_id long, text string").write.parquet(
+        p2 + "/documents.parquet"
+    )
+    u = corpus_zipf_report(spark, p2).collect()[0]
+    assert u["slope_milli"] == 0, u
+    assert u["vocab_size"] == 40 and u["total_tokens"] == 600

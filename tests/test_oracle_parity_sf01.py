@@ -24,6 +24,7 @@ SF_DIR = "/root/testdata/sf0.01"
 STALE_OUTSIDE = [
     "cdc_incremental_ingest",
     "classify_calibration_report",
+    "corpus_zipf_report",
     "crawl_frontier_priority",
     "crawl_sitemap_discovery",
     "dedup_cdc_chunks",
