@@ -262,6 +262,7 @@ _NEW_R04_OUTSIDE = (
     "link_host_components",
     "page_markdown",
     "split_leakage_report",
+    "text_confusable_fold",
     "text_window_chunks",
     "multimodal_phash",
     "multimodal_phash_pairs",

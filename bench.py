@@ -248,6 +248,7 @@ def main() -> None:
             "cdc_incremental_ingest",
             "link_host_components",
             "corpus_zipf_report",
+            "text_confusable_fold",
         ]
 
         def run(name: str) -> None:

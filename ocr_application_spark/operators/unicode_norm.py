@@ -263,3 +263,101 @@ def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         dominant.alias("dominant_script"),
         mixed.alias("mixed_script"),
     )
+
+
+# --- confusable (homoglyph) folding ------------------------------------------
+#
+# The evasion counterpart of text_script_mix: spam dodges Latin
+# blocklists by swapping individual letters for visually-identical
+# codepoints from other scripts (Cyrillic о/е/а inside English words,
+# Greek ο, fullwidth forms). Folding maps a FIXED confusable set back
+# to Latin before any hashing/dedup/blocklist pass — both engines use
+# the same char-to-char translate() (identical semantics in Spark and
+# DuckDB), so the fold is byte-exact cross-engine. The map is a small
+# curated subset of Unicode TR39's confusables (the machinery is
+# map-agnostic; production swaps in the full table).
+#
+# Zero shuffles: count + fold + digest fuse into the scan.
+
+_CONFUSABLES = {
+    "а": "a",  # U+0430 cyrillic
+    "е": "e",  # U+0435
+    "о": "o",  # U+043E
+    "р": "p",  # U+0440
+    "с": "c",  # U+0441
+    "х": "x",  # U+0445
+    "ο": "o",  # U+03BF greek omicron
+    "ν": "v",  # U+03BD greek nu
+    "ａ": "a",  # U+FF41 fullwidth
+    "ｏ": "o",  # U+FF4F fullwidth
+}
+_CONF_SRC = "".join(_CONFUSABLES)
+_CONF_DST = "".join(_CONFUSABLES.values())
+
+
+def fold_confusables(text):
+    """Column: text with the confusable set folded to Latin."""
+    return F.translate(text, _CONF_SRC, _CONF_DST)
+
+
+def _conf_count(text):
+    # replace-arithmetic: codepoints removed by deleting the confusable
+    # set == how many confusables the text held (translate with an
+    # empty mapping for the counting side would differ between engines,
+    # so count via per-char replace like the entropy op)
+    total = None
+    for ch in _CONFUSABLES:
+        c = F.length(text) - F.length(F.replace(text, F.lit(ch), F.lit("")))
+        total = c if total is None else total + c
+    return total.cast("long")
+
+
+def _conf_oracle() -> str:
+    cnt = " + ".join(
+        f"(length(t) - length(replace(t, '{ch}', '')))" for ch in _CONFUSABLES
+    )
+    return f"""
+    with fx as (
+      select doc_id,
+             case when doc_id % 4 = 1
+                    then translate(text, 'aeo', '{chr(0x430)}{chr(0x435)}{chr(0x43E)}')
+                  when doc_id % 4 = 2
+                    then translate(text, 'opc', '{chr(0x3BF)}{chr(0x440)}{chr(0x441)}')
+                  else text end as t
+      from documents
+    )
+    select doc_id,
+           cast({cnt} as bigint) as n_confusables,
+           substr(sha256(translate(t, '{_CONF_SRC}', '{_CONF_DST}')), 1, 16)
+             as folded_digest,
+           translate(t, '{_CONF_SRC}', '{_CONF_DST}') = t as was_clean
+    from fx
+    """
+
+
+@_q("text_confusable_fold", _conf_oracle())
+def text_confusable_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: derive homoglyph-spam variants (half the corpus gets
+    Latin->Cyrillic/Greek swaps), count confusables, fold, digest.
+    Folded variants of the same source text converge to the same
+    digest — the property that makes post-fold dedup catch the spam."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = (
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.translate(F.col("text"), "aeo", "аео"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.translate(F.col("text"), "opc", "οрс"),
+        )
+        .otherwise(F.col("text"))
+    )
+    d = docs.select("doc_id", t.alias("t"))
+    folded = fold_confusables(F.col("t"))
+    return d.select(
+        "doc_id",
+        _conf_count(F.col("t")).alias("n_confusables"),
+        F.substring(F.sha2(folded, 256), 1, 16).alias("folded_digest"),
+        (folded == F.col("t")).alias("was_clean"),
+    )

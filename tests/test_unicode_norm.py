@@ -107,3 +107,31 @@ def test_script_mix_counts_only_the_block(spark):
     assert r["n_latin"] == 3 and r["n_cyrillic"] == 1
     # every named script contributed exactly one char besides latin's 3
     assert r["n_scripted"] == 3 + 8
+
+
+# --- text_confusable_fold ----------------------------------------------------
+
+
+def test_confusable_variants_converge_to_one_digest(spark):
+    """Homoglyph variants of the same text must fold to the SAME digest
+    as the clean original — the property that makes post-fold dedup
+    catch evasion spam; clean text is untouched (was_clean)."""
+    import pyspark.sql.functions as F
+
+    from ocr_application_spark.operators.unicode_norm import fold_confusables
+
+    clean = "the cape holds open product pools over provence"
+    cyr = clean.replace("o", "о").replace("e", "е").replace("a", "а")
+    greek = clean.replace("o", "ο")
+    df = spark.createDataFrame(
+        [(1, clean), (2, cyr), (3, greek)], "doc_id long, t string"
+    )
+    out = df.select(
+        "doc_id",
+        F.sha2(fold_confusables(F.col("t")), 256).alias("d"),
+        (fold_confusables(F.col("t")) == F.col("t")).alias("clean"),
+    ).collect()
+    digs = {r["doc_id"]: r["d"] for r in out}
+    assert digs[1] == digs[2] == digs[3]
+    flags = {r["doc_id"]: r["clean"] for r in out}
+    assert flags[1] is True and flags[2] is False and flags[3] is False
