@@ -205,7 +205,7 @@ def test_curate_optin_gates_rebuild_text(spark, tmpdir_scratch):
     import pandas as pd
     import pytest as _pytest
 
-    from jobs.curate_job import ALL_GATES, curate
+    from jobs.curate_job import curate
 
     # prose generator: rotating word banks so no 2-/5-gram repeats
     # (survives gopher_repetition), a small head vocabulary + the Gopher
@@ -261,7 +261,13 @@ def test_curate_optin_gates_rebuild_text(spark, tmpdir_scratch):
     # its exact per-doc survivor accounting; the quantile dial itself
     # is pinned by test_lm_gate_in_curation_funnel
     curated, metrics = curate(
-        spark, tmpdir_scratch, gates=ALL_GATES, lm_keep_quantile=0.0
+        # the prose-shaped opt-in chain this test accounts doc-by-doc;
+        # the r04 blocklist/script/cdc gates have their own funnel test
+        # (test_curate_funnel_new_gates_run_and_stay_monotone)
+        spark,
+        tmpdir_scratch,
+        gates=("clean", "c4", "gopher_quality", "repetition", "rank", "lm"),
+        lm_keep_quantile=0.0,
     )
     stages = {m["stage"]: m for m in metrics}
     assert list(stages) == [
