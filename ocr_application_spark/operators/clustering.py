@@ -136,15 +136,24 @@ def _update(assigned: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run _KM_ROUNDS Lloyd rounds from the deterministic seed
-    (centroids = the K smallest vec_ids) and return the FINAL
-    assignment (vec_id, qv, cid, dist_sq)."""
+def kmeans_assignments(
+    spark: SparkSession, sf_dir: str, k: int = _KM_K, rounds: int = _KM_ROUNDS
+) -> DataFrame:
+    """Run ``rounds`` Lloyd rounds from the deterministic seed
+    (centroids = the ``k`` smallest vec_ids) and return the FINAL
+    assignment (vec_id, qv, cid, dist_sq). The gate pins the
+    (k=_KM_K, rounds=_KM_ROUNDS) point against the unrolled SQL; other
+    settings share every code path (the dials are data-independent)."""
+    k, rounds = int(k), int(rounds)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
     vecs = _vecs(spark, sf_dir)
-    cents = vecs.filter(F.col("vec_id") < _KM_K).select(
+    cents = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    for _ in range(_KM_ROUNDS):
+    for _ in range(rounds):
         assigned = _assign(vecs, cents)
         cents = _update(assigned, cents)
     # constant round count -> constant plan depth; no checkpoint needed
