@@ -207,12 +207,28 @@ def cdc_store_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     op_label: str = "cdc-ingest",
+    bloom_prefilter: bool = False,
+    bloom_words: int = 1 << 16,
+    bloom_hashes: int = 4,
 ) -> tuple[DataFrame, int]:
     """Ingest ``docs`` against the content-addressed chunk store at
     ``store_path``; append never-seen (chunk_hash, chunk_chars) rows;
     return (per-doc report, committed version). Report columns:
     (doc_id, n_chunks, total_chars, n_known, n_dup_increment, n_novel,
-    novel_chars, saved_bp)."""
+    novel_chars, saved_bp).
+
+    ``bloom_prefilter=True`` routes the store probe through the SAME
+    persisted Bloom sidecar machinery the fingerprint index uses
+    (``{store_path}_bloom``, maintained incrementally in O(novel) per
+    ingest, self-healing when stale): chunk hashes the filter rules
+    out are provably absent, so the store join carries only maybe-seen
+    suspects — on a novel-dominated recrawl the (store-sized) exchange
+    shrinks to the true-dup sliver plus false positives. The report,
+    store contents and replay stability are BIT-IDENTICAL either way
+    (no false negatives); the flag is purely a cost dial. (The 10x
+    soak's all-dup replay is the case a Bloom cannot help — every
+    suspect is real; the production fix there is hash-bucketed store
+    layout, see PERF.md §7b.)"""
     from ocr_application_spark.session import bounded_cache
     from ocr_application_spark.sources.snapshots import (
         commit,
@@ -224,12 +240,33 @@ def cdc_store_ingest(
         cdc_chunks(docs, id_col, text_col), "cdc_store_ingest"
     )  # reused by verdicts AND the novel-row commit
     versions = snapshot_versions(store_path)
+    state = None
     if versions:
+        inc_hashes = ch.select("chunk_hash").distinct()
+        if bloom_prefilter:
+            from ocr_application_spark.operators.dedup import _bloom_state_covering
+            from ocr_application_spark.operators.sketches import bloom_probe
+
+            state = bounded_cache(
+                _bloom_state_covering(
+                    spark, store_path, versions[-1], bloom_words, bloom_hashes,
+                    key_col="chunk_hash",
+                ),
+                "cdc_bloom_state",
+            )
+            probe_keys = (
+                bloom_probe(state, inc_hashes, "chunk_hash", bloom_words, bloom_hashes)
+                .filter(F.col("maybe_seen"))
+                .select("chunk_hash")
+            )
+        else:
+            probe_keys = inc_hashes
         store = (
             read_snapshot(spark, store_path, version=versions[-1])
             .select("chunk_hash")
-            # probe restricted to the increment's hash set: O(increment)
-            .join(ch.select("chunk_hash").distinct(), "chunk_hash", "left_semi")
+            # probe restricted to the increment's (bloom-surviving)
+            # hash set: O(increment) join work per ingest
+            .join(probe_keys, "chunk_hash", "left_semi")
             .distinct()
             .withColumn("in_store", F.lit(True))
         )
@@ -276,6 +313,35 @@ def cdc_store_ingest(
     # exactly one row per novel hash (its attribution owner's row)
     novel_rows = jj.filter(F.col("verdict") == "novel").select("chunk_hash", "chunk_chars")
     version = commit(novel_rows, store_path, op_label=op_label)
+    if bloom_prefilter:
+        # sidecar maintenance, O(novel): fold the just-committed rows
+        # (read back via the manifest diff) into the state; crash
+        # before this commit leaves a stale sidecar the next ingest's
+        # healing path tops up (shared machinery with the fingerprint
+        # index — dedup._bloom_state_covering / _commit_bloom_sidecar)
+        from ocr_application_spark.operators.dedup import _commit_bloom_sidecar
+        from ocr_application_spark.operators.sketches import bloom_build, bloom_merge
+        from ocr_application_spark.sources.snapshots import read_snapshot_diff
+
+        new_state = None
+        if versions and state is not None:
+            try:
+                added = read_snapshot_diff(spark, store_path, versions[-1], version)
+                new_state = bloom_merge(
+                    state.unionByName(
+                        bloom_build(added, F.col("chunk_hash"), bloom_words, bloom_hashes)
+                    )
+                )
+            except (ValueError, FileNotFoundError):
+                pass  # diff range crossed a rewrite: rebuild below
+        if new_state is None:
+            new_state = bloom_build(
+                read_snapshot(spark, store_path, version=version),
+                F.col("chunk_hash"),
+                bloom_words,
+                bloom_hashes,
+            )
+        _commit_bloom_sidecar(new_state, store_path, version, bloom_words, bloom_hashes)
     return report, version
 
 

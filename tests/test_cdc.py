@@ -152,3 +152,44 @@ def test_cdc_store_attribution_charges_first_holder(spark, tmp_path):
     assert rows[2]["n_novel"] == 0 and rows[2]["n_dup_increment"] == rows[2]["n_chunks"]
     stored = read_snapshot(spark, store).agg(F.sum("chunk_chars")).collect()[0][0]
     assert stored == sum(r["novel_chars"] for r in rows.values())
+
+
+def test_cdc_bloom_prefilter_is_verdict_identical_and_maintains_sidecar(
+    spark, tmp_path
+):
+    """bloom_prefilter is a pure cost dial: bootstrap+recrawl with the
+    flag on must produce the SAME per-doc report as the plain path,
+    the sidecar must exist and cover the committed version, and a
+    replay through the bloom path still appends nothing."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ocr_application_spark.operators.cdc import cdc_store_ingest
+    from ocr_application_spark.sources.snapshots import read_snapshot, snapshot_versions
+
+    base = [(i, f"base doc {i} " + "common template tail " * 5) for i in range(12)]
+    inc = [(100 + i, f"inc doc {i} " + "common template tail " * 5) for i in range(6)]
+    inc += [(200, base[0][1])]  # full clone of a base doc -> all known
+    bdf = spark.createDataFrame(base, "doc_id long, text string")
+    idf = spark.createDataFrame(inc, "doc_id long, text string")
+
+    def run(store, flag):
+        cdc_store_ingest(spark, store, bdf, bloom_prefilter=flag)
+        rep, v = cdc_store_ingest(spark, store, idf, bloom_prefilter=flag)
+        return sorted(tuple(r) for r in rep.collect()), v
+
+    plain, _ = run(str(tmp_path / "s_plain"), False)
+    bloomed, v = run(str(tmp_path / "s_bloom"), True)
+    assert plain == bloomed  # bit-identical verdicts
+    bpath = str(tmp_path / "s_bloom") + "_bloom"
+    assert snapshot_versions(bpath), "sidecar missing"
+    meta = read_snapshot(spark, bpath).select("covers_version").first()
+    assert meta["covers_version"] == v
+    # replay through the bloom path: everything known, nothing appended
+    store_rows = read_snapshot(spark, str(tmp_path / "s_bloom")).count()
+    rep3, _ = cdc_store_ingest(
+        spark, str(tmp_path / "s_bloom"), idf, bloom_prefilter=True
+    )
+    assert rep3.agg(F.sum("n_novel")).collect()[0][0] == 0
+    assert read_snapshot(spark, str(tmp_path / "s_bloom")).count() == store_rows
