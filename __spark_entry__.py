@@ -108,151 +108,44 @@ def _modules():
         param_mining,
         phash,
         tpch,
-        # groupstats and heavyhitters sit OUTSIDE the driver's 50-slot
-        # window by design, like the TPC-H demonstrators: exact
-        # percentiles/rollup and the Misra-Gries frequent-key plan are
-        # engine demonstrators with no direct reference analog, and
-        # every in-window slot is held by a flagship or a
-        # never-driver-checked op. Local parity still runs the
-        # identical oracle comparison on them every pytest run.
+        # groupstats / heavyhitters / buckets_entry: engine
+        # demonstrators with no direct reference analog. Their four
+        # headline queries rotated INTO the r05 window (the last
+        # never-driver-sampled rotatables; `_rotate` pulls them
+        # forward regardless of module order here).
         groupstats,
         heavyhitters,
-        # bucketed co-located join: same demonstrator class — the
-        # write-once/join-shuffle-free layout proof, plan-pinned
         buckets_entry,
     ]
 
 
 # ---------------------------------------------------------------------
-# r04 driver window (VERDICT r03 "Next round" #4). The driver's
+# r05 driver window (VERDICT r04 "Next round" #1). The driver's
 # correctness gate samples queries()[:50]; `_WINDOW` pins those 50 slots
 # explicitly, in order. Composition:
 #   - 4 permanent anchors (the flagship digest + the incremental-ingest
-#     family, per the judge's instruction),
-#   - the 4 oracles fixed this round (HUGEINT->BIGINT casts; VERDICT #1
-#     requires their green r04 rows),
-#   - all 28 never-driver-checked ops from r03's `_ROTATED_BACK` era
-#     (each had only local sf0.001+sf0.01 parity until now),
-#   - warc_wet_roundtrip (warc.py changes this round: try_to_timestamp
-#     quarantine path, per ADVICE),
-#   - the rest filled with r03-green flagships; new r04 ops displace
-#     these fills as they land (a displaced fill is prior-driver-green,
-#     so it may legally sit outside — pinned by the window test).
+#     family, per the judge's standing instruction),
+#   - the 26 post-freeze r04 ops (`_NEW_R04_OUTSIDE` last round) that
+#     have never had a hard driver row — the judge's #1 rotate-in set,
+#   - the 4 engine demonstrators that have likewise never been
+#     driver-sampled (`events_rollup_daily`, `group_percentiles_chars`,
+#     `text_heavy_hitters`, `bucketed_colocated_join` — oracle-paired,
+#     previously outside-by-design; their slots close the last
+#     never-driver-checked rotatables),
+#   - the rest filled with prior-green flagships (preferring ones this
+#     round's code touches); new r05 ops displace fills from the bottom
+#     as they land (a displaced fill is prior-driver-green, so it may
+#     legally sit outside — pinned by the window test).
 # Everything OUTSIDE the window must be prior-driver-green
 # (`_PRIOR_DRIVER_GREEN`, the union of green rows across
-# CORRECTNESS_r01-r03), a TPC-H/engine demonstrator, or
+# CORRECTNESS_r01-r04), a TPC-H/engine demonstrator, or
 # rows-only-by-design; tests/test_oracle_parity.py enforces this.
 _WINDOW = (
     "pipeline_extract_digest",
     "dedup_incremental_ingest",
     "neardup_incremental_ingest",
     "semantic_incremental_ingest",
-    "text_lm_score",
-    "classify_nb_langid",
-    "text_hashed_tfidf",
-    "seq_pack",
-    "text_nfc_normalize",
-    "extract_charset_sniff",
-    "extract_yield_report",
-    "sketch_hdr_quantiles",
-    "dedup_span_ratio",
-    "link_host_hits",
-    "sketch_bloom_seen",
-    "sketch_cms_counts",
-    "dedup_bloom_antijoin",
-    "sketch_kmv_overlap",
-    "dedup_winnow",
-    "overlap_incremental_ingest",
-    "snapshot_delete_rows",
-    "crawl_politeness_schedule",
-    "crawl_robots_filter",
-    "sample_dsir_topk",
-    "snapshot_zorder_scan",
-    "snapshot_wap_publish",
-    "snapshot_drift_report",
-    "url_surt_index",
-    "url_sitemap_extract",
-    "crawl_recrawl_candidates",
-    "crawl_acquisition_pipeline",
-    "warc_response_roundtrip",
-    "crawl_robots_parse",  # new r04: robots.txt text -> rules roundtrip
-    "page_meta_extract",  # new r04: head metadata (title/lang/canonical)
-    "page_index_gate",  # new r04: page-level REP verdict (meta + header)
-    "url_param_mining",  # new r04: learned content-neutral param keys
-    "page_og_extract",  # new r04: Open Graph meta extraction
-    "page_jsonld_extract",  # new r04: JSON-LD structured-data extraction
-    "html_table_extract",  # new r04: <table> markup -> cell rows (K3 analog)
-    "crawl_cache_headers",  # new r04: RFC 9111 freshness -> next-fetch plan
-    "url_redirect_resolve",  # new r04: pointer-doubling redirect chains
-    "crawl_feed_discover",  # new r04: RSS/Atom <link> adverts in HTML heads
-    "crawl_feed_parse",  # new r04: feed XML -> entries (RFC-822/ISO dates)
-    "dedup_containment",
-    "sample_domain_mix",
-    "url_holdout_split",
-    "sketch_kmv_distinct",
-    "warc_wet_roundtrip",
-    "warc_revisit_resolve",  # new r04: revisit-record parse + as-of digest resolve
-    "text_lang_segments",  # new r04: per-line langid -> same-language islands
-)
-
-# Names with a green driver row in some prior round (union of
-# CORRECTNESS_r01..r03 rows with all three checks true). Local oracle
-# parity still runs the identical comparison on every one of these each
-# pytest run; a name may sit outside the 50-slot window only if it is
-# here, a demonstrator, or rows-only-by-design.
-_PRIOR_DRIVER_GREEN = (
-    "a1_a2_tarification_totals", "a3_mean_nonzero", "a4_monthly_sums",
-    "a5_corpus_counts", "a6_doc_bbox", "ann_cosine_topk",
-    "ann_ivf_exhaustive", "ann_lsh_buckets", "boilerplate_strip_source",
-    "classify_docwrap", "corpus_clean_pipeline", "decontaminate_13gram",
-    "dedup_components", "dedup_components_star", "dedup_consecutive_lines",
-    "dedup_exact", "dedup_incremental_ingest", "dedup_minhash_band_dial",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_paragraphs",
-    "dedup_simhash", "dedup_span_strip", "emb_neardup_components",
-    "emb_neardup_multiprobe", "emb_neardup_pairs", "events_asof_profile",
-    "events_interval_overlap", "events_retention_cohorts",
-    "events_sessionize", "f11_json_block_extract", "f6_field_keywords",
-    "f7_table_size_filter", "f_record_filters", "forecast_ar1",
-    "forecast_arima_like", "forecast_linear", "j1_fuzzy_catalog_match",
-    "j2_label_value_pairing", "j3_region_table_antijoin", "j4_iou_dedup",
-    "kernel_normalize", "link_anchor_texts", "link_host_pagerank",
-    "link_outdegree", "multimodal_enhance", "multimodal_features",
-    "multimodal_frame_sample", "multimodal_resize",
-    "neardup_incremental_ingest", "pipeline_extract_digest",
-    "pivot_lang_by_source", "q10_returned_customers", "q14_promo_revenue",
-    "q18_large_orders", "q1_pricing_summary", "q3_shipping_priority",
-    "q4_priority_semijoin", "q5_region_revenue", "q6_revenue_change",
-    "q7_nation_volume", "sample_epochs_weighted", "sample_stratified",
-    "sample_token_budget", "semantic_incremental_ingest", "shard_shuffle",
-    "sketch_kmv_merged", "skew_salted_host_stats", "snapshot_merge_upsert",
-    "streaming_extract_digest", "tarification_pipeline", "text_bm25_topk",
-    "text_c4_line_filter", "text_char_entropy", "text_fingerprint",
-    "text_gopher_quality", "text_gopher_repetition", "text_langid_heuristic",
-    "text_pii_scrub", "text_pmi_collocations", "text_quality_score",
-    "text_rank_quality", "text_token_stats", "text_vocabulary",
-    "topk_orders_per_customer", "url_canonical_dupes", "url_canonicalize",
-    "url_crawl_filter", "w1_reading_order", "w2_line_sessionize",
-    "w3_topk_area", "w4_top1_argmax", "w5_sweep_merge",
-    "warc_wet_roundtrip",
-)
-
-# Historical note (r03): the pre-r04 ordering was expressed inversely, as
-# a `_ROTATED_BACK` list pushing prior-green names to the back; the
-# per-op rotation rationale that lived here is preserved in git history
-# (see the r03 tree) and summarized in COVERAGE.md.
-# Rows-only by design (no SQL-expressible oracle; rationale per op in
-# COVERAGE.md). Deliberately outside the window: a slot would buy only
-# the weak rows-only check while a value-checking twin or differential
-# pytest already pins each one.
-_ROWS_ONLY_BY_DESIGN = ("text_compression_ratio", "ann_pq_topk", "ann_ivf_topk")
-
-# New r04 ops that landed AFTER the 50-slot window filled (every slot is
-# held by an anchor, a this-round oracle fix, one of the 28 rotate-ins,
-# or an earlier r04 op). Each runs the driver-identical oracle compare
-# at sf0.001 (test_oracle_parity) AND at the driver's sf0.01
-# (test_oracle_parity_sf01 STALE_OUTSIDE) every pytest run; rotate them
-# into the r05 window.
-_NEW_R04_OUTSIDE = (
+    # --- the 26 never-driver-checked post-freeze r04 ops ---
     "cdc_incremental_ingest",
     "classify_calibration_report",
     "corpus_zipf_report",
@@ -279,7 +172,105 @@ _NEW_R04_OUTSIDE = (
     "host_quality_report",
     "page_heading_outline",
     "page_section_chunks",
+    # --- the 4 never-driver-sampled engine demonstrators ---
+    "events_rollup_daily",
+    "group_percentiles_chars",
+    "text_heavy_hitters",
+    "bucketed_colocated_join",
+    # --- prior-green fills (new r05 ops displace from the bottom) ---
+    "text_vocabulary",  # touched r05: bounded-window WARN silencing
+    "corpus_clean_pipeline",
+    "crawl_acquisition_pipeline",
+    "snapshot_merge_upsert",
+    "tarification_pipeline",
+    "forecast_arima_like",
+    "skew_salted_host_stats",
+    "link_host_pagerank",  # touched r05: crawl_priority_pipeline composition
+    "url_canonicalize",
+    "text_gopher_quality",
+    "dedup_minhash_lsh",
+    "emb_neardup_multiprobe",
+    "ann_ivf_exhaustive",
+    "sample_stratified",
+    "w5_sweep_merge",
+    "kernel_normalize",
 )
+
+# Names with a green driver row in some prior round (union of
+# CORRECTNESS_r01..r04 rows with all three checks true). Local oracle
+# parity still runs the identical comparison on every one of these each
+# pytest run; a name may sit outside the 50-slot window only if it is
+# here, a demonstrator, or rows-only-by-design.
+_PRIOR_DRIVER_GREEN = (
+    "a1_a2_tarification_totals", "a3_mean_nonzero", "a4_monthly_sums",
+    "a5_corpus_counts", "a6_doc_bbox", "ann_cosine_topk",
+    "ann_ivf_exhaustive", "ann_lsh_buckets", "boilerplate_strip_source",
+    "classify_docwrap", "classify_nb_langid", "corpus_clean_pipeline",
+    "crawl_acquisition_pipeline", "crawl_cache_headers",
+    "crawl_feed_discover", "crawl_feed_parse", "crawl_politeness_schedule",
+    "crawl_recrawl_candidates", "crawl_robots_filter", "crawl_robots_parse",
+    "decontaminate_13gram", "dedup_bloom_antijoin", "dedup_components",
+    "dedup_components_star", "dedup_consecutive_lines", "dedup_containment",
+    "dedup_exact", "dedup_incremental_ingest", "dedup_minhash_band_dial",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_paragraphs",
+    "dedup_simhash", "dedup_span_ratio", "dedup_span_strip", "dedup_winnow",
+    "emb_neardup_components", "emb_neardup_multiprobe", "emb_neardup_pairs",
+    "events_asof_profile", "events_interval_overlap",
+    "events_retention_cohorts", "events_sessionize", "extract_charset_sniff",
+    "extract_yield_report", "f11_json_block_extract", "f6_field_keywords",
+    "f7_table_size_filter", "f_record_filters", "forecast_ar1",
+    "forecast_arima_like", "forecast_linear", "html_table_extract",
+    "j1_fuzzy_catalog_match", "j2_label_value_pairing",
+    "j3_region_table_antijoin", "j4_iou_dedup", "kernel_normalize",
+    "link_anchor_texts", "link_host_hits", "link_host_pagerank",
+    "link_outdegree", "multimodal_enhance", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_resize",
+    "neardup_incremental_ingest", "overlap_incremental_ingest",
+    "page_index_gate", "page_jsonld_extract", "page_meta_extract",
+    "page_og_extract", "pipeline_extract_digest", "pivot_lang_by_source",
+    "q10_returned_customers", "q14_promo_revenue", "q18_large_orders",
+    "q1_pricing_summary", "q3_shipping_priority", "q4_priority_semijoin",
+    "q5_region_revenue", "q6_revenue_change", "q7_nation_volume",
+    "sample_domain_mix", "sample_dsir_topk", "sample_epochs_weighted",
+    "sample_stratified", "sample_token_budget",
+    "semantic_incremental_ingest", "seq_pack", "shard_shuffle",
+    "sketch_bloom_seen", "sketch_cms_counts", "sketch_hdr_quantiles",
+    "sketch_kmv_distinct", "sketch_kmv_merged", "sketch_kmv_overlap",
+    "skew_salted_host_stats", "snapshot_delete_rows",
+    "snapshot_drift_report", "snapshot_merge_upsert", "snapshot_wap_publish",
+    "snapshot_zorder_scan", "streaming_extract_digest",
+    "tarification_pipeline", "text_bm25_topk", "text_c4_line_filter",
+    "text_char_entropy", "text_fingerprint", "text_gopher_quality",
+    "text_gopher_repetition", "text_hashed_tfidf", "text_lang_segments",
+    "text_langid_heuristic", "text_lm_score", "text_nfc_normalize",
+    "text_pii_scrub", "text_pmi_collocations", "text_quality_score",
+    "text_rank_quality", "text_token_stats", "text_vocabulary",
+    "topk_orders_per_customer", "url_canonical_dupes", "url_canonicalize",
+    "url_crawl_filter", "url_holdout_split", "url_param_mining",
+    "url_redirect_resolve", "url_sitemap_extract", "url_surt_index",
+    "w1_reading_order", "w2_line_sessionize", "w3_topk_area",
+    "w4_top1_argmax", "w5_sweep_merge", "warc_response_roundtrip",
+    "warc_revisit_resolve", "warc_wet_roundtrip",
+)
+
+# Historical note (r03): the pre-r04 ordering was expressed inversely, as
+# a `_ROTATED_BACK` list pushing prior-green names to the back; the
+# per-op rotation rationale that lived here is preserved in git history
+# (see the r03 tree) and summarized in COVERAGE.md.
+# Rows-only by design (no SQL-expressible oracle; rationale per op in
+# COVERAGE.md). Deliberately outside the window: a slot would buy only
+# the weak rows-only check while a value-checking twin or differential
+# pytest already pins each one.
+_ROWS_ONLY_BY_DESIGN = ("text_compression_ratio", "ann_pq_topk", "ann_ivf_topk")
+
+# New r05 ops that land AFTER the 50-slot window fills (r04's
+# `_NEW_R04_OUTSIDE` set was emptied by the r05 rotation — all 26 are
+# now IN the window, per VERDICT r04 "Next round" #1). Any op added
+# here runs the driver-identical oracle compare at sf0.001
+# (test_oracle_parity) AND at the driver's sf0.01
+# (test_oracle_parity_sf01 STALE_OUTSIDE) every pytest run; rotate it
+# into the next round's window.
+_NEW_R05_OUTSIDE = ()
 
 
 def _rotate(entries: dict) -> dict:

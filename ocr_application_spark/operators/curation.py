@@ -663,22 +663,27 @@ from documents d left join per using (doc_id)
 def text_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc frequency-rank quality score in exact basis points +
     keep/drop verdict (see module comment: CCNet analog over ranks)."""
-    from pyspark.sql.window import Window
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
     tf = tok.groupBy("token").agg(F.count("*").alias("tf"))
-    # top-V via orderBy+limit -> TakeOrderedAndProject; the rank window
-    # then runs over exactly _VOCAB_V survivors (bounded, not corpus)
+    # top-V via orderBy+limit -> TakeOrderedAndProject; rank the V
+    # survivors by folding them into ONE sorted array (rank = array
+    # position via indexed transform) — no WindowExec at all, and the
+    # ranked rows land directly in the ONE-row token->rank map that
+    # broadcasts so every document partition scores locally
     top = tf.orderBy(F.desc("tf"), "token").limit(_VOCAB_V)
-    w = Window.orderBy(F.desc("tf"), "token")
-    vocab = top.select("token", F.row_number().over(w).alias("rank"))
-    # fold the V ranked rows into ONE row holding a token->rank map;
-    # broadcast it so every document partition scores locally
-    vmap = vocab.agg(
-        F.map_from_entries(F.collect_list(F.struct("token", "rank"))).alias("vmap")
+    vmap = top.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("tf")).alias("nt"), "token"))
+        ).alias("rows")
+    ).select(
+        F.map_from_entries(
+            F.transform(
+                "rows", lambda r, i: F.struct(r["token"].alias("token"), (i + 1).alias("rank"))
+            )
+        ).alias("vmap")
     )
     oov_rank = F.lit(_VOCAB_V + 1).cast("long")
     # NULL text scores like empty text (n_tokens=0 -> 10000/10000/false),

@@ -573,19 +573,31 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = toks.groupBy("token").agg(
         F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
     )
-    from pyspark.sql.window import Window
-
     # top-200 via orderBy+limit -> TakeOrderedAndProject (per-partition
     # partial top-k, plan-audited), NOT a global row_number window —
     # an unpartitioned window would funnel the ENTIRE vocabulary
-    # (easily 10^8 rows at corpus scale) through one partition. The
-    # rank window then runs over just the 200 survivors.
+    # (easily 10^8 rows at corpus scale) through one partition. Rank
+    # the 200 survivors by folding them into ONE sorted array and
+    # posexploding (rank = position): no WindowExec at all, so the
+    # bench tail stays free of "No Partition Defined" warnings.
     top = stats.orderBy(F.desc("df"), F.desc("tf"), "token").limit(200)
-    w = Window.orderBy(F.desc("df"), F.desc("tf"), "token")
-    return top.select(
-        "token", "tf", "df",
-        F.row_number().over(w).alias("rank"),
-        F.col("token").isin(*_STOPWORDS).alias("is_stopword"),
+    rows = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("df")).alias("nd"),
+                    (-F.col("tf")).alias("nt"),
+                    "token", "tf", "df",
+                )
+            )
+        ).alias("rows")
+    )
+    return rows.select(F.posexplode("rows").alias("pos", "r")).select(
+        F.col("r.token").alias("token"),
+        F.col("r.tf").alias("tf"),
+        F.col("r.df").alias("df"),
+        (F.col("pos") + 1).alias("rank"),
+        F.col("r.token").isin(*_STOPWORDS).alias("is_stopword"),
     )
 
 
@@ -908,8 +920,6 @@ _ZIPF_TOP = 100
 def corpus_zipf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row Zipf report: (n_top, total_tokens, vocab_size,
     slope_num, slope_den, slope_milli)."""
-    from pyspark.sql.window import Window
-
     d = _docs(spark, sf_dir)
     toks = d.select(
         F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias(
@@ -922,11 +932,22 @@ def corpus_zipf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("vocab_size"),
     )
     top = stats.orderBy(F.col("tf").desc(), "token").limit(_ZIPF_TOP)
-    # ranking 100 rows: the single-partition window is over the LIMIT'd
-    # frame, never the vocabulary
-    ranked = top.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.col("tf").desc(), "token")).cast("long"),
+    # ranking 100 rows: fold the LIMIT'd frame into one sorted array
+    # and posexplode (rank = position) — no WindowExec, so no
+    # "No Partition Defined" WARN in the bench tail
+    ranked = (
+        top.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct((-F.col("tf")).alias("nt"), "token", "tf")
+                )
+            ).alias("rows")
+        )
+        .select(F.posexplode("rows").alias("pos", "r"))
+        .select(
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("r.tf").alias("tf"),
+        )
     )
     pts = ranked.select(
         F.round(F.lit(1000) * F.log(F.col("rank").cast("double")), 0)

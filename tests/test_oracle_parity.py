@@ -39,56 +39,55 @@ def test_entry_smoke(spark):
 
 
 def test_driver_window_covers_flagships_and_new_ops():
-    """The driver's correctness gate samples queries()[:50]; pin the r04
+    """The driver's correctness gate samples queries()[:50]; pin the r05
     window (explicit `_WINDOW` tuple) so adding a query can't silently
-    evict an anchor, a this-round-fixed oracle, or one of the 28 ops
-    that had never had a driver row before r04. Everything outside must
-    be prior-driver-green, a plan-audited demonstrator, or
+    evict an anchor or one of the 30 rotate-ins that had never had a
+    driver row before r05 (the 26 post-freeze r04 ops + the 4 engine
+    demonstrators — VERDICT r04 "Next round" #1). Everything outside
+    must be prior-driver-green, a plan-audited demonstrator, or
     rows-only-by-design."""
     names = list(_QUERIES)
     window, outside = set(names[:50]), set(names[50:])
     # the _WINDOW tuple must BE the first 50, in its own order
     assert len(entrymod._WINDOW) == 50
     assert names[:50] == list(entrymod._WINDOW)
-    # permanent anchors + the four oracles fixed in r04 + the 28
-    # previously-never-driver-checked ops (VERDICT r03 #4's rotate-in set)
+    # permanent anchors + the 26 post-freeze r04 ops + the 4 engine
+    # demonstrators (the complete never-driver-checked rotate-in set)
     must_cover = {
         "pipeline_extract_digest",
         "dedup_incremental_ingest",
         "neardup_incremental_ingest",
         "semantic_incremental_ingest",
-        "text_lm_score",
-        "classify_nb_langid",
-        "text_hashed_tfidf",
-        "seq_pack",
-        "text_nfc_normalize",
-        "extract_charset_sniff",
-        "extract_yield_report",
-        "sketch_hdr_quantiles",
-        "dedup_span_ratio",
-        "link_host_hits",
-        "sketch_bloom_seen",
-        "sketch_cms_counts",
-        "dedup_bloom_antijoin",
-        "sketch_kmv_overlap",
-        "dedup_winnow",
-        "overlap_incremental_ingest",
-        "snapshot_delete_rows",
-        "crawl_politeness_schedule",
-        "crawl_robots_filter",
-        "sample_dsir_topk",
-        "snapshot_zorder_scan",
-        "snapshot_wap_publish",
-        "snapshot_drift_report",
-        "url_surt_index",
-        "url_sitemap_extract",
-        "crawl_recrawl_candidates",
-        "crawl_acquisition_pipeline",
-        "warc_response_roundtrip",
-        "dedup_containment",
-        "sample_domain_mix",
-        "url_holdout_split",
-        "sketch_kmv_distinct",
+        "cdc_incremental_ingest",
+        "classify_calibration_report",
+        "corpus_zipf_report",
+        "crawl_frontier_priority",
+        "crawl_sitemap_discovery",
+        "dedup_cdc_chunks",
+        "link_host_components",
+        "page_markdown",
+        "split_leakage_report",
+        "text_confusable_fold",
+        "text_window_chunks",
+        "multimodal_phash",
+        "multimodal_phash_pairs",
+        "text_script_mix",
+        "emb_kmeans_assign",
+        "emb_semdedup",
+        "url_sitemap_index",
+        "page_hreflang_clusters",
+        "page_pagination_series",
+        "text_word_blocklist",
+        "text_sentence_split",
+        "text_fk_readability",
+        "crawl_delay_directives",
+        "host_quality_report",
+        "page_heading_outline",
+        "page_section_chunks",
+        "events_rollup_daily",
+        "group_percentiles_chars",
+        "text_heavy_hitters",
+        "bucketed_colocated_join",
     }
     assert must_cover <= window, must_cover - window
     # every in-window entry must be oracle-paired (a rows-only row would
@@ -99,24 +98,19 @@ def test_driver_window_covers_flagships_and_new_ops():
         "events_sessionize",
         "pivot_lang_by_source",
         "events_retention_cohorts",
-        # engine demonstrators with no reference analog; oracle-checked here
-        "group_percentiles_chars",
-        "events_rollup_daily",
-        "text_heavy_hitters",
-        "bucketed_colocated_join",
     }
     allowed_outside = (
         demonstrators
         | set(entrymod._PRIOR_DRIVER_GREEN)
         | set(entrymod._ROWS_ONLY_BY_DESIGN)
-        | set(entrymod._NEW_R04_OUTSIDE)
+        | set(entrymod._NEW_R05_OUTSIDE)
     )
     assert outside <= allowed_outside, outside - allowed_outside
     # a post-window-freeze op must carry the sf0.01 gate the window
     # would have given it (STALE_OUTSIDE in test_oracle_parity_sf01)
     from tests.test_oracle_parity_sf01 import STALE_OUTSIDE
 
-    assert set(entrymod._NEW_R04_OUTSIDE) <= set(STALE_OUTSIDE)
+    assert set(entrymod._NEW_R05_OUTSIDE) <= set(STALE_OUTSIDE)
 
 
 def test_digest_oracle_survives_adversarial_text(spark, tmpdir_scratch):
