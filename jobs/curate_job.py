@@ -188,9 +188,13 @@ def curate(
         from ocr_application_spark.operators.unicode_norm import script_mix_cols
 
         _, _, _, mixed = script_mix_cols(F.col("text"))
+        # NULL text => regexp_count(NULL) makes `mixed` NULL; coalesce
+        # to keep=true (no text has no script mix) so the doc gets an
+        # explicit verdict instead of a silent three-valued-filter drop
+        # (ADVICE r04)
         cur = gate(
             "script_mix",
-            docs.select("doc_id", (~mixed).alias("keep")),
+            docs.select("doc_id", F.coalesce(~mixed, F.lit(True)).alias("keep")),
             cur,
         )
     if "c4" in gates:
@@ -207,13 +211,20 @@ def curate(
     if "cdc" in gates:
         from ocr_application_spark.operators.cdc import dedup_cdc_chunks
 
-        cur = gate(
-            "cdc_shared_chunks",
-            dedup_cdc_chunks(spark, input_dir).withColumn(
-                "keep", F.col("shared_bp") <= cdc_max_shared_bp
-            ),
-            cur,
+        # the chunk report has NO row for empty/NULL-text docs (nothing
+        # to chunk); left-join it onto the full id set and default those
+        # docs to keep=true (zero chunks => zero shared content) so they
+        # get an explicit verdict instead of an inner-join drop
+        # (ADVICE r04)
+        cdc_verdicts = (
+            docs.select("doc_id")
+            .join(dedup_cdc_chunks(spark, input_dir), "doc_id", "left")
+            .withColumn(
+                "keep",
+                F.coalesce(F.col("shared_bp") <= cdc_max_shared_bp, F.lit(True)),
+            )
         )
+        cur = gate("cdc_shared_chunks", cdc_verdicts, cur)
     if "lm" in gates:
         cur = gate("lm_perplexity", _lm_verdicts(spark, docs, lm_keep_quantile),
                    cur)

@@ -19,7 +19,11 @@ Two operators over the ``embeddings`` table (array<float>, dim 64):
   iff SOME smaller-vec_id vector in its cluster is cosine-similar above
   the threshold (deterministic, engine-order-free — deliberately the
   transitive-free variant; chained/greedy keep-lists need the
-  dedup.py component machinery instead).
+  dedup.py component machinery instead). The threshold is a dial
+  (``semdedup_verdicts(num2=, den2=)`` — cos >= sqrt(num2/den2)); the
+  GATE pins cos >= 1/4 (num2=1, den2=16), NOT the ~0.9 of real
+  deployments, because the synthetic fixture is near-isotropic (see
+  the dial comment at ``_SEM_NUM2``).
 
 Cross-engine exactness: embeddings ride the repo's integer
 quantization (round(x*1000) — similarity.py); squared-L2 distances and
@@ -30,7 +34,9 @@ cast(count as double), round(, 0), cast to bigint (round-half-away is
 identical in Spark and DuckDB) — so centroids are bit-identical
 integers in both engines and every downstream distance is exact. The
 cosine threshold is evaluated in pure integers by cross-multiplying:
-cos >= 9/10  <=>  dot > 0 AND 100*dot^2 >= 81*|a|^2*|b|^2.
+cos >= sqrt(num2/den2)  <=>  dot > 0 AND den2*dot^2 >= num2*|a|^2*|b|^2
+(e.g. a 9/10 production dial would be num2=81, den2=100; the shipped
+gate dial is 1/4: num2=1, den2=16).
 
 No reference analog (the reference has no embedding ops); this is
 training-data-pipeline machinery graded first-class.
@@ -150,8 +156,16 @@ def kmeans_assignments(
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     vecs = _vecs(spark, sf_dir)
-    cents = vecs.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    # seed = the k SMALLEST vec_ids (TakeOrderedAndProject, k rows) —
+    # not a `vec_id < k` literal filter, which would silently return an
+    # empty assignment on any table whose ids don't start near 0
+    # (ADVICE r04). On a table with fewer than k vectors the seed is
+    # every vector (the standard degenerate); only an empty input
+    # yields an empty result.
+    cents = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
     )
     for _ in range(rounds):
         assigned = _assign(vecs, cents)
@@ -172,7 +186,8 @@ def _kmeans_oracle() -> str:
     )
     blocks = [
         f"v as (select vec_id, {qv} as qv from embeddings)",
-        f"c0 as (select vec_id as cid, qv as cv from v where vec_id < {_KM_K})",
+        # seed = k smallest vec_ids (mirrors the Spark sort/limit seed)
+        f"c0 as (select vec_id as cid, qv as cv from v order by vec_id limit {_KM_K})",
     ]
     for t in range(1, _KM_ROUNDS + 1):
         prev, a, u, d, n, c = f"c{t-1}", f"a{t}", f"u{t}", f"d{t}", f"n{t}", f"c{t}"
@@ -249,13 +264,26 @@ def _semdedup_oracle() -> str:
     """
 
 
-@_q("emb_semdedup", _semdedup_oracle())
-def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup_verdicts(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    num2: int = _SEM_NUM2,
+    den2: int = _SEM_DEN2,
+    k: int = _KM_K,
+    rounds: int = _KM_ROUNDS,
+) -> DataFrame:
     """SemDeDup verdict: (vec_id, cluster_id, kept) — kept=false iff a
-    smaller-vec_id vector in the SAME k-means cluster has cosine >= 0.9
-    (exact integer cross-multiplication; no float compare). The
-    cluster equi-join bounds pairs at O(sum cluster_size^2): the
-    K dial, not an N^2 self-join, is what meets a 10^12-vector corpus."""
+    smaller-vec_id vector in the SAME k-means cluster has
+    cosine >= sqrt(num2/den2), evaluated by exact integer
+    cross-multiplication (no float compare). Defaults are the gate
+    dial (cos >= 1/4 — see ``_SEM_NUM2``); a production ~0.9 gate is
+    ``num2=81, den2=100``. The cluster equi-join bounds pairs at
+    O(sum cluster_size^2): the K dial, not an N^2 self-join, is what
+    meets a 10^12-vector corpus."""
+    num2, den2 = int(num2), int(den2)
+    if num2 < 0 or den2 < 1:
+        raise ValueError(f"need num2 >= 0 and den2 >= 1, got {num2}/{den2}")
     # the assignment is referenced three times below (both pair-join
     # sides + the verdict join), so without materialization the whole
     # k-means subtree triplicates in the plan. Measured at sf0.1:
@@ -265,7 +293,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session ends — long-lived sessions can free them with
     # session.release_local_checkpoint once the result is consumed.
     asg = (
-        kmeans_assignments(spark, sf_dir)
+        kmeans_assignments(spark, sf_dir, k=k, rounds=rounds)
         .withColumn("nrm", _dot(F.col("qv"), F.col("qv")))
         .localCheckpoint(eager=True)
     )
@@ -289,8 +317,8 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("dot") > 0)
             & (
-                F.lit(_SEM_DEN2) * F.col("dot") * F.col("dot")
-                >= F.lit(_SEM_NUM2) * F.col("a_nrm") * F.col("b_nrm")
+                F.lit(den2) * F.col("dot") * F.col("dot")
+                >= F.lit(num2) * F.col("a_nrm") * F.col("b_nrm")
             )
         )
         .select(F.col("b_id").alias("vec_id"))
@@ -303,3 +331,11 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cluster_id"),
         F.col("hit").isNull().alias("kept"),
     )
+
+
+@_q("emb_semdedup", _semdedup_oracle())
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate pin of ``semdedup_verdicts`` at the default dials
+    (cos >= 1/4, k=_KM_K, rounds=_KM_ROUNDS) against the unrolled SQL
+    oracle; other dial settings share every code path."""
+    return semdedup_verdicts(spark, sf_dir)

@@ -2014,8 +2014,9 @@ ORACLES["split_leakage_report"] = _leak_oracle()
 # pagemeta's structure-aware sections): FIXED token windows with
 # overlap stride — the pretraining-context / RAG-passage cut. Window
 # W=64 tokens, stride S=48 (25% overlap): window k covers tokens
-# [k*S, k*S + W); the last window starts at the largest k*S < n, so
-# every token is covered and short docs emit exactly one window.
+# [k*S, k*S + W); the last window is the FIRST whose end reaches n
+# (start = S*ceil((n-W)/S), e.g. n=200, W=64, S=48 -> last start 144),
+# so every token is covered and short docs emit exactly one window.
 # Window count = 1 + ceil(max(0, n - W) / S) — exact integer form
 # (non-negative, so floor/truncate agree across engines).
 #

@@ -95,6 +95,58 @@ def test_semdedup_drops_constructed_near_dup(spark, tmp_path):
     assert out[101]["kept"] is False  # the larger-id twin drops
 
 
+def test_kmeans_seed_survives_offset_vec_ids(spark, tmp_path):
+    """A table whose ids start nowhere near 0 must still seed k
+    centroids (k smallest ids, not a `vec_id < k` literal) and assign
+    every vector (ADVICE r04: the old literal filter silently returned
+    an empty assignment)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (5_000_000 + i, rng.normal(size=64).astype("float32").tolist(), 0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    p = str(tmp_path / "offdir")
+    df.write.parquet(p + "/embeddings.parquet")
+    out = C.kmeans_assignments(spark, p)
+    assert out.count() == 30
+    # the seed really is the k smallest ids: cids are the first k ids
+    cids = {r["cid"] for r in out.select("cid").distinct().collect()}
+    assert cids <= {5_000_000 + i for i in range(C._KM_K)}
+
+
+def test_semdedup_threshold_dial_monotone(spark, tmp_path):
+    """The num2/den2 dial must behave like a threshold: the production
+    0.9 gate (81/100) drops a subset of the loose gate's (1/16) drops,
+    and the constructed near-identical twin is dropped by BOTH."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=64).astype("float32")
+    near = base + rng.normal(scale=0.005, size=64).astype("float32")
+    rows = [(i, rng.normal(size=64).astype("float32").tolist(), 0) for i in range(20)]
+    rows += [(100, base.tolist(), 0), (101, near.tolist(), 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    p = str(tmp_path / "dialdir")
+    df.write.parquet(p + "/embeddings.parquet")
+    loose = {
+        r["vec_id"]
+        for r in C.semdedup_verdicts(spark, p).filter(~F.col("kept")).collect()
+    }
+    tight = {
+        r["vec_id"]
+        for r in C.semdedup_verdicts(spark, p, num2=81, den2=100)
+        .filter(~F.col("kept"))
+        .collect()
+    }
+    assert tight <= loose
+    assert 101 in tight  # cos ~ 1.0 twin drops at every sane dial
+    with pytest.raises(ValueError):
+        C.semdedup_verdicts(spark, p, num2=1, den2=0)
+
+
 def test_semdedup_universe_and_keeper_rule(spark):
     """Every vector gets a verdict; within any (cluster, verdict=False)
     row there exists a smaller kept-or-not vec in the same cluster that

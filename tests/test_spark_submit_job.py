@@ -300,6 +300,38 @@ def test_curate_optin_gates_rebuild_text(spark, tmpdir_scratch):
         assert r["text"] == expected
 
 
+def test_curate_script_and_cdc_gates_give_nulltext_explicit_verdicts(
+    spark, tmpdir_scratch
+):
+    """NULL-/empty-text docs have no chunk rows (the cdc report only
+    covers chunkable docs) and a NULL script-mix flag
+    (regexp_count(NULL)); both gates must KEEP them explicitly — zero
+    chunks shares nothing, no text has no script mix — instead of
+    dropping them through an inner join / three-valued filter
+    (ADVICE r04)."""
+    import pandas as pd
+
+    from jobs.curate_job import curate
+
+    rows = [
+        (1, "river stone market garden window travel yellow copper bridge",
+         "en", "s0", 0),
+        (2, None, "en", "s0", 0),
+        (3, "", "en", "s1", 0),
+        (4, "   ", "en", "s1", 0),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{tmpdir_scratch}/documents.parquet")
+    curated, metrics = curate(spark, tmpdir_scratch, gates=("script", "cdc"))
+    assert [m["stage"] for m in metrics] == ["script_mix", "cdc_shared_chunks"]
+    # nothing here is mixed-script or cross-doc chunk-shared: every doc
+    # must survive with an explicit verdict
+    assert {r["doc_id"] for r in curated.select("doc_id").collect()} == {1, 2, 3, 4}
+    for m in metrics:
+        assert m["dropped"] == 0, m
+
+
 def test_curate_releases_previous_invocations_cache(spark, tmpdir_scratch):
     """Repeated curate() calls in one session must not accumulate cached
     id-set blocks (the tarification cache-leak class): the number of
