@@ -193,7 +193,7 @@ _WINDOW = (
     "ann_ivf_exhaustive",
     "sample_stratified",
     "w5_sweep_merge",
-    "kernel_normalize",
+    "crawl_priority_pipeline",  # new r05: PageRank->frontier->slots chain
 )
 
 # Names with a green driver row in some prior round (union of

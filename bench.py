@@ -249,6 +249,9 @@ def main() -> None:
             "link_host_components",
             "corpus_zipf_report",
             "text_confusable_fold",
+            # r05 additions
+            "crawl_priority_pipeline",
+            "text_heavy_hitters",
         ]
 
         def run(name: str) -> None:
@@ -281,10 +284,50 @@ def main() -> None:
             "extraction_docs_per_sec": docs_per_sec,
             "extraction_corpus_docs": n_out,
         }
-        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json")
-        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        # --- regression canary (VERDICT r04 #7): compare this run's
+        # common-query total against the PREVIOUS run's (history.jsonl,
+        # one line per run), so a uniform environmental drift — or a
+        # real regression — is visible from the one-line JSON instead
+        # of a by-hand diff of two round artifacts.
+        hist_path = os.path.join(bench_dir, "history.jsonl")
+        prev = None
+        if os.path.exists(hist_path):
+            try:
+                with open(hist_path) as f:
+                    lines = [ln for ln in f.read().splitlines() if ln.strip()]
+                if lines:
+                    prev = json.loads(lines[-1])
+            except (OSError, ValueError):
+                prev = None
+        slowest10 = {}
+        if prev and prev.get("queries"):
+            pq = prev["queries"]
+            common = [n for n in timings if n in pq]
+            cur_tot = sum(timings[n] for n in common)
+            prev_tot = sum(pq[n] for n in common)
+            if prev_tot > 0:
+                summary["common_delta_pct"] = round(
+                    100.0 * (cur_tot - prev_tot) / prev_tot, 1
+                )
+                summary["n_common"] = len(common)
+            for n in sorted(common, key=lambda n: -timings[n])[:10]:
+                slowest10[n] = {
+                    "cur": timings[n],
+                    "prev": pq[n],
+                    "delta_pct": round(
+                        100.0 * (timings[n] - pq[n]) / pq[n], 1
+                    ) if pq[n] > 0 else None,
+                }
+        detail_path = os.path.join(bench_dir, "last_run.json")
         with open(detail_path, "w") as f:
-            json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)
+            json.dump(
+                {**summary, "queries": timings, "slowest10_vs_prev": slowest10},
+                f, indent=1, sort_keys=True,
+            )
+        with open(hist_path, "a") as f:
+            f.write(json.dumps({**summary, "queries": timings}, sort_keys=True) + "\n")
         print(json.dumps(summary))
     finally:
         # a failing query must not leave the 48k-page scratch tree behind

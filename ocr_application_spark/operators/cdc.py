@@ -199,6 +199,132 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 'known'. Replay-stable like the sibling ingests: re-ingesting the
 # same batch finds every hash in the store -> zero new bytes.
 
+# --- hash-bucketed probe mirror (the all-dup-replay fix, PERF §7b) ----------
+#
+# The Bloom sidecar makes a novel-dominated recrawl cheap (provably-
+# absent hashes skip the store join) but cannot help an ALL-DUP replay:
+# every suspect is a true store hit, so the probe join must touch the
+# whole store — and with the store read as plain snapshot parquet, that
+# join SHUFFLES O(store) rows every replay. The fix is layout, not
+# filtering: maintain a hash-bucketed MIRROR of the store's chunk_hash
+# column (Spark `bucketBy(N, chunk_hash)` table — the write_bucketed
+# discipline of buckets_entry.py), so the probe's semi-join reads
+# bucket i of the store scan-locally and only the (increment-sized)
+# probe side is exchanged. Same sidecar contract as the Bloom: the
+# snapshot stays the versioned source of truth, the mirror is stamped
+# with the version it covers (`_STATE.json`), topped up from the
+# O(new-rows) snapshot diff per ingest, and rebuilt from the full
+# snapshot when missing/param-mismatched/crossing a rewrite — healing
+# is a cost event, never a correctness one. Verdicts are BIT-IDENTICAL
+# with the flag on or off (pinned in tests).
+
+_MIRROR_BUCKETS = 64  # bucket dial; a real cluster sizes this to cores
+
+
+def _mirror_names(store_path: str) -> tuple[str, str, str]:
+    """(database, qualified table, data dir) for the probe mirror of
+    ``store_path`` — SQL identifiers derived from the path hash so any
+    number of stores coexist in one catalog."""
+    import hashlib
+
+    h = hashlib.md5(store_path.encode()).hexdigest()[:10]
+    db = f"cdc_mirror_{h}"
+    return db, f"{db}.store_b", store_path.rstrip("/") + "_bucketed"
+
+
+def _mirror_state_path(store_path: str) -> str:
+    return _mirror_names(store_path)[2] + "/_STATE.json"
+
+
+def _read_mirror_state(store_path: str) -> dict | None:
+    import json
+    import os
+
+    p = _mirror_state_path(store_path)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            st = json.load(f)
+        return st if {"covers_version", "n_buckets"} <= set(st) else None
+    except (OSError, ValueError):
+        return None
+
+
+def _write_mirror_state(store_path: str, covers_version: int, n_buckets: int) -> None:
+    import json
+    import os
+
+    p = _mirror_state_path(store_path)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"covers_version": covers_version, "n_buckets": n_buckets}, f)
+    os.replace(tmp, p)
+
+
+def _bucketed_store_covering(
+    spark: SparkSession, store_path: str, current_version: int, n_buckets: int
+) -> DataFrame:
+    """The mirror's (chunk_hash) DataFrame covering EXACTLY the store's
+    ``current_version``: fresh -> returned as-is (bucketed scan, no
+    exchange in downstream chunk_hash joins); stale -> topped up by
+    appending the O(new-rows) snapshot diff; missing / mismatched /
+    diff-crossing-a-rewrite -> rebuilt from the full snapshot once.
+    The table is EXTERNAL (explicit path) so a fresh session's empty
+    in-memory catalog re-adopts the existing bucketed files via DDL
+    instead of rebuilding."""
+    import shutil
+
+    from ocr_application_spark.sources.snapshots import (
+        read_snapshot,
+        read_snapshot_diff,
+    )
+
+    db, tbl, ddir = _mirror_names(store_path)
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{ddir}_db'"
+    )
+    adopt_ddl = (
+        f"CREATE TABLE {tbl} (chunk_hash BIGINT) USING PARQUET "
+        f"CLUSTERED BY (chunk_hash) SORTED BY (chunk_hash) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{ddir}/data'"
+    )
+    st = _read_mirror_state(store_path)
+    if st is not None and st["n_buckets"] == n_buckets:
+        if not spark.catalog.tableExists(tbl):
+            spark.sql(adopt_ddl)  # new session, surviving files: adopt
+        cv = st["covers_version"]
+        if cv == current_version:
+            return spark.table(tbl).select("chunk_hash")
+        if cv < current_version:
+            try:
+                added = read_snapshot_diff(spark, store_path, cv, current_version)
+                added.select("chunk_hash").write.bucketBy(
+                    n_buckets, "chunk_hash"
+                ).sortBy("chunk_hash").mode("append").format("parquet").saveAsTable(tbl)
+                _write_mirror_state(store_path, current_version, n_buckets)
+                return spark.table(tbl).select("chunk_hash")
+            except (ValueError, FileNotFoundError):
+                pass  # diff range crossed a rewrite/expiry: rebuild below
+    # full rebuild: drop catalog entry AND files (saveAsTable refuses
+    # to adopt a non-empty location), then write fresh
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(f"{ddir}/data", ignore_errors=True)
+    full = read_snapshot(spark, store_path, version=current_version)
+    (
+        full.select("chunk_hash")
+        .write.bucketBy(n_buckets, "chunk_hash")
+        .sortBy("chunk_hash")
+        .mode("overwrite")
+        .format("parquet")
+        .option("path", f"{ddir}/data")
+        .saveAsTable(tbl)
+    )
+    _write_mirror_state(store_path, current_version, n_buckets)
+    return spark.table(tbl).select("chunk_hash")
+
+
 def cdc_store_ingest(
     spark: SparkSession,
     store_path: str,
@@ -210,6 +336,8 @@ def cdc_store_ingest(
     bloom_prefilter: bool = False,
     bloom_words: int = 1 << 16,
     bloom_hashes: int = 4,
+    bucketed_probe: bool = False,
+    probe_buckets: int = _MIRROR_BUCKETS,
 ) -> tuple[DataFrame, int]:
     """Ingest ``docs`` against the content-addressed chunk store at
     ``store_path``; append never-seen (chunk_hash, chunk_chars) rows;
@@ -225,10 +353,23 @@ def cdc_store_ingest(
     suspects — on a novel-dominated recrawl the (store-sized) exchange
     shrinks to the true-dup sliver plus false positives. The report,
     store contents and replay stability are BIT-IDENTICAL either way
-    (no false negatives); the flag is purely a cost dial. (The 10x
-    soak's all-dup replay is the case a Bloom cannot help — every
-    suspect is real; the production fix there is hash-bucketed store
-    layout, see PERF.md §7b.)"""
+    (no false negatives); the flag is purely a cost dial.
+
+    ``bucketed_probe=True`` is the complementary dial for the case a
+    Bloom cannot help — the ALL-DUP replay, where every suspect is a
+    true store hit: the store probe reads a self-healing hash-bucketed
+    mirror (``bucketBy(probe_buckets, chunk_hash)`` table next to the
+    store, maintained by O(new-rows) appends per ingest), so the store
+    side of the probe semi-join is scan-local (ZERO store-side
+    exchange — plan-pinned) and only the increment is shuffled.
+    Verdicts, store contents and replay stability are BIT-IDENTICAL
+    with any flag combination. Note: the bucketed probe eagerly
+    localCheckpoints its O(increment) probe result (the mirror table
+    is live; pinning the result is what keeps this ingest's own
+    post-commit mirror append invisible to the lazy report); those
+    blocks live until the session ends — long-lived multi-ingest
+    sessions can free a consumed report's blocks with
+    ``session.release_local_checkpoint``."""
     from ocr_application_spark.session import bounded_cache
     from ocr_application_spark.sources.snapshots import (
         commit,
@@ -261,15 +402,31 @@ def cdc_store_ingest(
             )
         else:
             probe_keys = inc_hashes
+        store_rows = (
+            _bucketed_store_covering(spark, store_path, versions[-1], probe_buckets)
+            if bucketed_probe
+            else read_snapshot(spark, store_path, version=versions[-1]).select(
+                "chunk_hash"
+            )
+        )
         store = (
-            read_snapshot(spark, store_path, version=versions[-1])
-            .select("chunk_hash")
+            store_rows
             # probe restricted to the increment's (bloom-surviving)
-            # hash set: O(increment) join work per ingest
+            # hash set: O(increment) join work per ingest; with the
+            # bucketed mirror the store side of this semi-join is
+            # scan-local (no store exchange)
             .join(probe_keys, "chunk_hash", "left_semi")
             .distinct()
             .withColumn("in_store", F.lit(True))
         )
+        if bucketed_probe:
+            # the mirror TABLE is live (this ingest appends the novel
+            # hashes to it after the commit below), while the plain
+            # path reads a pinned snapshot version — so freeze the
+            # probe RESULT (O(increment) bigint rows) before anything
+            # mutates the mirror; this also runs the bucket-local
+            # probe exactly once instead of once per downstream action
+            store = store.localCheckpoint(eager=True)
     else:
         store = (
             ch.filter(F.lit(False)).select("chunk_hash").withColumn("in_store", F.lit(True))
@@ -313,6 +470,12 @@ def cdc_store_ingest(
     # exactly one row per novel hash (its attribution owner's row)
     novel_rows = jj.filter(F.col("verdict") == "novel").select("chunk_hash", "chunk_chars")
     version = commit(novel_rows, store_path, op_label=op_label)
+    if bucketed_probe:
+        # mirror maintenance, O(novel): top the bucketed mirror up to
+        # the just-committed version (append of the snapshot diff).
+        # A crash before this line leaves a stale mirror the next
+        # ingest's covering call heals — same contract as the Bloom.
+        _bucketed_store_covering(spark, store_path, version, probe_buckets)
     if bloom_prefilter:
         # sidecar maintenance, O(novel): fold the just-committed rows
         # (read back via the manifest diff) into the state; crash

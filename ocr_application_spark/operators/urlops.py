@@ -2068,6 +2068,95 @@ def crawl_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- composed crawl-priority chain (PageRank prior -> frontier -> slots) -----
+#
+# frontier_priority accepts ANY (host, score) table; the gate above
+# feeds it a derived frontier-mass prior. This op composes the chain a
+# crawl operator actually runs — host_pagerank over the link graph ->
+# frontier_priority -> politeness slots — as ONE oracle-checked query
+# (VERDICT r04 #5), mirroring crawl_acquisition_pipeline's composition
+# discipline: the oracle embeds the unrolled integer-exact PageRank
+# CTEs verbatim, so a key/type mismatch anywhere in the seam is a
+# hash mismatch, not a silent coercion. Hosts h97-h100 sit outside the
+# 97-host link graph, pinning the cold-host (prior 0) path end-to-end.
+
+
+def _priority_pipeline_oracle() -> str:
+    from ocr_application_spark.operators.kernels_entry import _pagerank_oracle_sql
+
+    # the pagerank oracle is "with <ctes> select host, ... from r4";
+    # keep the CTE chain, swap the final select for the frontier chain
+    pr_ctes = _pagerank_oracle_sql().rsplit("select host,", 1)[0].rstrip().rstrip(",")
+    return f"""
+    {pr_ctes},
+    prior as (select host, cast(rank as bigint) as host_score from r4),
+    frontier as (
+      select
+        'https://h' || printf('%02d', cast(doc_id % 101 as int)) || '/s'
+          || repeat('/x', cast(doc_id % 4 as int)) || '/p'
+          || cast(doc_id as varchar) as url,
+        printf('h%02d', cast(doc_id % 101 as int)) as host,
+        cast(1 + doc_id % 4 as bigint) as depth,
+        cast(doc_id % 11 as bigint) as last_fetch_day,
+        cast(doc_id % 47 as bigint) as lastmod_day
+      from documents
+    ),
+    scored as (
+      select f.url, f.host,
+             cast(coalesce(p.host_score, 0)
+                  + {_FP_STALE_W} * greatest(0, least(f.lastmod_day - f.last_fetch_day,
+                                                      {_FP_STALE_CAP}))
+                  - {_FP_DEPTH_W} * f.depth as bigint) as priority_micro
+      from frontier f left join prior p using (host)
+    ),
+    ranked as (
+      select url, host, priority_micro,
+             cast(row_number() over (partition by host
+                                     order by priority_micro desc, url) as bigint)
+               as fetch_rank
+      from scored
+    )
+    select url, host, priority_micro, fetch_rank,
+           (fetch_rank - 1) // {_SCHED_RATE} as tick_idx,
+           {_SCHED_T0} + ((fetch_rank - 1) // {_SCHED_RATE}) * {_SCHED_TICK}
+             as scheduled_us
+    from ranked
+    """
+
+
+@_q("crawl_priority_pipeline", _priority_pipeline_oracle())
+def crawl_priority_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real crawl-priority chain end-to-end: integer-exact
+    host_pagerank over the 97-host doc_id-arithmetic link graph (the
+    link_host_pagerank gate's fixture) becomes the host prior,
+    frontier_priority scores a 101-host frontier against it (4 hosts
+    cold — prior 0), and the politeness window assigns slots.
+    Bit-exact: the oracle unrolls the same PageRank iterations."""
+    from ocr_application_spark.kernels.links import host_pagerank
+    from ocr_application_spark.operators.kernels_entry import _synth_host_edges
+
+    prior = host_pagerank(_synth_host_edges(spark, sf_dir), iterations=4).select(
+        "host", F.col("rank").cast("long").alias("host_score")
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.format_string("h%02d", (F.col("doc_id") % 101).cast("int"))
+    frontier = d.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/s"),
+            F.expr("repeat('/x', cast(doc_id % 4 as int))"),
+            F.lit("/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        host.alias("host"),
+        (F.lit(1) + F.col("doc_id") % 4).cast("long").alias("depth"),
+        (F.col("doc_id") % 11).cast("long").alias("last_fetch_day"),
+        (F.col("doc_id") % 47).cast("long").alias("lastmod_day"),
+    )
+    out = frontier_priority(frontier, prior)
+    return out.select(
+        "url", "host", "priority_micro", "fetch_rank", "tick_idx", "scheduled_us"
+    )
+
+
 # --- sitemap discovery from robots.txt ---------------------------------------
 #
 # The missing hop in the acquisition chain: url_sitemap_extract parses

@@ -193,3 +193,126 @@ def test_cdc_bloom_prefilter_is_verdict_identical_and_maintains_sidecar(
     )
     assert rep3.agg(F.sum("n_novel")).collect()[0][0] == 0
     assert read_snapshot(spark, str(tmp_path / "s_bloom")).count() == store_rows
+
+
+def _ingest_fixture(spark):
+    base = [(i, f"base doc {i} " + "common template tail " * 5) for i in range(12)]
+    inc = [(100 + i, f"inc doc {i} " + "common template tail " * 5) for i in range(6)]
+    inc += [(200, base[0][1])]  # full clone of a base doc -> all known
+    return (
+        spark.createDataFrame(base, "doc_id long, text string"),
+        spark.createDataFrame(inc, "doc_id long, text string"),
+    )
+
+
+def test_cdc_bucketed_probe_is_verdict_identical_and_replay_stable(
+    spark, tmp_path
+):
+    """bucketed_probe is a pure layout dial (PERF §7b's all-dup-replay
+    fix): bootstrap + recrawl with the flag on — and with bloom AND
+    bucketed together — must produce the SAME per-doc reports as the
+    plain path; a replay appends nothing; the mirror state covers the
+    committed version."""
+    from ocr_application_spark.operators.cdc import (
+        _read_mirror_state,
+        cdc_store_ingest,
+    )
+    from ocr_application_spark.sources.snapshots import read_snapshot, snapshot_versions
+
+    bdf, idf = _ingest_fixture(spark)
+
+    def run(store, **kw):
+        rep0, _ = cdc_store_ingest(spark, store, bdf, **kw)
+        b0 = sorted(tuple(r) for r in rep0.collect())
+        rep, v = cdc_store_ingest(spark, store, idf, **kw)
+        return b0, sorted(tuple(r) for r in rep.collect()), v
+
+    p0, p1, _ = run(str(tmp_path / "s_plain"))
+    b0, b1, v = run(str(tmp_path / "s_buck"), bucketed_probe=True, probe_buckets=8)
+    assert (p0, p1) == (b0, b1)  # bit-identical verdicts
+    c0, c1, _ = run(
+        str(tmp_path / "s_both"),
+        bucketed_probe=True,
+        probe_buckets=8,
+        bloom_prefilter=True,
+    )
+    assert (p0, p1) == (c0, c1)  # flags compose
+    st = _read_mirror_state(str(tmp_path / "s_buck"))
+    assert st == {"covers_version": v, "n_buckets": 8}
+    # all-dup replay through the bucketed path: nothing appended
+    store = str(tmp_path / "s_buck")
+    n_before = read_snapshot(spark, store).count()
+    rep3, v3 = cdc_store_ingest(spark, store, idf, bucketed_probe=True, probe_buckets=8)
+    assert rep3.agg(F.sum("n_novel")).collect()[0][0] == 0
+    assert read_snapshot(spark, store).count() == n_before
+    assert _read_mirror_state(store)["covers_version"] == v3
+    assert v3 == snapshot_versions(store)[-1]
+
+
+def test_cdc_bucketed_mirror_heals_stale_state_and_lost_catalog(
+    spark, tmp_path
+):
+    """The mirror is a sidecar, not a second source of truth: a store
+    that advanced WITHOUT mirror maintenance (crash analog: plain-path
+    ingest between bucketed ones) gets topped up from the snapshot
+    diff on the next covering call; a catalog that forgot the external
+    table (new-session analog) re-adopts the surviving bucketed files
+    via DDL. Verdicts match the plain twin throughout."""
+    from ocr_application_spark.operators.cdc import (
+        _mirror_names,
+        _read_mirror_state,
+        cdc_store_ingest,
+    )
+
+    bdf, idf = _ingest_fixture(spark)
+    store, twin = str(tmp_path / "s_heal"), str(tmp_path / "s_twin")
+    # bootstrap bucketed (mirror at v1), then advance the store PLAIN
+    # (mirror now stale at v1 while the store is at v2)
+    cdc_store_ingest(spark, store, bdf, bucketed_probe=True, probe_buckets=8)
+    v1 = _read_mirror_state(store)["covers_version"]
+    cdc_store_ingest(spark, store, idf)  # no mirror maintenance
+    assert _read_mirror_state(store)["covers_version"] == v1  # stale
+    # twin runs the same two ingests plain
+    cdc_store_ingest(spark, twin, bdf)
+    cdc_store_ingest(spark, twin, idf)
+    # new increment: half clones (known), half fresh
+    inc2 = [(300, "wholly fresh content never chunked before " * 4)]
+    inc2 += [(301, "inc doc 0 " + "common template tail " * 5)]
+    i2 = spark.createDataFrame(inc2, "doc_id long, text string")
+    # simulate a NEW session's empty in-memory catalog: drop the
+    # external table entry (files survive) so covering must re-adopt
+    _, tbl, _ = _mirror_names(store)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    rep_b, vb = cdc_store_ingest(spark, store, i2, bucketed_probe=True, probe_buckets=8)
+    rep_p, _ = cdc_store_ingest(spark, twin, i2)
+    got = sorted(tuple(r) for r in rep_b.collect())
+    want = sorted(tuple(r) for r in rep_p.collect())
+    assert got == want
+    assert _read_mirror_state(store)["covers_version"] == vb  # healed
+
+
+def test_cdc_bucketed_probe_plan_store_side_scan_local(spark, tmp_path):
+    """The structural claim of the layout fix: the probe semi-join
+    reads the mirror as a BUCKETED scan (Bucketed: true) with NO
+    exchange between the store scan and the join — only the
+    increment side is shuffled."""
+    from ocr_application_spark.operators.cdc import (
+        _bucketed_store_covering,
+        _read_mirror_state,
+        cdc_store_ingest,
+    )
+
+    bdf, idf = _ingest_fixture(spark)
+    store = str(tmp_path / "s_plan")
+    cdc_store_ingest(spark, store, bdf, bucketed_probe=True, probe_buckets=8)
+    v = _read_mirror_state(store)["covers_version"]
+    mirror = _bucketed_store_covering(spark, store, v, 8)
+    keys = C.cdc_chunks(idf).select("chunk_hash").distinct()
+    # force the merge path: at real scale neither side broadcasts
+    probe = mirror.hint("merge").join(keys, "chunk_hash", "left_semi")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    # the store branch (FileScan ... store_b) must not sit under an
+    # Exchange: exactly one Exchange in the whole probe (the keys side)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "store_b" in plan
