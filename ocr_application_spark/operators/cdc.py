@@ -273,7 +273,16 @@ def _bucketed_store_covering(
     diff-crossing-a-rewrite -> rebuilt from the full snapshot once.
     The table is EXTERNAL (explicit path) so a fresh session's empty
     in-memory catalog re-adopts the existing bucketed files via DDL
-    instead of rebuilding."""
+    instead of rebuilding.
+
+    Concurrency: store commits are CAS-protected upstream; here the
+    state file write is atomic (os.replace) and a racing writer can at
+    worst lose a state update or double-append a diff — both leave
+    the mirror a SUPERSET with possible duplicate hash rows, which is
+    correctness-neutral (the probe is a membership semi-join and its
+    consumer runs distinct); the next covering call's heal converges
+    the state. Same only-cost-never-correctness contract as the Bloom
+    sidecar."""
     import shutil
 
     from ocr_application_spark.sources.snapshots import (
