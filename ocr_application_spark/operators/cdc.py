@@ -246,12 +246,14 @@ def _read_mirror_state(store_path: str) -> dict | None:
     try:
         with open(p) as f:
             st = json.load(f)
-        return st if {"covers_version", "n_buckets"} <= set(st) else None
+        return st if {"covers_version", "n_buckets", "n_rows"} <= set(st) else None
     except (OSError, ValueError):
         return None
 
 
-def _write_mirror_state(store_path: str, covers_version: int, n_buckets: int) -> None:
+def _write_mirror_state(
+    store_path: str, covers_version: int, n_buckets: int, n_rows: int
+) -> None:
     import json
     import os
 
@@ -259,7 +261,14 @@ def _write_mirror_state(store_path: str, covers_version: int, n_buckets: int) ->
     os.makedirs(os.path.dirname(p), exist_ok=True)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"covers_version": covers_version, "n_buckets": n_buckets}, f)
+        json.dump(
+            {
+                "covers_version": covers_version,
+                "n_buckets": n_buckets,
+                "n_rows": n_rows,
+            },
+            f,
+        )
     os.replace(tmp, p)
 
 
@@ -300,19 +309,30 @@ def _bucketed_store_covering(
         f"INTO {n_buckets} BUCKETS LOCATION '{ddir}/data'"
     )
     st = _read_mirror_state(store_path)
+    adopted_ok = True
     if st is not None and st["n_buckets"] == n_buckets:
         if not spark.catalog.tableExists(tbl):
             spark.sql(adopt_ddl)  # new session, surviving files: adopt
+            # cross-check the adopted files against the stamped row
+            # count (parquet count is footer-metadata-only — cheap at
+            # any scale): a data dir deleted or truncated behind a
+            # surviving state file must rebuild, not silently probe an
+            # under-filled mirror (which would re-commit store-known
+            # chunks as novel)
+            adopted_ok = spark.table(tbl).count() >= st["n_rows"]
         cv = st["covers_version"]
-        if cv == current_version:
+        if adopted_ok and cv == current_version:
             return spark.table(tbl).select("chunk_hash")
-        if cv < current_version:
+        if adopted_ok and cv < current_version:
             try:
                 added = read_snapshot_diff(spark, store_path, cv, current_version)
                 added.select("chunk_hash").write.bucketBy(
                     n_buckets, "chunk_hash"
                 ).sortBy("chunk_hash").mode("append").format("parquet").saveAsTable(tbl)
-                _write_mirror_state(store_path, current_version, n_buckets)
+                _write_mirror_state(
+                    store_path, current_version, n_buckets,
+                    st["n_rows"] + added.count(),
+                )
                 return spark.table(tbl).select("chunk_hash")
             except (ValueError, FileNotFoundError):
                 pass  # diff range crossed a rewrite/expiry: rebuild below
@@ -330,7 +350,9 @@ def _bucketed_store_covering(
         .option("path", f"{ddir}/data")
         .saveAsTable(tbl)
     )
-    _write_mirror_state(store_path, current_version, n_buckets)
+    _write_mirror_state(
+        store_path, current_version, n_buckets, spark.table(tbl).count()
+    )
     return spark.table(tbl).select("chunk_hash")
 
 

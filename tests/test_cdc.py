@@ -238,7 +238,8 @@ def test_cdc_bucketed_probe_is_verdict_identical_and_replay_stable(
     )
     assert (p0, p1) == (c0, c1)  # flags compose
     st = _read_mirror_state(str(tmp_path / "s_buck"))
-    assert st == {"covers_version": v, "n_buckets": 8}
+    assert (st["covers_version"], st["n_buckets"]) == (v, 8)
+    assert st["n_rows"] > 0
     # all-dup replay through the bucketed path: nothing appended
     store = str(tmp_path / "s_buck")
     n_before = read_snapshot(spark, store).count()
@@ -289,6 +290,38 @@ def test_cdc_bucketed_mirror_heals_stale_state_and_lost_catalog(
     want = sorted(tuple(r) for r in rep_p.collect())
     assert got == want
     assert _read_mirror_state(store)["covers_version"] == vb  # healed
+
+
+def test_cdc_bucketed_mirror_rebuilds_when_data_dir_lost(spark, tmp_path):
+    """A data dir deleted behind a surviving state file must REBUILD at
+    adoption (the row-count cross-check), never probe an empty mirror —
+    which would re-commit store-known chunks as novel."""
+    import shutil
+
+    from ocr_application_spark.operators.cdc import (
+        _mirror_names,
+        cdc_store_ingest,
+    )
+    from ocr_application_spark.sources.snapshots import read_snapshot
+
+    bdf, idf = _ingest_fixture(spark)
+    store = str(tmp_path / "s_corrupt")
+    cdc_store_ingest(spark, store, bdf, bucketed_probe=True, probe_buckets=8)
+    n_store = read_snapshot(spark, store).count()
+    # lose the mirror DATA but keep the state file; also drop the
+    # catalog entry so the covering call takes the adoption path
+    _, tbl, ddir = _mirror_names(store)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(f"{ddir}/data", ignore_errors=True)
+    rep, _ = cdc_store_ingest(spark, store, idf, bucketed_probe=True, probe_buckets=8)
+    # the clone doc (200) must still be ALL-known — an empty mirror
+    # would have called its chunks novel
+    clone = {r["doc_id"]: r for r in rep.collect()}[200]
+    assert clone["n_known"] == clone["n_chunks"]
+    # and the store must not have been double-committed with old hashes
+    assert read_snapshot(spark, store).count() > n_store  # only the real novels
+    got = {r["chunk_hash"] for r in read_snapshot(spark, store).select("chunk_hash").collect()}
+    assert len(got) == read_snapshot(spark, store).count()  # no dup hashes
 
 
 def test_cdc_bucketed_probe_plan_store_side_scan_local(spark, tmp_path):
