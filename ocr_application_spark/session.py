@@ -76,6 +76,21 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # release_local_checkpoint (below) intentionally frees checkpoint
+    # blocks per iteration; Spark logs an unpersist-of-truncated-lineage
+    # WARN for every release, which buries real signals in the bench
+    # tail (the driver keeps ~2 KB of output — VERDICT r04 #6's
+    # readability concern). Raise just that logger to ERROR; the
+    # release sites guarantee by construction that the freed frames are
+    # never recomputed. Best-effort: log tuning must never fail a job.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
     return spark
 
 

@@ -964,3 +964,17 @@ def test_section_chunks_single_exchange(spark):
     assert m and set(re.findall(r"(\w+):", m.group(1))) <= {
         "struct", "doc_id", "source", "text"
     }
+
+
+def test_crawl_priority_pipeline_no_python_no_cartesian_host_join_shuffled(spark):
+    # the composed PageRank -> frontier -> slots chain must stay pure
+    # DataFrame (integer pagerank, no Python eval), join the host prior
+    # with a SHUFFLE join (hosts are 10^8 at corpus scale — the prior
+    # must never be broadcast-assumed; the checkpointed prior's unknown
+    # stats make Spark pick SMJ, which is the scale-correct shape), and
+    # schedule through the per-host politeness window
+    plan = plan_of(spark, "crawl_priority_pipeline")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin LeftOuter" in plan, plan
+    assert "Window" in plan, plan
