@@ -297,8 +297,15 @@ def main() -> None:
             try:
                 with open(hist_path) as f:
                     lines = [ln for ln in f.read().splitlines() if ln.strip()]
-                if lines:
-                    prev = json.loads(lines[-1])
+                # compare against the most recent run at the SAME sf and
+                # core count — a cross-config diff (sf0.01 vs sf0.1 runs
+                # in one history) would report a massive bogus delta or
+                # mask a real one
+                for ln in reversed(lines):
+                    cand = json.loads(ln)
+                    if cand.get("sf") == sf_num and cand.get("cpus") == cpus:
+                        prev = cand
+                        break
             except (OSError, ValueError):
                 prev = None
         slowest10 = {}

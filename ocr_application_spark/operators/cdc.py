@@ -224,12 +224,22 @@ _MIRROR_BUCKETS = 64  # bucket dial; a real cluster sizes this to cores
 def _mirror_names(store_path: str) -> tuple[str, str, str]:
     """(database, qualified table, data dir) for the probe mirror of
     ``store_path`` — SQL identifiers derived from the path hash so any
-    number of stores coexist in one catalog."""
+    number of stores coexist in one catalog. The path is normalized
+    BEFORE hashing so 'store' and 'store/' name ONE mirror (two tables
+    over one shared location would race each other's rebuilds)."""
     import hashlib
 
-    h = hashlib.md5(store_path.encode()).hexdigest()[:10]
+    canon = store_path.rstrip("/")
+    h = hashlib.md5(canon.encode()).hexdigest()[:10]
     db = f"cdc_mirror_{h}"
-    return db, f"{db}.store_b", store_path.rstrip("/") + "_bucketed"
+    # '_probe_mirror' rather than a generic suffix: the sidecar must
+    # never be confusable with a sibling SNAPSHOT STORE the caller
+    # created next door (the soak scripts name stores 'chunkstore' and
+    # 'chunkstore_bucketed' — a '_bucketed' suffix collided with the
+    # latter and the rebuild path would have rmtree'd that store's
+    # committed data). _claim_mirror_dir below fails loud on any
+    # occupied, unclaimed directory as defense in depth.
+    return db, f"{db}.store_b", canon + "_probe_mirror"
 
 
 def _mirror_state_path(store_path: str) -> str:
@@ -272,6 +282,31 @@ def _write_mirror_state(
     os.replace(tmp, p)
 
 
+def _claim_mirror_dir(store_path: str, ddir: str, st: dict | None) -> None:
+    """Refuse to rebuild over a directory this mirror cannot prove is
+    its own: a rebuild rmtree's ``{ddir}/data``, and if the path is
+    occupied by anything that did not come with our ``_STATE.json``
+    stamp (a sibling snapshot store, a user directory), deleting it
+    would destroy data we do not own. A valid state file — even a
+    parameter-mismatched or stale one — is the claim; absent that, a
+    non-empty dir fails LOUD instead of being cleared."""
+    import os
+
+    if st is not None or not os.path.isdir(ddir):
+        return
+    try:
+        occupied = bool(os.listdir(ddir))
+    except OSError:
+        occupied = False
+    if occupied:
+        raise ValueError(
+            f"cdc probe-mirror location {ddir!r} is occupied by files "
+            f"without a mirror _STATE.json — refusing to delete them. "
+            f"If this is a stale mirror, remove the directory manually; "
+            f"if it is unrelated data, move it or relocate the store."
+        )
+
+
 def _bucketed_store_covering(
     spark: SparkSession, store_path: str, current_version: int, n_buckets: int
 ) -> DataFrame:
@@ -309,26 +344,43 @@ def _bucketed_store_covering(
         f"INTO {n_buckets} BUCKETS LOCATION '{ddir}/data'"
     )
     st = _read_mirror_state(store_path)
-    adopted_ok = True
+    mirror_ok = False
     if st is not None and st["n_buckets"] == n_buckets:
         if not spark.catalog.tableExists(tbl):
             spark.sql(adopt_ddl)  # new session, surviving files: adopt
-            # cross-check the adopted files against the stamped row
-            # count (parquet count is footer-metadata-only — cheap at
-            # any scale): a data dir deleted or truncated behind a
-            # surviving state file must rebuild, not silently probe an
-            # under-filled mirror (which would re-commit store-known
-            # chunks as novel)
-            adopted_ok = spark.table(tbl).count() >= st["n_rows"]
+        # cross-check the files against the stamped row count EVERY
+        # covering call, not only at adoption (parquet count is
+        # footer-metadata-only — cheap at any scale): a data dir
+        # deleted or truncated behind a surviving state file — in this
+        # session or a prior one — must rebuild, not silently probe an
+        # under-filled mirror (which would re-commit store-known
+        # chunks as novel). refreshTable first so a stale cached file
+        # listing can't vouch for files that are gone; a count that
+        # THROWS (listing races a concurrent rebuild) counts as
+        # invalid and falls through to the rebuild too.
+        try:
+            spark.catalog.refreshTable(tbl)
+            mirror_ok = spark.table(tbl).count() >= st["n_rows"]
+        except Exception:
+            mirror_ok = False
         cv = st["covers_version"]
-        if adopted_ok and cv == current_version:
+        if mirror_ok and cv == current_version:
             return spark.table(tbl).select("chunk_hash")
-        if adopted_ok and cv < current_version:
+        if mirror_ok and cv < current_version:
             try:
-                added = read_snapshot_diff(spark, store_path, cv, current_version)
-                added.select("chunk_hash").write.bucketBy(
-                    n_buckets, "chunk_hash"
-                ).sortBy("chunk_hash").mode("append").format("parquet").saveAsTable(tbl)
+                from ocr_application_spark.session import bounded_cache
+
+                # persist the (O(new-rows)) diff so the append and the
+                # state-stamp count scan it once, not twice
+                added = bounded_cache(
+                    read_snapshot_diff(
+                        spark, store_path, cv, current_version
+                    ).select("chunk_hash"),
+                    "cdc_mirror_diff",
+                )
+                added.write.bucketBy(n_buckets, "chunk_hash").sortBy(
+                    "chunk_hash"
+                ).mode("append").format("parquet").saveAsTable(tbl)
                 _write_mirror_state(
                     store_path, current_version, n_buckets,
                     st["n_rows"] + added.count(),
@@ -337,7 +389,9 @@ def _bucketed_store_covering(
             except (ValueError, FileNotFoundError):
                 pass  # diff range crossed a rewrite/expiry: rebuild below
     # full rebuild: drop catalog entry AND files (saveAsTable refuses
-    # to adopt a non-empty location), then write fresh
+    # to adopt a non-empty location), then write fresh — but NEVER
+    # delete a directory this mirror cannot prove is its own
+    _claim_mirror_dir(store_path, ddir, st)
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(f"{ddir}/data", ignore_errors=True)
     full = read_snapshot(spark, store_path, version=current_version)

@@ -349,3 +349,61 @@ def test_cdc_bucketed_probe_plan_store_side_scan_local(spark, tmp_path):
     # Exchange: exactly one Exchange in the whole probe (the keys side)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "store_b" in plan
+
+
+def test_cdc_bucketed_mirror_in_session_data_loss_rebuilds(spark, tmp_path):
+    """The row-count cross-check runs EVERY covering call, not only at
+    adoption: a data dir deleted in-session (catalog entry intact,
+    cached file listing stale) must rebuild, not crash or probe an
+    empty mirror."""
+    import shutil
+
+    from ocr_application_spark.operators.cdc import (
+        _mirror_names,
+        cdc_store_ingest,
+    )
+    from ocr_application_spark.sources.snapshots import read_snapshot
+
+    bdf, idf = _ingest_fixture(spark)
+    store = str(tmp_path / "s_inlive")
+    cdc_store_ingest(spark, store, bdf, bucketed_probe=True, probe_buckets=8)
+    _, _, ddir = _mirror_names(store)
+    shutil.rmtree(f"{ddir}/data", ignore_errors=True)  # NO table drop
+    rep, _ = cdc_store_ingest(spark, store, idf, bucketed_probe=True, probe_buckets=8)
+    clone = {r["doc_id"]: r for r in rep.collect()}[200]
+    assert clone["n_known"] == clone["n_chunks"]
+    hashes = read_snapshot(spark, store).select("chunk_hash")
+    assert hashes.count() == hashes.distinct().count()  # no dup commits
+
+
+def test_cdc_mirror_refuses_to_delete_unclaimed_dir(spark, tmp_path):
+    """A rebuild must never rmtree a directory it cannot prove is its
+    own mirror (no _STATE.json): fail loud instead of destroying a
+    sibling store's or user's files."""
+    import pytest as _pytest
+
+    from ocr_application_spark.operators.cdc import _mirror_names, cdc_store_ingest
+
+    bdf, idf = _ingest_fixture(spark)
+    store = str(tmp_path / "s_occupied")
+    _, _, ddir = _mirror_names(store)
+    # occupy the mirror location with foreign data, no state stamp
+    import os
+
+    os.makedirs(f"{ddir}/data", exist_ok=True)
+    with open(f"{ddir}/data/precious.txt", "w") as f:
+        f.write("not yours")
+    cdc_store_ingest(spark, store, bdf)  # plain bootstrap, no mirror
+    with _pytest.raises(ValueError, match="occupied"):
+        cdc_store_ingest(spark, store, idf, bucketed_probe=True, probe_buckets=8)
+    with open(f"{ddir}/data/precious.txt") as f:
+        assert f.read() == "not yours"  # nothing deleted
+
+
+def test_cdc_mirror_path_normalization(spark):
+    """'store' and 'store/' must name ONE mirror (two catalog tables
+    over one shared location would race each other's rebuilds)."""
+    from ocr_application_spark.operators.cdc import _mirror_names
+
+    a, b = _mirror_names("/x/y/store"), _mirror_names("/x/y/store/")
+    assert a == b
