@@ -192,8 +192,8 @@ _WINDOW = (
     "emb_neardup_multiprobe",
     "ann_ivf_exhaustive",
     "sample_stratified",
-    "w5_sweep_merge",
     "crawl_priority_pipeline",  # new r05: PageRank->frontier->slots chain
+    "page_bitext_candidates",  # new r05: cross-lingual pairs from hreflang
 )
 
 # Names with a green driver row in some prior round (union of

@@ -252,6 +252,7 @@ def main() -> None:
             # r05 additions
             "crawl_priority_pipeline",
             "text_heavy_hitters",
+            "page_bitext_candidates",
         ]
 
         def run(name: str) -> None:

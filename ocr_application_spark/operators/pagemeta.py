@@ -696,3 +696,121 @@ def page_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html_text"),
     )
     return hreflang_clusters(fx)
+
+
+# --- bitext candidate mining (cross-lingual pairs from hreflang) -------------
+#
+# The multilingual-training precursor (CCMatrix/ParaCrawl shape):
+# hreflang clusters ARE publisher-declared translation sets, so the
+# candidate (src, tgt) page pairs for a language pair come from a
+# CLUSTER-BOUNDED self-join — never an all-pairs scan over the corpus.
+# A cluster is one page's translation set, bounded by the number of
+# locales a site publishes (dozens at most), so the pair work is
+# O(sum cluster_size^2) with a tiny constant — the same bounding
+# argument as SemDeDup's cluster dial, here enforced by the data
+# model itself. The only gate that belongs at THIS stage is the cheap
+# structural one: a length-ratio band (translations of the same page
+# have comparable lengths; a 10:1 ratio pair is navigation vs
+# article, not bitext). Sentence alignment and embedding scoring are
+# downstream, per-pair work on the survivors.
+#
+# Integer-exact: the ratio is basis points via bigint least/greatest
+# division (floor == truncate on nonnegative operands); zero-length
+# sides score 0 (never a NULL three-valued verdict).
+
+_BITEXT_MIN_RATIO_BP = 4000  # keep pairs within a 2.5x length band
+
+
+def bitext_candidates(clusters: DataFrame, doclangs: DataFrame) -> DataFrame:
+    """hreflang clusters (doc_id, url, cluster_id, ..) + per-doc
+    (doc_id, lang, n_chars) -> one row per cross-lingual page pair in
+    a cluster: (cluster_id, lang_src, lang_tgt, url_src, url_tgt,
+    src_chars, tgt_chars, len_ratio_bp, keep). lang_src < lang_tgt
+    canonicalizes the pair (and excludes same-language pairs: bitext
+    is cross-lingual by definition)."""
+    d = clusters.join(doclangs, "doc_id").select(
+        "cluster_id", "lang", "url", "n_chars"
+    )
+    a = d.select(
+        "cluster_id",
+        F.col("lang").alias("lang_src"),
+        F.col("url").alias("url_src"),
+        F.col("n_chars").alias("src_chars"),
+    )
+    b = d.select(
+        "cluster_id",
+        F.col("lang").alias("lang_tgt"),
+        F.col("url").alias("url_tgt"),
+        F.col("n_chars").alias("tgt_chars"),
+    )
+    pairs = a.join(b, "cluster_id").filter(F.col("lang_src") < F.col("lang_tgt"))
+    ratio = (
+        F.when(
+            (F.col("src_chars") > 0) & (F.col("tgt_chars") > 0),
+            F.expr(
+                "10000 * least(src_chars, tgt_chars)"
+                " div greatest(src_chars, tgt_chars)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return pairs.withColumn("len_ratio_bp", ratio).withColumn(
+        "keep", F.col("len_ratio_bp") >= _BITEXT_MIN_RATIO_BP
+    )
+
+
+_BITEXT_ORACLE = (
+    _HL_ORACLE.rsplit("select doc_id, url, cluster_id, n_alts,", 1)[0].rstrip().rstrip(",")
+    + f""",
+    hl as (select doc_id, url, cluster_id from r),
+    dl as (
+      select doc_id, {_HL_LANG_SQL} as lang,
+             cast(length(coalesce(text, '')) as bigint) as n_chars
+      from documents
+    ),
+    d as (select cluster_id, lang, url, n_chars from hl join dl using (doc_id)),
+    pr as (
+      select a.cluster_id,
+             a.lang as lang_src, b.lang as lang_tgt,
+             a.url as url_src, b.url as url_tgt,
+             a.n_chars as src_chars, b.n_chars as tgt_chars
+      from d a join d b
+        on a.cluster_id = b.cluster_id and a.lang < b.lang
+    ),
+    rt as (
+      select *,
+             cast(case when src_chars > 0 and tgt_chars > 0
+                       then 10000 * least(src_chars, tgt_chars)
+                            // greatest(src_chars, tgt_chars)
+                       else 0 end as bigint) as len_ratio_bp
+      from pr
+    )
+    select cluster_id, lang_src, lang_tgt, url_src, url_tgt,
+           src_chars, tgt_chars, len_ratio_bp,
+           len_ratio_bp >= {_BITEXT_MIN_RATIO_BP} as keep
+    from rt
+"""
+)
+
+
+@_q("page_bitext_candidates", _BITEXT_ORACLE)
+def page_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the hreflang fixture's en/fr/de translation clusters
+    crossed with the documents table's real text lengths — every
+    cross-lingual pair scored and banded, bit-exact vs the SQL
+    reconstruction (the hreflang CTE chain reused verbatim)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = page_hreflang_clusters(spark, sf_dir).select(
+        "doc_id", "url", "cluster_id"
+    )
+    doclangs = docs.select(
+        "doc_id",
+        F.expr(_HL_LANG_SQL.replace("as int", "as int")).alias("lang"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars"),
+    )
+    out = bitext_candidates(clusters, doclangs)
+    return out.select(
+        "cluster_id", "lang_src", "lang_tgt", "url_src", "url_tgt",
+        "src_chars", "tgt_chars", "len_ratio_bp", "keep",
+    )

@@ -69,3 +69,53 @@ def test_inconsistent_annotations_split_clusters_deterministically(spark):
     assert out["https://s/en"]["cluster_id"] == "https://s/de"
     assert out["https://s/fr"]["cluster_id"] == "https://s/en"
     assert out["https://s/en"]["cluster_size"] == 1
+
+
+def test_bitext_candidates_cluster_bounded_banded_cross_lingual(spark):
+    """bitext_candidates: pairs only WITHIN a cluster, only across
+    languages (lang_src < lang_tgt canonicalizes), length-ratio in
+    exact basis points with zero-length sides scoring 0, keep banded
+    at >= 4000 bp (2.5x)."""
+    import pyspark.sql.functions as F
+
+    from ocr_application_spark.operators.pagemeta import bitext_candidates
+
+    clusters = spark.createDataFrame(
+        [
+            (1, "https://s/a/en", "c1"),
+            (2, "https://s/a/fr", "c1"),
+            (3, "https://s/a/de", "c1"),
+            (4, "https://s/b/en", "c2"),
+            (5, "https://s/b/fr", "c2"),
+            (6, "https://s/c/en", "c3"),  # singleton: no pairs
+        ],
+        "doc_id long, url string, cluster_id string",
+    )
+    doclangs = spark.createDataFrame(
+        [
+            (1, "en", 1000),
+            (2, "fr", 1100),  # vs en: 9090 bp -> keep
+            (3, "de", 300),   # vs en: 3000 bp, vs fr: 2727 bp -> drop
+            (4, "en", 500),
+            (5, "fr", 0),     # zero side -> ratio 0, drop
+            (6, "en", 800),
+        ],
+        "doc_id long, lang string, n_chars long",
+    )
+    rows = {
+        (r["cluster_id"], r["lang_src"], r["lang_tgt"]): r
+        for r in bitext_candidates(clusters, doclangs).collect()
+    }
+    # c1: 3 cross-lingual pairs; c2: 1; c3: 0 — never cross-cluster
+    assert set(rows) == {
+        ("c1", "de", "en"), ("c1", "de", "fr"), ("c1", "en", "fr"),
+        ("c2", "en", "fr"),
+    }
+    assert rows[("c1", "en", "fr")]["len_ratio_bp"] == 9090
+    assert rows[("c1", "en", "fr")]["keep"] is True
+    assert rows[("c1", "de", "en")]["len_ratio_bp"] == 3000
+    assert rows[("c1", "de", "en")]["keep"] is False
+    assert rows[("c2", "en", "fr")]["len_ratio_bp"] == 0
+    assert rows[("c2", "en", "fr")]["keep"] is False
+    # lang ordering is canonical: no (en, de) mirror rows
+    assert not any(a > b for _, a, b in rows)
